@@ -1,0 +1,347 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFns
+import graft.sources.Sources
+
+/** The reference-parity query surface (SURVEY.md §2) expressed over the
+  * driver testdata star schema. Each query exercises one operator family from
+  * the §2 inventory; names carry the §2 IDs. Every query has a DuckDB oracle.
+  *
+  * Scale notes are per-query: these run at sf0.01 for correctness and sf0.1+
+  * for bench, but are written for the 1000-executor / 100 TB shape — filters
+  * and projections push into the parquet scan, small dims broadcast, and the
+  * only shuffles are the ones the semantics require.
+  */
+object ParityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  // ---------------------------------------------------------------- S / P --
+
+  /** S-series scan + P1 projection-with-alias: column pruning reaches the
+    * parquet reader (ReadSchema shows only the two columns). */
+  val scanProject = Q(
+    "q_p1_scan_project",
+    "P1/P2 projection with aliases over a scan (sql_queries.py:157-173)",
+    (s, dir) => t(s, dir, "region")
+      .select(col("r_regionkey").cast("long").as("region_key"),
+              col("r_name").as("region_name")),
+    Some("SELECT CAST(r_regionkey AS BIGINT) AS region_key, r_name AS region_name FROM region"))
+
+  /** P3 equality filter — the reference's WHERE page='NextSong'
+    * (sql_queries.py:181). Predicate pushes to the parquet scan. */
+  val filterEq = Q(
+    "q_p3_filter_eq",
+    "P3 equality filter (WHERE page='NextSong' analogue)",
+    (s, dir) => t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"), col("props")),
+    Some("SELECT event_id, user_id, value, props FROM events WHERE event_type = 'purchase'"))
+
+  /** P4 + E13/E14 — lower() + LIKE '%…%' (Fiddle cells 59-60). */
+  val filterLike = Q(
+    "q_p4_filter_like",
+    "P4 lower()+LIKE filter (Fiddle F59-F60)",
+    (s, dir) => t(s, dir, "part")
+      .filter(lower(col("p_type")).like("%promo%"))
+      .select(col("p_partkey"), col("p_name"), col("p_type")),
+    Some("SELECT p_partkey, p_name, p_type FROM part WHERE lower(p_type) LIKE '%promo%'"))
+
+  /** P6 IN-list + P7 BETWEEN + P8 compound booleans
+    * (sql_queries.py:252-300). */
+  val filterInBetween = Q(
+    "q_p6_in_between",
+    "P6 IN-list + P7 BETWEEN + P8 AND-chain",
+    (s, dir) => t(s, dir, "part")
+      .filter(col("p_size").between(10, 30) &&
+        col("p_brand").isin("Brand#1", "Brand#2", "Brand#13"))
+      .select(col("p_partkey"), col("p_brand"),
+              col("p_size").cast("long").as("p_size")),
+    Some("""SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size FROM part
+           | WHERE p_size BETWEEN 10 AND 30 AND p_brand IN ('Brand#1','Brand#2','Brand#13')"""
+      .stripMargin.replace("\n", "")))
+
+  // -------------------------------------------------------------------- J --
+
+  /** J1 left outer equi-join preserving unmatched probe rows (the
+    * events←songs join, sql_queries.py:174-180): orders without lineitems
+    * survive with NULL line columns. The fact side stays the probe; at scale
+    * both sides are large → sort-merge on the shuffled key, AQE may convert
+    * to broadcast when the build side is small. */
+  val joinLeft = Q(
+    "q_j1_join_left",
+    "J1 left outer equi-join, unmatched rows preserved (sql_queries.py:174-180)",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
+        .select(o("o_orderkey"), col("o_orderstatus"),
+                l("l_linenumber").cast("long").as("l_linenumber"),
+                col("l_quantity"))
+    },
+    Some("""SELECT o.o_orderkey, o.o_orderstatus,
+           | CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_quantity
+           | FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
+      .stripMargin.replace("\n", "")))
+
+  /** J1 two-key join variant (the reference joins on artist AND song title):
+    * events against a derived per-(user,type) dim on both keys. The dim is
+    * tiny relative to the fact → broadcast it explicitly. */
+  val joinTwoKey = Q(
+    "q_j1_join_two_key",
+    "J1 two-key equi-join against a derived dim (artist+title analogue)",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val d = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_ev"))
+      e.join(broadcast(d), Seq("user_id", "event_type"), "left")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("n_ev"))
+    },
+    Some("""WITH d AS (SELECT user_id, event_type, count(*) AS n_ev FROM events GROUP BY 1, 2)
+           | SELECT e.event_id, e.user_id, e.event_type, d.n_ev
+           | FROM events e LEFT JOIN d ON e.user_id = d.user_id AND e.event_type = d.event_type"""
+      .stripMargin.replace("\n", "")))
+
+  /** J3 — the Fiddle cell 61 "left join + IS NULL" unmatched probe, written
+    * the idiomatic Spark way: left_anti (no null-probe round trip, and the
+    * anti join needs only the join key from the right side → smaller build). */
+  val joinAnti = Q(
+    "q_j3_join_anti",
+    "J3 anti-join (left join + IS NULL probe, Fiddle F61)",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+           | WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"""
+      .stripMargin.replace("\n", "")))
+
+  /** Semi-join companion (EXISTS): customers with ≥1 order. */
+  val joinSemi = Q(
+    "q_j2_join_semi",
+    "J2 family: semi-join (EXISTS) — customers having orders",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+           | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
+      .stripMargin.replace("\n", "")))
+
+  /** J4 — the flagship star join (README.md:63-87 schema design): fact
+    * lineitem through orders→customer→nation→region, revenue by region/year.
+    * nation+region are broadcast (DISTSTYLE ALL analogue); lineitem⋈orders is
+    * the one genuine shuffle pair; aggregation is partial (map-side) before
+    * the final group exchange. */
+  val starJoin = Q(
+    "q_j4_star_join",
+    "J4 star join: revenue by region × order-year (flagship)",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region_name"),
+                 year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT r_name AS region_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           | count(*) AS n_items
+           | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           | JOIN customer ON o_custkey = c_custkey
+           | JOIN nation ON c_nationkey = n_nationkey
+           | JOIN region ON n_regionkey = r_regionkey
+           | GROUP BY 1, 2""".stripMargin.replace("\n", "")),
+    headline = true)
+
+  // -------------------------------------------------------------------- A --
+
+  /** A1 — COUNT(1) global (the Fiddle row-count probes). */
+  val aggCount = Q(
+    "q_a1_count",
+    "A1 global COUNT (Fiddle F44-F50)",
+    (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("n_rows")),
+    Some("SELECT count(*) AS n_rows FROM lineitem"))
+
+  /** A2 — GROUP BY + count, plus sum/avg (§2.4 note: reference only counts;
+    * the engine exposes the full agg family). Partial aggregation keeps the
+    * shuffle at |groups| rows, not |input|. */
+  val aggGroup = Q(
+    "q_a2_group_agg",
+    "A2 grouped count/sum/avg (Fiddle F38-F39 + §2.4 extension)",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value")), 2).as("sum_value"),
+           round(avg(col("value")), 2).as("avg_value")),
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           | round(avg(value), 2) AS avg_value FROM events GROUP BY event_type"""
+      .stripMargin.replace("\n", "")))
+
+  /** A3 — GROUPING SETS ((a),(a,b)) (Fiddle F53): multi-granularity counts
+    * in one pass; Catalyst expands then partially aggregates. */
+  val groupingSets = Q(
+    "q_a3_grouping_sets",
+    "A3 GROUPING SETS ((event_type),(event_type,user_id)) (Fiddle F53)",
+    (s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""SELECT event_type, user_id, count(*) AS n FROM events
+              |GROUP BY GROUPING SETS ((event_type), (event_type, user_id))"""
+        .stripMargin)
+    },
+    Some("""SELECT event_type, user_id, count(*) AS n FROM events
+           | GROUP BY GROUPING SETS ((event_type), (event_type, user_id))"""
+      .stripMargin.replace("\n", "")))
+
+  /** A4 — multi-column DISTINCT (the dim builds, sql_queries.py:184-211). */
+  val distinctDim = Q(
+    "q_a4_distinct",
+    "A4 multi-column DISTINCT dim build (sql_queries.py:184-211)",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+              col("c_mktsegment"))
+      .distinct(),
+    Some("SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment FROM customer"))
+
+  // -------------------------------------------------------------------- E --
+
+  /** E1-E12 — the full time-dimension build (sql_queries.py:214-303) over
+    * distinct event hours. The reference's LIMIT 100 source cap is dropped
+    * (SURVEY.md §7.4.7 — parameterized hack, default unlimited). */
+  val timeDims = Q(
+    "q_e_time_dims",
+    "E1-E12 time-dimension derivation (sql_queries.py:214-303)",
+    (s, dir) => {
+      val hours = t(s, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("h")).distinct()
+      val h = col("h")
+      // int-valued derivations cast to long to match DuckDB's BIGINT extracts
+      hours.select(
+        TimeFns.timeKey(h).as("time_key"),
+        h.as("trunc_time"),
+        to_date(h).as("date"),
+        dayofmonth(h).cast("long").as("day"),
+        TimeFns.week(h).cast("long").as("week"),
+        month(h).cast("long").as("month"),
+        quarter(h).cast("long").as("quarter"),
+        year(h).cast("long").as("year"),
+        TimeFns.hourOfDay(h).cast("long").as("hour"),
+        TimeFns.dayOfWeek(h).cast("long").as("day_of_week"),
+        TimeFns.isWeekend(h).as("is_weekend"),
+        TimeFns.fiscalYear(h).cast("long").as("fiscal_year"),
+        TimeFns.fiscalQuarter(h).cast("long").as("fiscal_quarter"),
+        TimeFns.season(h).as("season"),
+        lit(null).cast("string").as("special_event"))
+    },
+    Some("""WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events)
+           | SELECT CAST(strftime(h, '%Y%m%d%H') AS BIGINT) AS time_key,
+           | h AS trunc_time, CAST(h AS DATE) AS date,
+           | CAST(day(h) AS BIGINT) AS day, CAST(weekofyear(h) AS BIGINT) AS week,
+           | CAST(month(h) AS BIGINT) AS month, CAST(quarter(h) AS BIGINT) AS quarter,
+           | CAST(year(h) AS BIGINT) AS year, CAST(hour(h) AS BIGINT) AS hour,
+           | CAST(dayofweek(h) + 1 AS BIGINT) AS day_of_week,
+           | dayofweek(h) IN (0, 6) AS is_weekend,
+           | CAST(CASE WHEN month(h) BETWEEN 1 AND 3 THEN year(h) - 1 ELSE year(h) END AS BIGINT) AS fiscal_year,
+           | CAST(CASE WHEN month(h) BETWEEN 1 AND 3 THEN 4 WHEN month(h) BETWEEN 4 AND 6 THEN 1
+           |      WHEN month(h) BETWEEN 7 AND 9 THEN 2 ELSE 3 END AS BIGINT) AS fiscal_quarter,
+           | CASE WHEN month(h) IN (12,1,2) THEN 'Winter' WHEN month(h) IN (3,4,5) THEN 'Spring'
+           |      WHEN month(h) IN (6,7,8) THEN 'Summer' ELSE 'Fall' END AS season,
+           | CAST(NULL AS VARCHAR) AS special_event
+           | FROM u""".stripMargin.replace("\n", "")))
+
+  /** E1 + E3 — epoch-millis integer-division round trip (the highest
+    * silent-divergence risk, SURVEY.md §7.4.1): ms → floor-to-second
+    * timestamp + YYYYMMDDHH bigint key. */
+  val epochRoundtrip = Q(
+    "q_e1_epoch_roundtrip",
+    "E1 integer-division epoch-ms→timestamp + E3 time key (sql_queries.py:164-173)",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        TimeFns.epochMillisToTs(unix_millis(col("ts"))).as("ts_sec"),
+        TimeFns.timeKey(col("ts")).as("time_key")),
+    Some("""SELECT event_id, make_timestamp((epoch_ms(ts) // 1000) * 1000000) AS ts_sec,
+           | CAST(strftime(ts, '%Y%m%d%H') AS BIGINT) AS time_key FROM events"""
+      .stripMargin.replace("\n", "")))
+
+  /** E9-E11 — fiscal year / fiscal quarter / season CASE chains over six
+    * years of order dates (hits every month boundary). */
+  val caseFiscal = Q(
+    "q_e9_case_fiscal",
+    "E9-E11 fiscal year/quarter + season CASEs (sql_queries.py:258-300)",
+    (s, dir) => {
+      val d = col("o_orderdate")
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        month(d).cast("long").as("month"),
+        TimeFns.fiscalYear(d).cast("long").as("fiscal_year"),
+        TimeFns.fiscalQuarter(d).cast("long").as("fiscal_quarter"),
+        TimeFns.season(d).as("season"),
+        TimeFns.isWeekend(d).as("is_weekend"))
+    },
+    Some("""SELECT o_orderkey, CAST(month(o_orderdate) AS BIGINT) AS month,
+           | CAST(CASE WHEN month(o_orderdate) BETWEEN 1 AND 3 THEN year(o_orderdate) - 1 ELSE year(o_orderdate) END AS BIGINT) AS fiscal_year,
+           | CAST(CASE WHEN month(o_orderdate) BETWEEN 1 AND 3 THEN 4 WHEN month(o_orderdate) BETWEEN 4 AND 6 THEN 1
+           |      WHEN month(o_orderdate) BETWEEN 7 AND 9 THEN 2 ELSE 3 END AS BIGINT) AS fiscal_quarter,
+           | CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'Winter' WHEN month(o_orderdate) IN (3,4,5) THEN 'Spring'
+           |      WHEN month(o_orderdate) IN (6,7,8) THEN 'Summer' ELSE 'Fall' END AS season,
+           | dayofweek(o_orderdate) IN (0, 6) AS is_weekend
+           | FROM orders""".stripMargin.replace("\n", "")))
+
+  // -------------------------------------------------------------------- Q --
+
+  /** Q1/Q2 + LIMIT — CTE over a derived table with a deterministic
+    * ORDER BY + LIMIT (the reference's limit-fed CTE, sql_queries.py:215-302,
+    * made deterministic). TopK compiles to TakeOrderedAndProject — no global
+    * sort at scale. */
+  val cteTopK = Q(
+    "q_q1_cte_topk",
+    "Q1/Q2 CTE + derived table + deterministic ORDER BY/LIMIT",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10),
+    Some("""WITH ranked AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders)
+           | SELECT * FROM ranked ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""
+      .stripMargin.replace("\n", "")))
+
+  /** Window function (beyond-reference capability, §2.5): per-user event
+    * sequence numbers. One shuffle on user_id, sort within partitions. */
+  val windowRank = Q(
+    "q_w_row_number",
+    "Window: row_number per user ordered by time (capability extension)",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+                row_number().over(w).cast("long").as("rn"))
+    },
+    Some("""SELECT event_id, user_id,
+           | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS rn
+           | FROM events""".stripMargin.replace("\n", "")))
+
+  val all: Seq[Q] = Seq(
+    scanProject, filterEq, filterLike, filterInBetween,
+    joinLeft, joinTwoKey, joinAnti, joinSemi, starJoin,
+    aggCount, aggGroup, groupingSets, distinctDim,
+    timeDims, epochRoundtrip, caseFiscal,
+    cteTopK, windowRank)
+}

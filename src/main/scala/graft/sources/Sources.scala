@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.schemas.Schemas
+
+/** Readers / writers — the engine's S-series operators (SURVEY.md §2.1).
+  *
+  * All reads carry an explicit schema: no inference pass, deterministic
+  * types, and Catalyst can prune/push down into the scan from the first plan.
+  */
+object Sources {
+
+  // -------------------------------------------------------------------------
+  // Testdata star schema (parquet)
+  // -------------------------------------------------------------------------
+
+  /** Read one driver testdata table (`<sfDir>/<name>.parquet`).
+    * Schema-on-read from parquet footers — no StructType needed; vectorized
+    * reader + filter/column pushdown come free.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright; read it as a nanos long
+    * (legacy.parquet.nanosAsLong) and truncate to Spark's microsecond
+    * TimestampType. Integer `div` keeps full precision (a double division
+    * would lose bits above 2^53).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(path)
+  }
+
+  /** Register every testdata table as a temp view so both the DataFrame API
+    * and spark.sql can address the same catalog (SURVEY.md §1.2). */
+  def registerTestdataViews(spark: SparkSession, sfDir: String): Unit =
+    Schemas.testdataTables.keys.foreach { name =>
+      table(spark, sfDir, name).createOrReplaceTempView(name)
+    }
+
+  // -------------------------------------------------------------------------
+  // Sparkify staging loads (reference COPY semantics, sql_queries.py:136-150)
+  // -------------------------------------------------------------------------
+
+  /** S1 — events load honoring the jsonpaths contract
+    * (COPY … JSON 's3://…/log_json_path.json', sql_queries.py:138-143):
+    * positional extraction into the staging DDL's column order. Spark matches
+    * JSON fields by name, so we read with the declared schema then select in
+    * DDL order; `userId` arrives as "" for logged-out users and is cast
+    * string→int (empty → NULL), matching Redshift COPY coercion
+    * (SURVEY.md §1.4).
+    */
+  def readEventsJson(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.schema(Schemas.stgSongEvents).json(path)
+      .select(Schemas.stgSongEvents.fieldNames.map(col).toSeq: _*)
+      .withColumn("userId", col("userId").cast("int"))
+  }
+
+  /** S2 — songs load, name-matched (json 'auto', sql_queries.py:145-150). */
+  def readSongsJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.stgSongs).json(path)
+
+  // -------------------------------------------------------------------------
+  // Sinks
+  // -------------------------------------------------------------------------
+
+  /** S3 — positional append, the reference's `INSERT INTO t SELECT …`
+    * without a column list (sql_queries.py:156,185,196,205,216): the frame
+    * is coerced to the target schema BY POSITION, not by name, then appended.
+    * One misordered column would silently corrupt on name-based writes; this
+    * makes the positional contract explicit and type-checked.
+    */
+  def insertInto(df: DataFrame, target: StructType, path: String,
+                 mode: SaveMode = SaveMode.Append): Unit = {
+    val aligned = alignPositional(df, target)
+    aligned.write.mode(mode).parquet(path)
+  }
+
+  /** Coerce a frame to `target` by POSITION: arity must match; each column is
+    * renamed and cast to the target field. */
+  def alignPositional(df: DataFrame, target: StructType): DataFrame = {
+    require(df.schema.length == target.length,
+      s"positional insert arity mismatch: ${df.schema.length} vs ${target.length}")
+    import org.apache.spark.sql.functions.col
+    val cols = df.schema.fieldNames.zip(target.fields).map {
+      case (src, tgt) => col(src).cast(tgt.dataType).as(tgt.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Scale-aware parquet writer: repartition on the distribution key (the
+    * Redshift `distkey` analogue — co-locates join keys) and sort within
+    * partitions on the sort key (the `sortkey` analogue — tightens parquet
+    * min/max row-group stats so zone-map-style pruning works). SURVEY.md §4.
+    */
+  def writeDistributed(df: DataFrame, path: String,
+                       distKey: Option[String] = None,
+                       sortKeys: Seq[String] = Nil,
+                       numPartitions: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val parted = distKey match {
+      case Some(k) => numPartitions
+        .map(n => df.repartition(n, col(k)))
+        .getOrElse(df.repartition(col(k)))
+      case None => numPartitions.map(df.repartition).getOrElse(df)
+    }
+    val sorted =
+      if (sortKeys.nonEmpty) parted.sortWithinPartitions(sortKeys.map(col): _*)
+      else parted
+    sorted.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}
