@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, StructType}
 
 import graft.schemas.Schemas
 
@@ -59,7 +59,8 @@ object Sources {
     import org.apache.spark.sql.functions.col
     spark.read.schema(Schemas.stgSongEvents).json(path)
       .select(Schemas.stgSongEvents.fieldNames.map(col).toSeq: _*)
-      .withColumn("userId", col("userId").cast("int"))
+      // try_cast: '' → NULL like Redshift COPY, under ANSI mode
+      .withColumn("userId", col("userId").try_cast(IntegerType))
   }
 
   /** S2 — songs load, name-matched (json 'auto', sql_queries.py:145-150). */

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.etl.Ddl
+import graft.schemas.Schemas
+
+/** S-series behavior: jsonpaths-contract JSON reads, empty-string→NULL user
+  * ids, positional insert alignment, DDL lifecycle. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("S1: events JSON lands in DDL column order with userId '' → NULL") {
+    val df = Sources.readEventsJson(spark,
+      TestSpark.resource("/sparkify/log_data.json"))
+    assert(df.columns.toSeq == Schemas.stgSongEvents.fieldNames.toSeq)
+    assert(df.schema("userId").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(df.filter("userId IS NULL").count() == 1) // the Logged Out row
+    assert(df.count() == 7)
+  }
+
+  test("S2: songs JSON name-matched load") {
+    val df = Sources.readSongsJson(spark,
+      TestSpark.resource("/sparkify/song_data.json"))
+    assert(df.count() == 4)
+    assert(df.schema("artist_latitude").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("S3: positional alignment renames and casts by position") {
+    val src = Seq((1, "a", "2.5")).toDF("x", "y", "z")
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("q", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("r", org.apache.spark.sql.types.DoubleType)))
+    val out = Sources.alignPositional(src, target)
+    assert(out.columns.toSeq == Seq("p", "q", "r"))
+    assert(out.schema("r").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(out.collect().head.getDouble(2) == 2.5)
+  }
+
+  test("S3: positional alignment rejects arity mismatch") {
+    val src = Seq((1, "a")).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      Sources.alignPositional(src, Schemas.dimSongs)
+    }
+  }
+
+  test("S4/S5/S6: DDL create/drop lifecycle is idempotent") {
+    Ddl.recreateAll(spark)
+    val listed = Ddl.listTables(spark)
+    Schemas.starTables.foreach { case (name, _) =>
+      assert(listed.contains(name), s"$name missing after create")
+    }
+    Ddl.recreateAll(spark) // drop-then-create again must not throw
+    Ddl.dropAll(spark)
+    val after = Ddl.listTables(spark)
+    Schemas.starTables.foreach { case (name, _) =>
+      assert(!after.contains(name), s"$name still present after drop")
+    }
+  }
+
+  test("events testdata reads with µs-truncated nanos timestamps") {
+    val df = Sources.table(spark, "/root/testdata/sf0.001", "events")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.count() == 1000)
+  }
+}
