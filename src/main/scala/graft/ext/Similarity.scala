@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExprs._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Two paths:
+  *
+  *  - `bruteForceTopK` — exact cosine top-k: the probe set broadcasts, the
+  *    corpus streams once (map-only scan + per-probe top-k). The baseline
+  *    and the verifier for the approximate path.
+  *  - `lshTopK` — random-hyperplane LSH: corpus bucketed map-only; probes
+  *    multiprobe their bucket plus all 1-bit flips, so candidates are a
+  *    small bucket join instead of the full corpus. The 100 TB path: the
+  *    corpus shuffle is by bucket (once, reusable), per-query cost is
+  *    |bucket| × (nPlanes+1).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each probe id. Output:
+    * (vec_id, rank, neighbor_id, cos). */
+  def bruteForceTopK(emb: DataFrame, probeIds: Seq[Long], k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val probes = emb
+      .filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("pvec"))
+    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = corpus.join(broadcast(probes),
+        col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine_sim(col("pvec"), col("cvec")).as("cos"))
+    topK(scored, k)
+  }
+
+  /** Approximate top-k via multi-table signed-random-projection LSH
+    * (an LSH forest: `nTables` independent tables of `nPlanes` sign bits;
+    * candidates = union of same-bucket mates across tables). Same output
+    * shape as bruteForceTopK; recall < 1 — tuned so that a neighbor at
+    * cosine c (per-bit agreement p = 1 − arccos(c)/π) is retrieved with
+    * probability 1 − (1 − p^nPlanes)^nTables. At larger corpora raise
+    * nPlanes with log₂|corpus| to keep buckets small; the corpus side is
+    * replicated nTables× into the bucket exchange — the classic LSH
+    * space-for-recall trade. */
+  def lshTopK(emb: DataFrame, probeIds: Seq[Long], k: Int,
+              nPlanes: Int = 6, nTables: Int = 16, seed: Long = 42L,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    def tableBuckets(vec: Column): Column = array((0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        hyperplane_bucket(vec, nPlanes, seed + t * 7919L).as("bucket"))
+    }: _*)
+
+    val bucketed = emb.select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        explode(tableBuckets(col(vecCol))).as("tb"))
+      .select(col("neighbor_id"), col("cvec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+
+    val probes = emb
+      .filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("pvec"),
+        explode(tableBuckets(col(vecCol))).as("tb"))
+      .select(col("vec_id"), col("pvec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+
+    val scored = bucketed.join(broadcast(probes), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("pvec"), col("cvec"))
+      .dropDuplicates("vec_id", "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine_sim(col("pvec"), col("cvec")).as("cos"))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+}

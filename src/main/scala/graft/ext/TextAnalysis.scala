@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExprs._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language ID, fingerprinting. All map-only (built-ins +
+  * codegen expressions) — at 100 TB these add zero shuffles to a pipeline.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count + a BPE-ish regex token count
+    * (word pieces OR single non-word-non-space symbols). */
+  def tokenCounts(text: Column): Seq[Column] = Seq(
+    size(split(text, " ", -1)).cast("long").as("n_ws_tokens"),
+    regexp_count(text, lit("\\w+|[^\\w\\s]")).cast("long").as("n_re_tokens"))
+
+  private val stopwords = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "be")
+
+  /** Per-document quality metrics: char/token counts, punctuation ratio,
+    * stopword ratio, mean token length, and a [0,1] composite. Mirrors the
+    * usual web-corpus quality heuristics (C4/Gopher-style length+symbol
+    * rules) in declarative form. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val nChars = length(text).cast("long")
+    val tokens = split(text, " ", -1)
+    val nTokens = size(tokens).cast("long")
+    val nPunct = (length(text) -
+      length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+    val nStop = size(filter(tokens,
+      t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    val meanTokLen = (length(regexp_replace(text, " ", "")).cast("double") /
+      greatest(nTokens, lit(1L)))
+    val punctRatio = nPunct.cast("double") / greatest(nChars, lit(1L))
+    val stopRatio = nStop.cast("double") / greatest(nTokens, lit(1L))
+    // composite: reward mid-length docs with some stopwords, sane token len.
+    // Scored in integer BASIS POINTS (0..10000) with exact int arithmetic —
+    // a float composite straddles round() boundaries across engines.
+    // /64 is a power of two → exact in IEEE; the /nTokens quotient is
+    // correctly rounded identically by any IEEE engine, so floor() agrees.
+    val score =
+      floor(lit(4000.0) * least(nTokens, lit(64L)) / lit(64.0)).cast("long") +
+      floor(lit(3000.0) * least(nStop * lit(5L), nTokens) /
+        greatest(nTokens, lit(1L))).cast("long") +
+      when(meanTokLen.between(3.0, 10.0), 3000L).otherwise(0L)
+    Seq(
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(meanTokLen, 4).as("mean_token_len"),
+      score.as("quality_score_bp"))
+  }
+
+  /** Language-ID heuristic: stopword-profile hit counts per language +
+    * a CJK-codepoint ratio for zh; argmax with deterministic tiebreak
+    * (profile order). Declarative — no UDF. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "que", "une"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "una"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit"))
+
+  def langIdColumn(text: Column): Column = {
+    val tokens = split(lower(text), " ", -1)
+    val nTokens = greatest(size(tokens), lit(1)).cast("double")
+    val scores = profiles.map { case (lang, words) =>
+      struct(
+        (size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
+          .cast("double") / nTokens).as("score"),
+        lit(lang).as("lang"))
+    }
+    val cjk = size(split(text, "[\\x{4e00}-\\x{9fff}]", -1)) - 1
+    val zh = struct(
+      (cjk.cast("double") / greatest(length(text), lit(1)).cast("double"))
+        .multiply(lit(10.0)).as("score"),
+      lit("zh").as("lang"))
+    // greatest over (score, lang) structs: ties break on lang descending —
+    // make deterministic by ordering profiles so first-listed wins via a
+    // tiny per-position epsilon
+    val ranked = (scores :+ zh).zipWithIndex.map { case (s, i) =>
+      struct((s.getField("score") - lit(i * 1e-9)).as("score"),
+        s.getField("lang").as("lang"))
+    }
+    greatest(ranked: _*).getField("lang")
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text
+    * (oracle-portable), plus winnowing fingerprints for overlap detection. */
+  def contentFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  def winnowSummary(text: Column): Seq[Column] = {
+    val sig = winnow_sig(text)
+    Seq(size(sig).cast("long").as("n_fingerprints"),
+      array_min(sig).as("min_fp"),
+      array_max(sig).as("max_fp"))
+  }
+}

@@ -1,0 +1,239 @@
+package graft.ext
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-JVM hashing/sketching core for the dedup + fingerprint operators.
+  * Static, allocation-light, deterministic — called from Catalyst expression
+  * codegen (graft.functions.TextExprs), so every method here is a single
+  * static call from generated Java.
+  *
+  * Hash construction: FNV-1a 64 over UTF-8 bytes with a splitmix64 finalizer
+  * (public-domain constructions); the k minhash permutations are
+  * splitmix64(base ^ seed_i) — standard "one strong hash + k cheap mixes"
+  * minhash (Broder '97 shape).
+  */
+object TextHashing {
+
+  final val GOLDEN: Long = 0x9e3779b97f4a7c15L
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + GOLDEN
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over a byte range + avalanche. */
+  def hashBytes(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  def hashString(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    hashBytes(b, 0, b.length)
+  }
+
+  /** Whitespace tokenization directly over UTF-8 bytes (ASCII ws only —
+    * matches split(text, ' ') semantics for the corpus; multi-byte chars pass
+    * through untouched). Returns (start, end) offsets to avoid per-token
+    * String allocation. */
+  private def tokenOffsets(bytes: Array[Byte]): Array[Int] = {
+    val offs = new java.util.ArrayList[Integer](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && bytes(i) != ' ') i += 1
+        offs.add(start); offs.add(i)
+      }
+    }
+    val out = new Array[Int](offs.size())
+    var j = 0
+    while (j < out.length) { out(j) = offs.get(j); j += 1 }
+    out
+  }
+
+  /** Hashes of word n-gram shingles (rolling over token hashes — the
+    * document's set signature for Jaccard/minhash). */
+  def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes)
+    val nTok = offs.length / 2
+    if (nTok == 0) return Array.empty
+    val tokHash = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      tokHash(i) = hashBytes(bytes, offs(2 * i), offs(2 * i + 1)); i += 1
+    }
+    val nSh = math.max(1, nTok - n + 1)
+    val out = new Array[Long](nSh)
+    var s = 0
+    while (s < nSh) {
+      var h = 0x27d4eb2f165667c5L
+      var j = 0
+      while (j < math.min(n, nTok)) { h = mix64(h ^ tokHash(s + j)); j += 1 }
+      out(s) = h
+      s += 1
+    }
+    out
+  }
+
+  /** k-value minhash signature over word-n-gram shingles. */
+  def minhashSignature(text: UTF8String, k: Int, shingleN: Int): Array[Long] = {
+    val shingles = shingleHashes(text, shingleN)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var si = 0
+    while (si < shingles.length) {
+      val s = shingles(si)
+      var i = 0
+      while (i < k) {
+        val h = mix64(s ^ (i * GOLDEN))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  def minhashArrayData(text: UTF8String, k: Int, shingleN: Int): ArrayData =
+    new GenericArrayData(minhashSignature(text, k, shingleN))
+
+  /** Band hashes for LSH bucketing: the signature split into `bands` equal
+    * slices, one hash per slice. Docs sharing any band hash are candidates. */
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    val k = sig.numElements()
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x2545f4914f6cdd1dL ^ b
+      var j = 0
+      while (j < rows) { h = mix64(h ^ sig.getLong(b * rows + j)); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over whitespace tokens (Charikar '02): per-bit vote of
+    * token hashes, sign → bit. */
+  def simhash64(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < offs.length / 2) {
+      val h = hashBytes(bytes, offs(2 * i), offs(2 * i + 1))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Exact word-n-gram Jaccard similarity — the verify step behind MinHash
+    * candidates (and a standalone near-dup measure). */
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = shingleHashes(a, n)
+    val sb = shingleHashes(b, n)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    val setA = new java.util.HashSet[java.lang.Long](sa.length * 2)
+    sa.foreach(setA.add(_))
+    val setB = new java.util.HashSet[java.lang.Long](sb.length * 2)
+    sb.foreach(setB.add(_))
+    var inter = 0
+    val it = setA.iterator()
+    while (it.hasNext) if (setB.contains(it.next())) inter += 1
+    val union = setA.size() + setB.size() - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken '03): rolling
+    * char k-gram hashes, minimum per window of w, distinct mins sorted —
+    * robust to local edits, used for overlap detection. */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val grams = new Array[Long](n - k + 1)
+    var i = 0
+    while (i + k <= n) { grams(i) = hashBytes(bytes, i, i + k); i += 1 }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val nWin = math.max(1, grams.length - w + 1)
+    var s = 0
+    while (s < nWin) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < math.min(w, grams.length - s)) {
+        if (grams(s + j) < m) m = grams(s + j); j += 1
+      }
+      sel.add(m)
+      s += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  // ------------------------------------------------------------- vectors --
+
+  /** Cosine similarity between two float-array embeddings, accumulated in
+    * double (same formula as DuckDB's list_cosine_similarity). */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Random-hyperplane LSH bucket (Charikar '02 SRP): sign bits of dot
+    * products with `nPlanes` pseudo-random unit-free planes derived from
+    * `seed` — deterministic across executors, no plane matrix to ship. */
+  def hyperplaneBucket(v: ArrayData, nPlanes: Int, seed: Long): Int = {
+    val n = v.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        // plane weight in [-1,1) from (seed, plane, dim)
+        val h = mix64(seed ^ (p * GOLDEN) ^ (i * 0xc2b2ae3d27d4eb4fL))
+        val w = (h >> 11).toDouble / (1L << 52).toDouble // [-1, 1)
+        dot += v.getFloat(i) * w
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

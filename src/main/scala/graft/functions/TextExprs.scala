@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.GraftExprBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+import graft.ext.TextHashing
+
+/** Native Catalyst expressions for the dedup / similarity / fingerprint
+  * operators (SURVEY.md §2.8, §7.3): each is a single static call into
+  * graft.ext.TextHashing from generated code, so the operators stay inside
+  * whole-stage codegen (no UDF boxing, no closure serialization).
+  */
+object TextExprs {
+
+  case class MinHashSig(child: Expression, k: Int, shingleN: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      TextHashing.minhashArrayData(input.asInstanceOf[UTF8String], k, shingleN)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.ext.TextHashing.minhashArrayData($c, $k, $shingleN)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  case class BandHashes(child: Expression, bands: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      TextHashing.bandHashes(input.asInstanceOf[ArrayData], bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.ext.TextHashing.bandHashes($c, $bands)")
+    override protected def withNewChildInternal(newChild: Expression): BandHashes =
+      copy(child = newChild)
+  }
+
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      TextHashing.simhash64(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.ext.TextHashing.simhash64($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  case class WinnowSig(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      TextHashing.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.ext.TextHashing.winnowFingerprints($c, $k, $w)")
+    override protected def withNewChildInternal(newChild: Expression): WinnowSig =
+      copy(child = newChild)
+  }
+
+  case class NgramJaccard(left: Expression, right: Expression, n: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextHashing.ngramJaccard(
+        a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.ext.TextHashing.ngramJaccard($a, $b, $n)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): NgramJaccard = copy(left = l, right = r)
+  }
+
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextHashing.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.ext.TextHashing.cosineFloat($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
+  }
+
+  case class HyperplaneBucket(child: Expression, nPlanes: Int, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      TextHashing.hyperplaneBucket(input.asInstanceOf[ArrayData], nPlanes, seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.ext.TextHashing.hyperplaneBucket($c, $nPlanes, ${seed}L)")
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+      copy(child = newChild)
+  }
+
+  // ------------------------------------------------------ Column surface --
+
+  private def e(c: Column): Expression = GraftExprBridge.expression(c)
+  private def col(x: Expression): Column = GraftExprBridge.column(x)
+
+  def minhash_sig(c: Column, k: Int = 128, shingleN: Int = 3): Column =
+    col(MinHashSig(e(c), k, shingleN))
+  def band_hashes(c: Column, bands: Int = 32): Column =
+    col(BandHashes(e(c), bands))
+  def simhash(c: Column): Column = col(SimHash64(e(c)))
+  def winnow_sig(c: Column, k: Int = 9, w: Int = 12): Column =
+    col(WinnowSig(e(c), k, w))
+  def ngram_jaccard(a: Column, b: Column, n: Int = 3): Column =
+    col(NgramJaccard(e(a), e(b), n))
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSim(e(a), e(b)))
+  def hyperplane_bucket(c: Column, nPlanes: Int = 16, seed: Long = 42L): Column =
+    col(HyperplaneBucket(e(c), nPlanes, seed))
+
+  /** Expose the expression family to SQL (`SELECT simhash64(text) …`). */
+  def registerSql(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig",
+      xs => MinHashSig(xs.head, 128, 3), "graft")
+    reg.createOrReplaceTempFunction("simhash64",
+      xs => SimHash64(xs.head), "graft")
+    reg.createOrReplaceTempFunction("ngram_jaccard",
+      xs => NgramJaccard(xs(0), xs(1), 3), "graft")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      xs => CosineSim(xs(0), xs(1)), "graft")
+    reg.createOrReplaceTempFunction("winnow_sig",
+      xs => WinnowSig(xs.head, 9, 12), "graft")
+  }
+}

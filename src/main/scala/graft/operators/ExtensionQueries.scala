@@ -2,21 +2,25 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.TextExprs
 import graft.sources.Sources
 
 /** LLM-data-pipeline extension operators (BASELINE.json north star):
   * deduplication, similarity search, text analysis, multimodal plumbing —
   * over the `documents` and `embeddings` testdata tables.
   *
-  * Initial slice: exact dedup + token counting (both oracle-checkable).
-  * The near-dup / ANN / language-ID family lands in graft.ext.
+  * Oracle coverage: exact/portable computations get DuckDB SQL; the
+  * sketch-based operators (minhash/simhash/LSH/winnow) use engine-specific
+  * hashes and take the driver's rows-only check — their correctness is
+  * pinned by ScalaTest instead (planted near-dups in the corpus must
+  * cluster; brute-force vs LSH recall; hamming bounds).
   */
 object ExtensionQueries {
 
-  /** Exact dedup: canonical row per distinct text = min(doc_id). A single
-    * hash-aggregate shuffle on the text key; at 100 TB, dedup on a 64-bit
-    * xxhash of the text instead of the full string halves shuffle bytes
-    * (see graft.ext.Dedup for that variant). */
+  // ------------------------------------------------------------- dedup --
+
+  /** Exact dedup: canonical row per distinct text = min(doc_id). */
   val dedupExact = Q(
     "q_x_dedup_exact",
     "Exact dedup over documents.text (keep min doc_id)",
@@ -26,16 +30,164 @@ object ExtensionQueries {
       .select(col("doc_id"), col("text")),
     Some("SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"))
 
-  /** Token counting: whitespace tokenization, codegen'd built-ins only. */
+  /** MinHash+LSH near-dup clustering — full assignment, one row per doc. */
+  val dedupMinhash = Q(
+    "q_x_dedup_minhash",
+    "MinHash+LSH near-dup clustering (sig→band→bucket→verify→CC)",
+    (s, dir) => Dedup.minhash(
+      Sources.table(s, dir, "documents"), "doc_id", "text"),
+    None, headline = true)
+
+  /** SimHash near-dup clustering (hamming ≤ 3 via chunk pigeonhole). */
+  val dedupSimhash = Q(
+    "q_x_dedup_simhash",
+    "SimHash near-dup clustering (64-bit sketch, 4×16-bit chunk LSH)",
+    (s, dir) => Dedup.simhashDedup(
+      Sources.table(s, dir, "documents"), "doc_id", "text"),
+    None)
+
+  /** n-gram Jaccard: top-1 most similar doc for a 10-doc probe set. */
+  val ngramJaccardTop1 = Q(
+    "q_x_ngram_jaccard",
+    "Exact 3-gram Jaccard top-1 neighbor for probe docs",
+    (s, dir) => {
+      val docs = Sources.table(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text").as("ptext"))
+      val scored = docs
+        .select(col("doc_id").as("neighbor_id"), col("text"))
+        .join(broadcast(probes), col("neighbor_id") =!= col("doc_id"))
+        .select(col("doc_id"), col("neighbor_id"),
+          TextExprs.ngram_jaccard(col("ptext"), col("text"), 3).as("jac"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("jac").desc, col("neighbor_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("neighbor_id"), round(col("jac"), 3).as("jaccard"))
+    },
+    None)
+
+  /** Embedding near-dup report via hyperplane LSH buckets. */
+  val embNearDup = Q(
+    "q_x_emb_near_dup",
+    "Embedding-cosine near-dup report (LSH-bucketed)",
+    (s, dir) => Dedup.embeddingNearDup(
+      Sources.table(s, dir, "embeddings"), "vec_id", "embedding"),
+    None)
+
+  // -------------------------------------------------------- similarity --
+
+  /** Brute-force cosine top-k: exact, oracle-checked against DuckDB's
+    * list_cosine_similarity (int-only output — ranks, not floats, so the
+    * hash is stable across engines' summation order). */
+  val annBruteForce = Q(
+    "q_x_ann_cosine_topk",
+    "Exact cosine top-3 neighbors for probe vectors (brute force)",
+    (s, dir) => Similarity.bruteForceTopK(
+        Sources.table(s, dir, "embeddings"), (0L until 10L).toSeq, 3)
+      .select(col("vec_id"), col("rank"), col("neighbor_id")),
+    Some("""WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+           | s AS (SELECT p.vec_id, e.vec_id AS neighbor_id,
+           |   list_cosine_similarity(p.embedding, e.embedding) AS cos
+           |   FROM p, embeddings e WHERE e.vec_id <> p.vec_id),
+           | r AS (SELECT vec_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+           | SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 3"""
+      .stripMargin.replace("\n", "")),
+    headline = true)
+
+  /** LSH-bucketed ANN — the scale path; approximate, so rows-only check
+    * (recall vs brute force is asserted in SimilaritySpec). */
+  val annLsh = Q(
+    "q_x_ann_lsh",
+    "Approximate cosine top-3 via hyperplane LSH + 1-bit multiprobe",
+    (s, dir) => Similarity.lshTopK(
+        Sources.table(s, dir, "embeddings"), (0L until 10L).toSeq, 3)
+      .select(col("vec_id"), col("rank"), col("neighbor_id")),
+    None)
+
+  // ------------------------------------------------------------- text --
+
+  /** Token counting: whitespace + BPE-ish regex tokens. */
   val textTokens = Q(
     "q_x_text_tokens",
-    "Token count per document (whitespace split)",
+    "Token counts per document (whitespace + regex tokenizers)",
     (s, dir) => Sources.table(s, dir, "documents")
-      .select(col("doc_id"),
-        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
-        col("n_chars")),
-    Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+      .select(Seq(col("doc_id")) ++ TextAnalysis.tokenCounts(col("text"))
+        :+ col("n_chars"): _*),
+    Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_re_tokens, n_chars
            | FROM documents""".stripMargin.replace("\n", "")))
 
-  val all: Seq[Q] = Seq(dedupExact, textTokens)
+  /** Quality scoring (C4/Gopher-style heuristics, declarative). */
+  val textQuality = Q(
+    "q_x_text_quality",
+    "Per-document quality metrics + composite score",
+    (s, dir) => Sources.table(s, dir, "documents")
+      .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*),
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           | round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
+           |   / greatest(length(text), 1), 4) AS punct_ratio,
+           | round(len(list_filter(string_split(text, ' '), t -> t IN
+           |   ('the','a','an','of','to','and','in','is','it','for','on','with','as','at','by','be'))) * 1.0
+           |   / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+           | round(length(replace(text, ' ', '')) * 1.0
+           |   / greatest(len(string_split(text, ' ')), 1), 4) AS mean_token_len,
+           | CAST(floor(4000.0 * least(len(string_split(text, ' ')), 64) / 64.0) AS BIGINT)
+           |   + CAST(floor(3000.0 * least(5 * len(list_filter(string_split(text, ' '), t -> t IN
+           |     ('the','a','an','of','to','and','in','is','it','for','on','with','as','at','by','be'))),
+           |     len(string_split(text, ' '))) / greatest(len(string_split(text, ' ')), 1)) AS BIGINT)
+           |   + (CASE WHEN (length(replace(text, ' ', '')) * 1.0
+           |     / greatest(len(string_split(text, ' ')), 1)) BETWEEN 3.0 AND 10.0
+           |     THEN 3000 ELSE 0 END) AS quality_score_bp
+           | FROM documents""".stripMargin.replace("\n", "")))
+
+  /** Language ID (stopword profiles + CJK ratio; heuristic → rows-only). */
+  val textLangId = Q(
+    "q_x_lang_id",
+    "Language-ID heuristic per document",
+    (s, dir) => Sources.table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langIdColumn(col("text")).as("lang_pred")),
+    None)
+
+  /** Content fingerprint: md5 of normalized text (oracle-portable). */
+  val textFingerprint = Q(
+    "q_x_fingerprint",
+    "Content fingerprint (md5 of ws-normalized lowercase text)",
+    (s, dir) => Sources.table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.contentFingerprint(col("text")).as("fp")),
+    Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+           | FROM documents""".stripMargin.replace("\n", "")))
+
+  /** Winnowing fingerprints (rolling k-gram hashes, window minima). */
+  val textWinnow = Q(
+    "q_x_winnow",
+    "Winnowing document fingerprints (rolling hash, window minima)",
+    (s, dir) => Sources.table(s, dir, "documents")
+      .select(col("doc_id") +: TextAnalysis.winnowSummary(col("text")): _*),
+    None)
+
+  // -------------------------------------------------------- multimodal --
+
+  /** Multimodal plumbing: attach binary media + metadata, batch
+    * feature-extract per partition (decode STUBBED — see Multimodal). */
+  val multimodal = Q(
+    "q_x_multimodal_features",
+    "Binary media column + per-partition feature extraction (stubbed codec)",
+    (s, dir) => {
+      val media = Multimodal.attachMedia(Sources.table(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+          col("feat_dim").cast("long").as("feat_dim"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(
+    dedupExact, dedupMinhash, dedupSimhash, ngramJaccardTop1, embNearDup,
+    annBruteForce, annLsh,
+    textTokens, textQuality, textLangId, textFingerprint, textWinnow,
+    multimodal)
 }

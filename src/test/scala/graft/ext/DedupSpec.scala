@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Sources
+
+/** Ground-truth checks for the dedup family against the planted
+  * near-duplicates in the synthetic corpus (verified externally: sf0.001 has
+  * 28 doc pairs with 3-gram Jaccard > 0.7, e.g. the {8,12,120,360} cluster
+  * and {0,50,82}). */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val docs = Sources.table(spark, "/root/testdata/sf0.001", "documents")
+
+  test("exact dedup: synthetic dups collapse, canonical = min id") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("id", "text")
+    val out = Dedup.exact(df, "id", Seq("text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(3L) == (1L, false))
+    assert(out(4L) == (1L, false))
+    assert(out(2L) == (2L, true))
+  }
+
+  test("minhash: planted near-dup clusters are found (recall)") {
+    val out = Dedup.minhash(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 500) // full assignment, one row per doc
+    // known cluster {8,12,120,360}: all should share cluster_id 8
+    assert(Set(out(8L), out(12L), out(120L), out(360L)) == Set(8L))
+    // known cluster {0,50,82}
+    assert(Set(out(0L), out(50L), out(82L)) == Set(0L))
+    // a doc with no near-dups stays its own cluster
+    assert(out(1L) == 1L)
+  }
+
+  test("minhash: precision — clustered pairs really have high Jaccard") {
+    val out = Dedup.minhash(docs, "doc_id", "text", threshold = 0.7)
+    val clustered = out.filter("doc_id != cluster_id").collect()
+    assert(clustered.nonEmpty)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    clustered.foreach { r =>
+      val jac = TextHashing.ngramJaccard(
+        org.apache.spark.unsafe.types.UTF8String.fromString(texts(r.getLong(0))),
+        org.apache.spark.unsafe.types.UTF8String.fromString(texts(r.getLong(1))), 3)
+      // transitive closure can chain below the pairwise threshold, but not far
+      assert(jac > 0.5, s"pair ${r.getLong(0)},${r.getLong(1)} jac=$jac")
+    }
+  }
+
+  test("simhash: near-identical docs collide within hamming 3") {
+    val out = Dedup.simhashDedup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 500)
+    // the tightest planted pair (jaccard ≈ 0.99) should simhash-cluster
+    assert(out(8L) == out(360L) || out(12L) == out(360L),
+      "0.99-jaccard pair not clustered by simhash")
+  }
+
+  test("connected components: chain collapses to min label") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("embedding near-dup report covers every vector") {
+    val emb = Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Dedup.embeddingNearDup(emb, "vec_id", "embedding")
+    assert(out.count() == 500)
+    assert(out.columns.toSeq == Seq("vec_id", "n_candidates", "n_near_dups"))
+  }
+}

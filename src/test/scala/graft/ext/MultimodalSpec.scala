@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Sources
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def docs = Sources.table(spark, "/root/testdata/sf0.001", "documents")
+
+  test("attachMedia: binary payload + typed metadata per doc") {
+    val media = Multimodal.attachMedia(docs)
+    assert(media.count() == 500)
+    val schema = media.schema
+    assert(schema("media").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(schema("format").dataType == org.apache.spark.sql.types.StringType)
+    val formats = media.select("format").distinct().collect().map(_.getString(0)).toSet
+    assert(formats == Set("image/png", "audio/wav", "video/mp4"))
+  }
+
+  test("extractFeatures: fixed-dim deterministic features, one row per doc") {
+    val media = Multimodal.attachMedia(docs)
+    val f1 = Multimodal.extractFeatures(media).collect()
+    val f2 = Multimodal.extractFeatures(media).collect()
+    assert(f1.length == 500)
+    assert(f1.forall(_.features.length == Multimodal.FeatureDim))
+    assert(f1.forall(_.n_bytes > 0))
+    // deterministic stub: same input → same features
+    val m1 = f1.map(f => f.doc_id -> f.features.toSeq).toMap
+    f2.foreach(f => assert(m1(f.doc_id) == f.features.toSeq))
+  }
+
+  test("sampleFrames: n frames per video row only") {
+    val media = Multimodal.attachMedia(docs)
+    val nVideos = media.filter("format = 'video/mp4'").count()
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() == nVideos * 4)
+    val perDoc = frames.collect().groupBy(_.doc_id)
+    assert(perDoc.values.forall(_.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3)))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Sources
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def emb = Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("brute-force top-1 matches a driver-side exact computation") {
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = 0L
+    val expected = vecs.keys.filter(_ != probe)
+      .maxBy(id => (cos(vecs(probe), vecs(id)), -id))
+    val got = Similarity.bruteForceTopK(emb, Seq(probe), 1)
+      .collect().head.getLong(2)
+    assert(got == expected)
+  }
+
+  test("LSH top-3 recall vs brute force ≥ 0.5 on probe set") {
+    val probes = (0L until 20L).toSeq
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, 3))
+    val approx = pairs(Similarity.lshTopK(emb, probes, 3))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+    // every probe still gets k results (buckets + multiprobe are dense
+    // enough at this corpus size)
+    assert(approx.groupBy(_._1).forall(_._2.size == 3))
+  }
+
+  test("ANN output shape: (vec_id, rank, neighbor_id, cos), ranks 1..k") {
+    val out = Similarity.bruteForceTopK(emb, Seq(1L, 2L), 3)
+    assert(out.columns.toSeq == Seq("vec_id", "rank", "neighbor_id", "cos"))
+    val ranks = out.collect().groupBy(_.getLong(0)).values
+      .map(_.map(_.getLong(1)).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1L, 2L, 3L)))
+  }
+}
