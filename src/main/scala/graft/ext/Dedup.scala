@@ -161,7 +161,11 @@ object Dedup {
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .cache()
 
-    var labels = nodes.select(col("id"), col("id").as("label")).cache()
+    // localCheckpoint per round truncates the growing lineage (iterative
+    // plans otherwise re-plan the whole chain every iteration); the changed
+    // flag rides in the same frame, so convergence costs no extra join.
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -170,15 +174,12 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+        .localCheckpoint(true)
+      converged = stepped.filter(col("label") =!= col("old")).limit(1).count() == 0
+      labels = stepped.select(col("id"), col("label"))
       iter += 1
     }
     adj.unpersist()
