@@ -46,19 +46,23 @@ object Dedup {
               threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     val ids = df.select(col(idCol).as("id"), col(textCol).as("text"))
 
-    val sigs = ids.select(col("id"),
+    // fanOut only wraps the CPU-bound sketch pass — the later verify joins
+    // re-read the cheap projection, not the repartition shuffle
+    val sigs = fanOut(ids).select(col("id"),
       band_hashes(minhash_sig(col("text"), numHashes, shingleN), bands).as("bh"))
 
-    val buckets = sigs
+    val memb = sigs
       .select(col("id"), posexplode(col("bh")).as(Seq("band", "bh")))
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-
-    // all-pairs within bucket, deduped across bands
-    val pairs = buckets
-      .select(explode(pairCombinations(col("ids"))).as("p"))
-      .select(col("p").getField("a").as("a"), col("p").getField("b").as("b"))
+    // bound pathological buckets BEFORE the pair join, then self-join on the
+    // bucket key — pairs stream through the hash join instead of
+    // materializing per-bucket arrays
+    val sizes = memb.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket))
+    val bounded = memb.join(sizes.select("band", "bh"), Seq("band", "bh"))
+    val pairs = bounded.as("x").join(bounded.as("y"), Seq("band", "bh"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 
     // verify candidates with exact n-gram Jaccard on the raw text
@@ -77,27 +81,25 @@ object Dedup {
     * least one chunk equal), verified by exact hamming distance. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val ids = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val ids = fanOut(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), simhash(col("text")).as("sh"))
 
     // chunk c key = (sh >>> 16c) & 0xffff
-    val buckets = ids
+    val memb = ids
       .select(col("id"), col("sh"), posexplode(
         array((0 until 4).map(c =>
           shiftrightunsigned(col("sh"), 16 * c).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk", "key")))
-      .groupBy(col("chunk"), col("key"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-
-    val pairs = buckets
-      .select(explode(pairCombinationsStruct(col("members"))).as("p"))
-      .select(col("p.a").as("a"), col("p.sha").as("sha"),
-              col("p.b").as("b"), col("p.shb").as("shb"))
+    val sizes = memb.groupBy(col("chunk"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket))
+    val bounded = memb.join(sizes.select("chunk", "key"), Seq("chunk", "key"))
+    // hamming verify rides the pair join, before the distinct
+    val edges = bounded.as("x").join(bounded.as("y"), Seq("chunk", "key"))
+      .filter(col("x.id") < col("y.id") &&
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))) <= maxHamming)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-
-    val edges = pairs
-      .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= maxHamming)
-      .select(col("a"), col("b"))
 
     connectedComponents(ids.select(col("id")), edges)
       .withColumnRenamed("id", idCol)
@@ -133,38 +135,68 @@ object Dedup {
 
   // ---------------------------------------------------------- internals --
 
-  /** ids array → array of distinct unordered pairs (a<b). Declarative
-    * (flatten/transform) so it stays in codegen; caller caps array size. */
-  private def pairCombinations(ids: Column): Column = {
-    val sorted = array_sort(ids)
-    flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + lit(2), size(sorted)), y =>
-        struct(x.as("a"), y.as("b")))))
+  /** Sketching is CPU-bound: when the input has fewer partitions than the
+    * cluster has slots (tiny files locally; a handful of giant files at
+    * scale), repartition up so the map-only sketch pass uses every core.
+    * A no-op when the source is already well-partitioned. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  private def pairCombinationsStruct(members: Column): Column = {
-    val sorted = array_sort(members) // struct sort: by id then sh
-    flatten(transform(sorted, (m, i) =>
-      transform(slice(sorted, i + lit(2), size(sorted)), m2 =>
-        struct(m.getField("id").as("a"), m.getField("sh").as("sha"),
-               m2.getField("id").as("b"), m2.getField("sh").as("shb")))))
-  }
-
-  /** Distributed connected components by iterative min-label propagation
-    * over the verified edge set. Near-dup clusters have tiny diameter, so
-    * convergence is a handful of rounds; `maxIter` bounds the worst case.
-    * Nodes absent from `edges` keep their own id as cluster. */
+  /** Connected components over the verified edge set.
+    *
+    * The edge set is tiny relative to the corpus BY CONSTRUCTION (only
+    * verified near-dup pairs), so the common case — up to `smallEdgeLimit`
+    * edges — runs union-find on the driver in one pass and joins the
+    * (small) label table back. Beyond the limit it falls back to
+    * distributed min-label propagation restricted to edge endpoints;
+    * singletons join back at the end either way. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 15): DataFrame = {
+                          maxIter: Int = 15,
+                          smallEdgeLimit: Long = 2000000L): DataFrame = {
+    val spark = nodes.sparkSession
+    val cached = edges.localCheckpoint(true)
+    if (cached.count() <= smallEdgeLimit) {
+      // driver union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      cached.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = parent.keys.map(k => (k, find(k))).toSeq
+      import spark.implicits._
+      val labelDf = labels.toDF("id", "label")
+      return nodes.select(col("id"))
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("label"), col("id")).as("cluster_id"),
+          (col("id") === coalesce(col("label"), col("id"))).as("is_canonical"))
+    }
+    distributedCC(nodes, cached, maxIter)
+  }
+
+  /** Distributed min-label propagation (the >smallEdgeLimit path). */
+  private[ext] def distributedCC(nodes: DataFrame, edges: DataFrame,
+                                 maxIter: Int): DataFrame = {
     // symmetric adjacency
     val adj = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .cache()
+      .localCheckpoint(true)
 
     // localCheckpoint per round truncates the growing lineage (iterative
     // plans otherwise re-plan the whole chain every iteration); the changed
     // flag rides in the same frame, so convergence costs no extra join.
-    var labels = nodes.select(col("id"), col("id").as("label"))
+    var labels = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -182,8 +214,11 @@ object Dedup {
       labels = stepped.select(col("id"), col("label"))
       iter += 1
     }
-    adj.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"),
-      (col("id") === col("label")).as("is_canonical"))
+    // singletons (no edges) cluster to themselves
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("cluster_id"),
+        (col("id") === coalesce(col("label"), col("id"))).as("is_canonical"))
   }
 }

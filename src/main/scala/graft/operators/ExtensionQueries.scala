@@ -56,6 +56,8 @@ object ExtensionQueries {
         .select(col("doc_id"), col("text").as("ptext"))
       val scored = docs
         .select(col("doc_id").as("neighbor_id"), col("text"))
+        // corpus side of the jaccard BNLJ is CPU-bound — spread over cores
+        .repartition(s.sparkContext.defaultParallelism)
         .join(broadcast(probes), col("neighbor_id") =!= col("doc_id"))
         .select(col("doc_id"), col("neighbor_id"),
           TextExprs.ngram_jaccard(col("ptext"), col("text"), 3).as("jac"))

@@ -60,13 +60,23 @@ class DedupSpec extends AnyFunSuite {
       "0.99-jaccard pair not clustered by simhash")
   }
 
-  test("connected components: chain collapses to min label") {
+  test("connected components: chain collapses to min label (both paths)") {
     import spark.implicits._
     val nodes = (1L to 6L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
+    // driver union-find path (edges below the small limit)
     val cc = Dedup.connectedComponents(nodes, edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    assert(cc == expected)
+    // distributed label-propagation path (forced)
+    val dcc = Dedup.distributedCC(nodes, edges, maxIter = 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dcc == expected)
+    // is_canonical marks exactly the cluster roots on both paths
+    val canon = Dedup.connectedComponents(nodes, edges)
+      .filter("is_canonical").collect().map(_.getLong(0)).toSet
+    assert(canon == Set(1L, 4L, 6L))
   }
 
   test("embedding near-dup report covers every vector") {
