@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.TextExprs._
+
+/** Session-extension registration (SURVEY.md §7.3): installs the engine's
+  * native expression family into any session built with
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) …
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * so SQL users get `simhash64`, `minhash_sig`, `cosine_sim`, … without
+  * programmatic registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sig" -> (xs => MinHashSig(xs.head, 128, 3)),
+    "simhash64" -> (xs => SimHash64(xs.head)),
+    "ngram_jaccard" -> (xs => NgramJaccard(xs(0), xs(1), 3)),
+    "cosine_sim" -> (xs => CosineSim(xs(0), xs(1))),
+    "winnow_sig" -> (xs => WinnowSig(xs.head, 9, 12)),
+    "hyperplane_bucket" -> (xs => HyperplaneBucket(xs.head, 16, 42L)))
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}

@@ -78,6 +78,30 @@ object ExtensionQueries {
       Sources.table(s, dir, "embeddings"), "vec_id", "embedding"),
     None)
 
+  /** Per-source corpus signatures via the typed MinHashMerge Aggregator
+    * (map-side partial: one k-long array per partition reaches the
+    * exchange), then pairwise estimated Jaccard between sources. */
+  val sourceSignature = Q(
+    "q_x_source_signature",
+    "Group-level minhash signatures (typed Aggregator) + source similarity",
+    (s, dir) => {
+      val mh = udaf(graft.functions.MinHashMerge)
+      val sigs = Sources.table(s, dir, "documents")
+        .select(col("source"), TextExprs.minhash_sig(col("text")).as("sig"))
+        .groupBy(col("source")).agg(mh(col("sig")).as("sig"))
+      val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          round(
+            aggregate(
+              zip_with(col("sig_a"), col("sig_b"),
+                (x, y) => when(x === y, 1.0).otherwise(0.0)),
+              lit(0.0), (acc, v) => acc + v) / size(col("sig_a")),
+            3).as("est_jaccard"))
+    },
+    None)
+
   // -------------------------------------------------------- similarity --
 
   /** Brute-force cosine top-k: exact, oracle-checked against DuckDB's
@@ -189,7 +213,7 @@ object ExtensionQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, ngramJaccardTop1, embNearDup,
-    annBruteForce, annLsh,
+    sourceSignature, annBruteForce, annLsh,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     multimodal)
 }
