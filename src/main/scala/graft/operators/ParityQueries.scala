@@ -210,6 +210,20 @@ object ParityQueries {
            | GROUP BY GROUPING SETS ((event_type), (event_type, user_id))"""
       .stripMargin.replace("\n", "")))
 
+  /** A-family extension: DISTINCT-inside-aggregate (multiple distinct
+    * columns → Catalyst Expand-based plan; each distinct column shuffles
+    * once on (group, value)). */
+  val countDistinct = Q(
+    "q_a5_count_distinct",
+    "Grouped multi-column COUNT(DISTINCT) (§2.4 extension)",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("n_parts"),
+           count_distinct(col("l_suppkey")).as("n_supps")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           | count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag"""
+      .stripMargin.replace("\n", "")))
+
   /** A4 — multi-column DISTINCT (the dim builds, sql_queries.py:184-211). */
   val distinctDim = Q(
     "q_a4_distinct",
@@ -341,7 +355,7 @@ object ParityQueries {
   val all: Seq[Q] = Seq(
     scanProject, filterEq, filterLike, filterInBetween,
     joinLeft, joinTwoKey, joinAnti, joinSemi, starJoin,
-    aggCount, aggGroup, groupingSets, distinctDim,
+    aggCount, aggGroup, groupingSets, countDistinct, distinctDim,
     timeDims, epochRoundtrip, caseFiscal,
     cteTopK, windowRank)
 }
