@@ -188,6 +188,17 @@ object ExtensionQueries {
     Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
            | FROM documents""".stripMargin.replace("\n", "")))
 
+  /** JSON metadata extraction — training pipelines parse per-record JSON
+    * props constantly; codegen'd get_json_object, no UDF. */
+  val jsonProps = Q(
+    "q_x_json_props",
+    "JSON field extraction from events.props",
+    (s, dir) => Sources.table(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           | FROM events""".stripMargin.replace("\n", "")))
+
   /** Winnowing fingerprints (rolling k-gram hashes, window minima). */
   val textWinnow = Q(
     "q_x_winnow",
@@ -215,5 +226,5 @@ object ExtensionQueries {
     dedupExact, dedupMinhash, dedupSimhash, ngramJaccardTop1, embNearDup,
     sourceSignature, annBruteForce, annLsh,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
-    multimodal)
+    jsonProps, multimodal)
 }

@@ -352,10 +352,76 @@ object ParityQueries {
            | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS rn
            | FROM events""".stripMargin.replace("\n", "")))
 
+  /** TPC-H Q1-shaped pricing summary — the classic heavy-aggregation
+    * headline: one scan, map-side partial agg over 4 sums + 3 avgs + count,
+    * tiny group cardinality. */
+  val pricingSummary = Q(
+    "q_tpch_q1_pricing",
+    "TPC-H Q1-style pricing summary (heavy grouped aggregation, headline)",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <=
+        lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           | round(sum(l_quantity), 2) AS sum_qty,
+           | round(sum(l_extendedprice), 2) AS sum_base_price,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+           | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+           | round(avg(l_quantity), 2) AS avg_qty,
+           | round(avg(l_extendedprice), 2) AS avg_price,
+           | round(avg(l_discount), 4) AS avg_disc,
+           | count(*) AS count_order
+           | FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+           | GROUP BY l_returnflag, l_linestatus"""
+      .stripMargin.replace("\n", "")),
+    headline = true)
+
+  /** Sessionization — gap-based session assignment per user (lag + running
+    * sum over one user-partitioned sort; the canonical event-analytics
+    * window pattern). Timestamps compare in integer microseconds so both
+    * engines see the same boundaries. */
+  val sessionize = Q(
+    "q_w_sessionize",
+    "Window: gap-based sessionization (lag + running sum)",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+      val newSession = when(gapUs.isNull || gapUs > 1800000000L, 1L).otherwise(0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          newSession.as("ns"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("ns")).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts").asc, col("event_id").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("session_idx"))
+    },
+    Some("""WITH g AS (SELECT event_id, user_id, ts,
+           | CASE WHEN lag(ts) OVER w IS NULL
+           |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+           | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           | SELECT event_id, user_id,
+           | CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           | FROM g""".stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(
     scanProject, filterEq, filterLike, filterInBetween,
     joinLeft, joinTwoKey, joinAnti, joinSemi, starJoin,
     aggCount, aggGroup, groupingSets, countDistinct, distinctDim,
     timeDims, epochRoundtrip, caseFiscal,
-    cteTopK, windowRank)
+    cteTopK, windowRank, sessionize, pricingSummary)
 }

@@ -21,7 +21,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q_p6_in_between", "q_j1_join_left", "q_j1_join_two_key",
     "q_j3_join_anti", "q_j2_join_semi", "q_j4_star_join",
     "q_a1_count", "q_a2_group_agg", "q_a3_grouping_sets", "q_a4_distinct",
-    "q_q1_cte_topk", "q_w_row_number", "q_x_dedup_exact")
+    "q_q1_cte_topk", "q_w_row_number", "q_x_dedup_exact",
+    "q_a5_count_distinct", "q_tpch_q1_pricing")
 
   sparkCompatible.toSeq.sorted.foreach { name =>
     test(s"$name: spark.sql(oracle text) == DataFrame result") {
