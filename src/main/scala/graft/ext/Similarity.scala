@@ -76,6 +76,80 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Train an IVF coarse quantizer: spherical k-means on a deterministic
+    * sample. The MODEL is driver-side (k×dim floats — bytes, not data);
+    * training scans only the sample. At 100 TB: sample fraction keeps the
+    * collect bounded (e.g. every 10⁶th row still yields millions of
+    * training points; cap with `maxSample`). */
+  def trainCentroids(emb: DataFrame, k: Int, sampleEvery: Int = 1,
+                     iters: Int = 10, maxSample: Int = 100000,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[Array[Float]] = {
+    val sample = emb
+      .filter(col(idCol) % sampleEvery === 0)
+      .select(col(vecCol)).limit(maxSample)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0) -2.0 else d / den
+    }
+    // deterministic init: the first k sample vectors
+    var centroids = sample.take(k).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length, dim)(0.0)
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestScore = -2.0
+        var c = 0
+        while (c < centroids.length) {
+          val s = cos(v, centroids(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF search: the corpus assigns to its single nearest cell (map-only,
+    * centroids live inside codegen); probes fan out to their `nProbe`
+    * nearest cells; candidates = cell-mates. One corpus shuffle by cell —
+    * reusable across queries, like the LSH layout. */
+  def ivfTopK(emb: DataFrame, probeIds: Seq[Long], k: Int,
+              centroids: Array[Array[Float]], nProbe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val corpus = emb.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      element_at(nearest_cells(col(vecCol), centroids, 1), 1).as("cell"))
+    val probes = emb
+      .filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("pvec"),
+        explode(nearest_cells(col(vecCol), centroids, nProbe)).as("cell"))
+    val scored = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine_sim(col("pvec"), col("cvec")).as("cos"))
+    topK(scored, k)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

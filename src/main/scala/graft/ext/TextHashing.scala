@@ -236,4 +236,29 @@ object TextHashing {
 
   /** Hamming distance between two 64-bit sketches. */
   @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** The `n` nearest coarse-quantizer cells for a vector, by cosine —
+    * IVF assignment (corpus: n=1; probes: n=nProbe). Centroids ride into
+    * generated code as a reference object. */
+  def nearestCells(v: ArrayData, centroids: Array[Array[Float]], n: Int): ArrayData = {
+    val k = centroids.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      val dim = math.min(v.numElements(), cent.length)
+      while (i < dim) {
+        val x = v.getFloat(i).toDouble; val y = cent(i).toDouble
+        dot += x * y; nv += x * x; nc += y * y
+        i += 1
+      }
+      val denom = math.sqrt(nv) * math.sqrt(nc)
+      scores(c) = if (denom == 0.0) -2.0 else dot / denom
+      c += 1
+    }
+    val order = (0 until k).sortBy(i => (-scores(i), i)).take(math.min(n, k))
+    new GenericArrayData(order.map(_.toLong).toArray)
+  }
 }

@@ -88,6 +88,24 @@ object TextExprs {
         l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
   }
 
+  /** IVF cell assignment: nearest `nProbe` coarse-quantizer cells by
+    * cosine. Centroids are a (small) trained model, shipped into codegen
+    * as a reference object — no join against a centroid table per row. */
+  case class NearestCells(child: Expression, centroids: Array[Array[Float]],
+                          nProbe: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      TextHashing.nearestCells(input.asInstanceOf[ArrayData], centroids, nProbe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.ext.TextHashing.nearestCells($c, $ref, $nProbe)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCells =
+      copy(child = newChild)
+  }
+
   case class HyperplaneBucket(child: Expression, nPlanes: Int, seed: Long)
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -117,6 +135,8 @@ object TextExprs {
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(e(a), e(b)))
   def hyperplane_bucket(c: Column, nPlanes: Int = 16, seed: Long = 42L): Column =
     col(HyperplaneBucket(e(c), nPlanes, seed))
+  def nearest_cells(c: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    col(NearestCells(e(c), centroids, nProbe))
 
   /** Expose the expression family to SQL (`SELECT simhash64(text) …`). */
   def registerSql(spark: SparkSession): Unit = {

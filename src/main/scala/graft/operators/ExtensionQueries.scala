@@ -133,6 +133,19 @@ object ExtensionQueries {
       .select(col("vec_id"), col("rank"), col("neighbor_id")),
     None)
 
+  /** IVF ANN — coarse-quantizer cells trained on a sample, probes fan to
+    * nProbe cells. Approximate → rows-only; recall pinned in spec. */
+  val annIvf = Q(
+    "q_x_ann_ivf",
+    "Approximate cosine top-3 via IVF coarse quantizer (nProbe=4)",
+    (s, dir) => {
+      val emb = Sources.table(s, dir, "embeddings")
+      val centroids = Similarity.trainCentroids(emb, k = 16, maxSample = 20000)
+      Similarity.ivfTopK(emb, (0L until 10L).toSeq, 3, centroids)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"))
+    },
+    None)
+
   // ------------------------------------------------------------- text --
 
   /** Token counting: whitespace + BPE-ish regex tokens. */
@@ -224,7 +237,7 @@ object ExtensionQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, ngramJaccardTop1, embNearDup,
-    sourceSignature, annBruteForce, annLsh,
+    sourceSignature, annBruteForce, annLsh, annIvf,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     jsonProps, multimodal)
 }

@@ -40,6 +40,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.groupBy(_._1).forall(_._2.size == 3))
   }
 
+  test("IVF top-3 recall vs brute force ≥ 0.5 on probe set") {
+    val probes = (0L until 20L).toSeq
+    val centroids = Similarity.trainCentroids(emb, k = 16)
+    assert(centroids.length == 16 && centroids.head.length == 64)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, 3))
+    val approx = pairs(Similarity.ivfTopK(emb, probes, 3, centroids, nProbe = 4))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("ANN output shape: (vec_id, rank, neighbor_id, cos), ranks 1..k") {
     val out = Similarity.bruteForceTopK(emb, Seq(1L, 2L), 3)
     assert(out.columns.toSeq == Seq("vec_id", "rank", "neighbor_id", "cos"))
