@@ -68,6 +68,32 @@ object Sources {
     spark.read.schema(Schemas.stgSongs).json(path)
 
   // -------------------------------------------------------------------------
+  // Additional formats — same schema-on-read discipline as the JSON loads
+  // -------------------------------------------------------------------------
+
+  /** CSV with explicit schema (header tolerated, no inference pass).
+    * PERMISSIVE mode mirrors the COPY-style coercion: malformed fields
+    * become NULL instead of failing the load. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString).csv(path)
+
+  /** ORC — columnar alternative sink/source; vectorized reader + pushdown
+    * come free, same as parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  // -------------------------------------------------------------------------
   // Sinks
   // -------------------------------------------------------------------------
 

@@ -63,6 +63,31 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("CSV round-trip preserves schema and values; malformed → NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val src = Sources.table(spark, "/root/testdata/sf0.001", "nation")
+    Sources.writeCsv(src, s"$dir/nation")
+    val back = Sources.readCsv(spark, s"$dir/nation", Schemas.nation)
+    assert(back.schema == Schemas.nation)
+    assert(back.count() == 25)
+    assert(back.exceptAll(src).isEmpty)
+    // malformed int field coerces to NULL (COPY-style), not a crash
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.csv"),
+      "n_nationkey,n_name,n_regionkey\nnotanint,X,2\n")
+    val bad = Sources.readCsv(spark, s"$dir/bad.csv", Schemas.nation)
+    assert(bad.count() == 1 && bad.collect().head.isNullAt(0))
+  }
+
+  test("ORC round-trip preserves schema and values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val src = Sources.table(spark, "/root/testdata/sf0.001", "supplier")
+    Sources.writeOrc(src, s"$dir/supplier")
+    val back = Sources.readOrc(spark, s"$dir/supplier")
+    assert(back.count() == 10)
+    assert(back.exceptAll(src).isEmpty)
+  }
+
   test("events testdata reads with µs-truncated nanos timestamps") {
     val df = Sources.table(spark, "/root/testdata/sf0.001", "events")
     assert(df.schema("ts").dataType ==
