@@ -46,13 +46,14 @@ object Dedup {
               threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     val ids = df.select(col(idCol).as("id"), col(textCol).as("text"))
 
-    // fanOut only wraps the CPU-bound sketch pass — the later verify joins
-    // re-read the cheap projection, not the repartition shuffle
-    val sigs = fanOut(ids).select(col("id"),
-      band_hashes(minhash_sig(col("text"), numHashes, shingleN), bands).as("bh"))
-
-    val memb = sigs
-      .select(col("id"), posexplode(col("bh")).as(Seq("band", "bh")))
+    // fanOut only wraps the CPU-bound sketch pass; localCheckpoint
+    // materializes it so the bucket self-join below doesn't run the
+    // sketch twice (each side of a self-join re-executes its plan)
+    val memb = fanOut(ids).select(col("id"),
+        posexplode(band_hashes(
+          minhash_sig(col("text"), numHashes, shingleN), bands))
+          .as(Seq("band", "bh")))
+      .localCheckpoint(true)
     // bound pathological buckets BEFORE the pair join, then self-join on the
     // bucket key — pairs stream through the hash join instead of
     // materializing per-bucket arrays
@@ -65,11 +66,14 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 
-    // verify candidates with exact n-gram Jaccard on the raw text
-    val ta = ids.select(col("id").as("a"), col("text").as("text_a"))
-    val tb = ids.select(col("id").as("b"), col("text").as("text_b"))
+    // verify candidates with exact n-gram Jaccard: shingle once per doc
+    // (sorted distinct hashes), then sort-merge per pair — no re-shingling
+    val shingled = ids.select(col("id"),
+      sorted_shingles(col("text"), shingleN).as("sh"))
+    val ta = shingled.select(col("id").as("a"), col("sh").as("sh_a"))
+    val tb = shingled.select(col("id").as("b"), col("sh").as("sh_b"))
     val edges = pairs.join(ta, "a").join(tb, "b")
-      .filter(ngram_jaccard(col("text_a"), col("text_b"), shingleN) >= threshold)
+      .filter(array_jaccard(col("sh_a"), col("sh_b")) >= threshold)
       .select(col("a"), col("b"))
 
     connectedComponents(ids.select(col("id")), edges)
@@ -84,12 +88,14 @@ object Dedup {
     val ids = fanOut(df.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"), simhash(col("text")).as("sh"))
 
-    // chunk c key = (sh >>> 16c) & 0xffff
+    // chunk c key = (sh >>> 16c) & 0xffff; checkpoint so the self-join
+    // doesn't run the sketch pass twice
     val memb = ids
       .select(col("id"), col("sh"), posexplode(
         array((0 until 4).map(c =>
           shiftrightunsigned(col("sh"), 16 * c).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk", "key")))
+      .localCheckpoint(true)
     val sizes = memb.groupBy(col("chunk"), col("key"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, maxBucket))

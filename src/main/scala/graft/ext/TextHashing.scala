@@ -164,6 +164,41 @@ object TextHashing {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Distinct shingle hashes, sorted — precompute once per document so
+    * pairwise Jaccard is a sort-merge over longs (no re-shingling, no
+    * per-pair hash-set allocation). */
+  def sortedShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val sh = shingleHashes(text, n)
+    if (sh.isEmpty) return new GenericArrayData(Array.empty[Long])
+    java.util.Arrays.sort(sh)
+    var uniq = 1
+    var i = 1
+    while (i < sh.length) { if (sh(i) != sh(i - 1)) uniq += 1; i += 1 }
+    val out = new Array[Long](uniq)
+    out(0) = sh(0)
+    var j = 1; i = 1
+    while (i < sh.length) {
+      if (sh(i) != sh(i - 1)) { out(j) = sh(i); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Jaccard of two sorted distinct long arrays by sort-merge. */
+  def sortedArrayJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    if (na == 0 || nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken '03): rolling
     * char k-gram hashes, minimum per window of w, distinct mins sorted —
     * robust to local edits, used for overlap detection. */

@@ -63,6 +63,31 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  case class SortedShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      TextHashing.sortedShingleHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.ext.TextHashing.sortedShingleHashes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): SortedShingles =
+      copy(child = newChild)
+  }
+
+  case class ArrayJaccard(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextHashing.sortedArrayJaccard(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.ext.TextHashing.sortedArrayJaccard($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): ArrayJaccard = copy(left = l, right = r)
+  }
+
   case class NgramJaccard(left: Expression, right: Expression, n: Int)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -132,6 +157,10 @@ object TextExprs {
     col(WinnowSig(e(c), k, w))
   def ngram_jaccard(a: Column, b: Column, n: Int = 3): Column =
     col(NgramJaccard(e(a), e(b), n))
+  def sorted_shingles(c: Column, n: Int = 3): Column =
+    col(SortedShingles(e(c), n))
+  def array_jaccard(a: Column, b: Column): Column =
+    col(ArrayJaccard(e(a), e(b)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(e(a), e(b)))
   def hyperplane_bucket(c: Column, nPlanes: Int = 16, seed: Long = 42L): Column =
     col(HyperplaneBucket(e(c), nPlanes, seed))

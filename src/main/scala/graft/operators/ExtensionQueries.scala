@@ -52,15 +52,18 @@ object ExtensionQueries {
     "Exact 3-gram Jaccard top-1 neighbor for probe docs",
     (s, dir) => {
       val docs = Sources.table(s, dir, "documents")
+      // shingle each side ONCE (sorted distinct hashes); pairwise jaccard
+      // is then an allocation-free sort-merge over longs
       val probes = docs.filter(col("doc_id") < 10)
-        .select(col("doc_id"), col("text").as("ptext"))
+        .select(col("doc_id"), TextExprs.sorted_shingles(col("text"), 3).as("psh"))
       val scored = docs
-        .select(col("doc_id").as("neighbor_id"), col("text"))
-        // corpus side of the jaccard BNLJ is CPU-bound — spread over cores
+        .select(col("doc_id").as("neighbor_id"),
+          TextExprs.sorted_shingles(col("text"), 3).as("csh"))
+        // corpus side is CPU-bound — spread over cores
         .repartition(s.sparkContext.defaultParallelism)
         .join(broadcast(probes), col("neighbor_id") =!= col("doc_id"))
         .select(col("doc_id"), col("neighbor_id"),
-          TextExprs.ngram_jaccard(col("ptext"), col("text"), 3).as("jac"))
+          TextExprs.array_jaccard(col("psh"), col("csh")).as("jac"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("jac").desc, col("neighbor_id").asc)

@@ -224,6 +224,18 @@ object ParityQueries {
            | count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag"""
       .stripMargin.replace("\n", "")))
 
+  /** A-family extension: approximate distinct (HyperLogLog++). The 100 TB
+    * answer to COUNT(DISTINCT): one pass, map-side sketch merge, no Expand.
+    * Sketch values differ per engine → rows-only check; the spec pins the
+    * estimate within rsd of the exact count. */
+  val approxDistinct = Q(
+    "q_a6_approx_distinct",
+    "approx_count_distinct (HLL++) per group (§2.4 scale extension)",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
+    None)
+
   /** A4 — multi-column DISTINCT (the dim builds, sql_queries.py:184-211). */
   val distinctDim = Q(
     "q_a4_distinct",
@@ -421,7 +433,7 @@ object ParityQueries {
   val all: Seq[Q] = Seq(
     scanProject, filterEq, filterLike, filterInBetween,
     joinLeft, joinTwoKey, joinAnti, joinSemi, starJoin,
-    aggCount, aggGroup, groupingSets, countDistinct, distinctDim,
+    aggCount, aggGroup, groupingSets, countDistinct, approxDistinct, distinctDim,
     timeDims, epochRoundtrip, caseFiscal,
     cteTopK, windowRank, sessionize, pricingSummary)
 }

@@ -143,6 +143,15 @@ object Sources {
     sorted.write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Hive-style partitioned parquet (the file-level pruning path, SURVEY.md
+    * §4 sortkey row): queries filtering on the partition column scan only
+    * matching directories (PartitionFilters in the plan — zero I/O for
+    * pruned partitions, the strongest pruning available at 100 TB). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed catalog table — the full Redshift distkey analogue: two
     * tables bucketed on their join key with the same bucket count join
     * WITHOUT a shuffle (co-located hash join). Opt-in (bucketing pays one

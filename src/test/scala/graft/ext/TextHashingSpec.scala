@@ -44,6 +44,16 @@ class TextHashingSpec extends AnyFunSuite {
     assert(TextHashing.ngramJaccard(u(docA), u(docA), 3) == 1.0)
   }
 
+  test("sorted-shingle jaccard equals direct ngram jaccard") {
+    for ((a, b) <- Seq((docA, docB), (docA, docC), (docA, docA), ("", docA))) {
+      val direct = TextHashing.ngramJaccard(u(a), u(b), 3)
+      val viaArrays = TextHashing.sortedArrayJaccard(
+        TextHashing.sortedShingleHashes(u(a), 3),
+        TextHashing.sortedShingleHashes(u(b), 3))
+      assert(math.abs(direct - viaArrays) < 1e-12, s"($a, $b)")
+    }
+  }
+
   test("winnowing: local edit preserves most fingerprints") {
     val fa = TextHashing.winnowFingerprints(u(docA), 9, 12).toLongArray().toSet
     val fb = TextHashing.winnowFingerprints(u(docB), 9, 12).toLongArray().toSet

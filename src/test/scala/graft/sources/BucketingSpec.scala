@@ -9,6 +9,22 @@ import graft.TestSpark
 class BucketingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("partitioned write prunes non-matching partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = Sources.table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("event_date", to_date(col("ts")))
+    Sources.writePartitioned(ev, s"$dir/events", Seq("event_date"))
+    val back = spark.read.parquet(s"$dir/events")
+      .filter(col("event_date") === "2024-01-05")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"),
+      s"no partition pruning:\n$plan")
+    // only the matching directory's rows are read
+    val expected = ev.filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(back.count() == expected && expected > 0)
+  }
+
   test("co-bucketed join is shuffle-free; unbucketed join is not") {
     val dir = "/root/testdata/sf0.001"
     val li = Sources.table(spark, dir, "lineitem")
