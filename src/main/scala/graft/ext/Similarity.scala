@@ -150,12 +150,17 @@ object Similarity {
     topK(scored, k)
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+  /** Group-wise top-k via the bounded-heap aggregate (TopKAgg): partial
+    * aggregation ships at most k candidates per probe per map task into the
+    * exchange — a window (row_number) would shuffle and sort the entire
+    * scored candidate stream. Tie order matches the former window spec:
+    * (cos desc, neighbor_id asc). */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAgg
+        .topk_by_score(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("r0", "s")))
+      .select(col("vec_id"), (col("r0") + 1).cast("long").as("rank"),
+        col("s.neighbor_id").as("neighbor_id"), col("s.cos").as("cos"))
 }
