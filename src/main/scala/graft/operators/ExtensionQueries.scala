@@ -64,12 +64,14 @@ object ExtensionQueries {
         .join(broadcast(probes), col("neighbor_id") =!= col("doc_id"))
         .select(col("doc_id"), col("neighbor_id"),
           TextExprs.array_jaccard(col("psh"), col("csh")).as("jac"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("jac").desc, col("neighbor_id").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("neighbor_id"), round(col("jac"), 3).as("jaccard"))
+      // top-1 via the bounded-heap aggregate (partial agg: one candidate
+      // per probe per map task reaches the exchange)
+      scored.groupBy(col("doc_id"))
+        .agg(graft.functions.TopKAgg
+          .topk_by_score(col("jac"), col("neighbor_id"), 1).as("top"))
+        .select(col("doc_id"),
+          col("top").getItem(0).getField("neighbor_id").as("neighbor_id"),
+          round(col("top").getItem(0).getField("cos"), 3).as("jaccard"))
     },
     None)
 

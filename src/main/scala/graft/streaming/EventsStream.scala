@@ -61,6 +61,59 @@ object EventsStream {
   final case class UserSession(user_id: Long, n_events: Long,
                                total_value: Double, last_type: String)
 
+  final case class OpenSession(startMs: Long, endMs: Long, n: Int)
+  final case class ClosedSession(user_id: Long, start: java.sql.Timestamp,
+                                 end: java.sql.Timestamp, n_events: Int)
+
+  /** Event-time session windows with gap-based close + watermark timeout:
+    * a session closes when a later event arrives past the gap, or when the
+    * watermark passes end+gap (EventTimeTimeout) — so state is evicted for
+    * idle users, the property that bounds the store on an unbounded
+    * stream. The streaming counterpart of the batch q_w_sessionize. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+                     watermark: String = "1 minute"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) = ClosedSession(uid,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += close(s)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Stateful per-user running session stats via mapGroupsWithState:
     * arbitrary state (count, value sum, last event type) maintained per key
     * across micro-batches. */

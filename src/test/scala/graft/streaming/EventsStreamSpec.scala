@@ -44,6 +44,53 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time session windows match batch sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = stageDir()
+    val q = EventsStream.sessionWindows(
+        EventsStream.readEvents(spark, dir), gapMinutes = 30)
+      .toDF().writeStream
+      .format("memory").queryName("sess_win").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("sess_win")
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // batch reference: per-user session count (gap > 30 min). The stream
+      // emits every session except open tails — and the event-time timeout
+      // ALSO closes a tail whose end+gap fell behind the global watermark
+      // (max event time − 1 min), i.e. users idle at stream end.
+      val ev = Sources.table(spark, "/root/testdata/sf0.001", "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val globalMaxMs = ev.agg(max(col("ts"))).collect()
+        .head.getTimestamp(0).getTime
+      val watermarkMs = globalMaxMs - 60000L
+      val batchSessions = ev
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("ns",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("ns")).as("n_sessions"),
+          max(unix_millis(col("ts"))).as("last_ms"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      batchSessions.foreach { case (uid, (n, lastMs)) =>
+        val tailClosedByTimeout = lastMs + 30 * 60000L < watermarkMs
+        val expected = if (tailClosedByTimeout) n else n - 1
+        assert(closed.getOrElse(uid, 0L) == expected,
+          s"user $uid: streamed ${closed.getOrElse(uid, 0L)} closed vs expected $expected")
+      }
+      // session integrity: every closed session spans ≥1 event, start ≤ end
+      val rows = spark.table("sess_win").collect()
+      assert(rows.forall(r => r.getAs[Int]("n_events") >= 1))
+      assert(rows.forall(r => !r.getAs[java.sql.Timestamp]("start")
+        .after(r.getAs[java.sql.Timestamp]("end"))))
+    } finally q.stop()
+  }
+
   test("session state accumulates across micro-batches") {
     val dir = stageDir()
     val sessions = EventsStream.sessionStats(
