@@ -31,6 +31,14 @@ object EtlMain {
     result.counts.toSeq.sortBy(_._1).foreach { case (t, n) =>
       println(f"[etl] $t%-22s $n%d rows")
     }
+    // the Fiddle-notebook probes over the landed warehouse (SURVEY §3.4)
+    val pages = Analytics.eventsByPage(spark, warehouseDir)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+    println(s"[etl] events by page: ${pages.mkString(", ")}")
+    println(s"[etl] title matches: ${
+      Analytics.titleMatchRate(spark, warehouseDir).collect().head.getLong(0)}")
+    println(s"[etl] unmatched plays: ${
+      Analytics.unmatchedPlays(spark, warehouseDir).count()}")
     spark.stop()
   }
 }

@@ -88,6 +88,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(StarSchemaEtl.timeDimensions(events, Some(1)).count() == 1)
   }
 
+  test("analytics surface over the landed warehouse (Fiddle probes)") {
+    result // ensure pipeline ran
+    assert(Analytics.tableCounts(spark, warehouse)("fct_song_plays") == 4)
+    val pages = Analytics.eventsByPage(spark, warehouse)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pages("NextSong") == 4 && pages("Home") == 2 && pages("Login") == 1)
+    // F53: grouping sets rows = |distinct songs| + |distinct (song,artist)|,
+    // null song (non-play events) is a group of its own: (4+1) + (4+1)
+    assert(Analytics.songArtistGroupingSets(spark, warehouse).count() == 10)
+    assert(Analytics.titleMatchRate(spark, warehouse)
+      .collect().head.getLong(0) == 3)
+    assert(Analytics.unmatchedPlays(spark, warehouse).count() == 1)
+    val found = Analytics.searchArtists(spark, warehouse, "KOIT")
+      .collect().map(_.getString(1))
+    assert(found.toSeq == Seq("Habib Koité"))
+    val byLevel = Analytics.playsByLevelAndSeason(spark, warehouse)
+      .collect().map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(3)).toMap
+    assert(byLevel(("free", true)) == 2)  // two weekend free plays
+    val activity = Analytics.userActivity(spark, warehouse)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(activity(10) == 3 && activity(20) == 1)
+  }
+
   test("NULL join keys never match (§7.4.6)") {
     val events = Sources.readEventsJson(spark,
       TestSpark.resource("/sparkify/log_data.json"))
