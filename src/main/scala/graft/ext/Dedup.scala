@@ -19,14 +19,27 @@ import graft.functions.TextExprs._
 object Dedup {
 
   /** Exact dedup on arbitrary key columns: canonical = min(id) per group.
-    * One hash-aggregate shuffle; for very wide keys, dedup on xxhash64(key)
-    * first to halve shuffle bytes. */
+    * One hash-aggregate shuffle carrying the full key. */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     val canon = df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("cluster_id"))
     df.join(canon, keyCols)
       .select(col(idCol), col("cluster_id"),
         (col(idCol) === col("cluster_id")).as("is_canonical"))
+  }
+
+  /** Exact dedup keyed on xxhash64 of the key columns — the 100 TB form:
+    * the aggregation shuffle carries 8 bytes per row instead of the full
+    * (potentially multi-KB) text. 64-bit collisions over N docs occur w.p.
+    * ≈ N²/2⁶⁵ (≪1 even at 10¹² docs — and a collision only mis-merges one
+    * pair; use exact() when that is unacceptable). */
+  def exactByHash(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      xxhash64(keyCols.map(col): _*).as("__kh"))
+    val canon = keyed.groupBy(col("__kh")).agg(min(col("id")).as("cluster_id"))
+    keyed.join(canon, Seq("__kh"))
+      .select(col("id").as(idCol), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_canonical"))
   }
 
   /** MinHash + LSH near-dup clustering:

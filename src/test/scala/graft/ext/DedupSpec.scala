@@ -25,6 +25,14 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) == (2L, true))
   }
 
+  test("hash-keyed exact dedup equals full-key exact dedup on real corpus") {
+    val byKey = Dedup.exact(docs, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byHash = Dedup.exactByHash(docs, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKey == byHash)
+  }
+
   test("minhash: planted near-dup clusters are found (recall)") {
     val out = Dedup.minhash(docs, "doc_id", "text", threshold = 0.7)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
