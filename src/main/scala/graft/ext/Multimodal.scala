@@ -77,6 +77,37 @@ object Multimodal {
       }
   }
 
+  /** Resize images to (targetW, targetH): metadata updates for real; the
+    * pixel transform is the ==== STUB ==== (a real codec re-encodes; the
+    * stub re-hashes bytes with the target shape so output is deterministic
+    * and shape-dependent). Non-image rows pass through untouched. */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "format", "width", "height", "duration_ms")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          if (r.format != "image/png") r
+          else {
+            val resized = {
+              // STUB: real impl decodes + rescales; fake payload derives
+              // deterministically from (bytes, target shape)
+              val seed = TextHashing.hashBytes(r.media, 0, r.media.length) ^
+                (targetW.toLong << 32) ^ targetH.toLong
+              val out = new Array[Byte](math.max(16, r.media.length / 2))
+              var i = 0
+              while (i < out.length) {
+                out(i) = (TextHashing.mix64(seed + i) & 0xff).toByte; i += 1
+              }
+              out
+            }
+            r.copy(media = resized, width = targetW, height = targetH)
+          }
+        }
+      }
+  }
+
   /** Frame sampling for video rows: n evenly-spaced frames per document.
     * Real impl seeks the container; stub hashes (bytes, idx). */
   def sampleFrames(media: DataFrame, n: Int): Dataset[Frame] = {

@@ -31,6 +31,23 @@ class MultimodalSpec extends AnyFunSuite {
     f2.foreach(f => assert(m1(f.doc_id) == f.features.toSeq))
   }
 
+  test("resizeImages: image rows get target shape, others untouched") {
+    val media = Multimodal.attachMedia(docs)
+    val out = Multimodal.resizeImages(media, 224, 224).collect()
+    assert(out.length == 500)
+    val images = out.filter(_.format == "image/png")
+    assert(images.nonEmpty)
+    assert(images.forall(r => r.width == 224 && r.height == 224))
+    val rest = out.filter(_.format != "image/png")
+    val orig = media.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    assert(rest.forall(r => orig(r.doc_id) == ((r.width, r.height))))
+    // deterministic stub payload
+    val again = Multimodal.resizeImages(media, 224, 224).collect()
+      .filter(_.format == "image/png").map(r => r.doc_id -> r.media.toSeq).toMap
+    images.foreach(r => assert(again(r.doc_id) == r.media.toSeq))
+  }
+
   test("sampleFrames: n frames per video row only") {
     val media = Multimodal.attachMedia(docs)
     val nVideos = media.filter("format = 'video/mp4'").count()

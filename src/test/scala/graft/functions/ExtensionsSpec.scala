@@ -39,6 +39,11 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  // NOTE: the `spark.sql.extensions` config path applies the same injection
+  // at SparkContext creation; it is a STATIC conf, so it cannot be exercised
+  // in this shared-context test JVM — the withExtensions test above covers
+  // the injection machinery itself.
+
   test("MinHashMerge: group signature = element-wise min; jaccard estimate sane") {
     val spark = base
     import org.apache.spark.sql.functions._
