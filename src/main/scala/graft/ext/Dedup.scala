@@ -191,7 +191,9 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      val labels = parent.keys.map(k => (k, find(k))).toSeq
+      // materialize keys first: find() path-compresses (value updates)
+      // while we iterate
+      val labels = parent.keys.toSeq.map(k => (k, find(k)))
       import spark.implicits._
       val labelDf = labels.toDF("id", "label")
       return nodes.select(col("id"))

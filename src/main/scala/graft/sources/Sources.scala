@@ -36,6 +36,20 @@ object Sources {
     } else spark.read.parquet(path)
   }
 
+  /** S7 — object listing (the boto3 `bucket.objects.filter(Prefix=…)`
+    * probe, Fiddle cell 33) via the Hadoop FS API: works identically on
+    * file://, s3a://, hdfs:// — the 100 TB layout discovery primitive. */
+  def listObjects(spark: SparkSession, dir: String,
+                  prefix: String = ""): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .sorted
+  }
+
   /** Register every testdata table as a temp view so both the DataFrame API
     * and spark.sql can address the same catalog (SURVEY.md §1.2). */
   def registerTestdataViews(spark: SparkSession, sfDir: String): Unit =

@@ -63,6 +63,14 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("S7: object listing with prefix filter (boto3 probe analogue)") {
+    val all = Sources.listObjects(spark, "/root/testdata/sf0.001")
+    assert(all.size == 10 && all.contains("lineitem.parquet"))
+    val docs = Sources.listObjects(spark, "/root/testdata/sf0.001", "doc")
+    assert(docs == Seq("documents.parquet"))
+    assert(Sources.listObjects(spark, "/tmp/definitely-not-here").isEmpty)
+  }
+
   test("CSV round-trip preserves schema and values; malformed → NULL") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val src = Sources.table(spark, "/root/testdata/sf0.001", "nation")
