@@ -1,39 +1,43 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main — driver contract: run the query surface on
   * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
-  * Each query is forced with count() (runs the whole plan, returns a
-  * scalar — no driver-side result materialization in the timing).
+  *
+  * Forcing: `df.write.format("noop")` — a DataSource-V2 sink that executes
+  * the FULL plan (every projected column is computed and serialized to the
+  * sink boundary) and discards rows. `count()` would let Catalyst prune
+  * map-only expression work down to a row-group-metadata scan, silently
+  * under-measuring exactly the expression-heavy queries.
   */
 object Bench {
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = only.fold(operators.Catalog.all)(
+      names => operators.Catalog.all.filter(q => names(q.name)))
+    val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the JVM/codegen paths on the smallest SF so per-query timings
     // measure the plan, not first-use classloading.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      operators.Catalog.all.foreach { q =>
-        try q.run(spark, warmDir).count()
+      queries.foreach { q =>
+        try force(q.run(spark, warmDir))
         catch { case _: Throwable => () }
       }
     }
 
-    val results = operators.Catalog.all.map { q =>
+    val results = queries.map { q =>
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).count()
+      try force(q.run(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }

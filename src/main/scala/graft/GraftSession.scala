@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the session configuration every graft entrypoint needs.
+  *
+  * `spark.sql.legacy.parquet.nanosAsLong` lives HERE, at session build, not
+  * inside readers: mutating shared session conf per `table()` call is
+  * thread-unsafe under concurrent query execution and invisible to other
+  * readers. The testdata's `events.ts` is parquet TIMESTAMP(NANOS), which
+  * Spark's vectorized reader otherwise rejects; with this conf it arrives as
+  * a nanos long and `Sources.table` truncates to microseconds.
+  */
+object GraftSession {
+
+  /** Standard builder: local master, UTC, AQE, right-sized shuffle
+    * partitions (32-way local, not the 200 default), nanos-as-long. */
+  def builder(appName: String, cpus: String,
+              shufflePartitions: Option[String] = None): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        shufflePartitions.getOrElse(cpus))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** The conf a NON-graft-built session must carry to read the events
+    * table; `Sources.table` asserts it with this key. */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+}

@@ -18,14 +18,7 @@ object EtlMain {
     }
     val Array(eventsPath, songsPath, warehouseDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-etl")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder("graft-etl", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val result = Pipeline.run(spark, eventsPath, songsPath, warehouseDir)
     result.counts.toSeq.sortBy(_._1).foreach { case (t, n) =>

@@ -79,13 +79,21 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 
-    // verify candidates with exact n-gram Jaccard: shingle once per doc
-    // (sorted distinct hashes), then sort-merge per pair — no re-shingling
-    val shingled = ids.select(col("id"),
-      sorted_shingles(col("text"), shingleN).as("sh"))
+    // verify candidates with exact n-gram Jaccard. Semi-join-prune the
+    // corpus to candidate ids FIRST: only docs that appear in some pair pay
+    // the shingle CPU and the (array-sized) shuffle — at 100 TB the
+    // candidate set is orders of magnitude smaller than the corpus, and an
+    // unpruned verify would shingle + ship the whole corpus twice.
+    // localCheckpoint so the pair self-join isn't re-executed for each of
+    // candIds / the edge join below.
+    val cand = pairs.localCheckpoint(true)
+    val candIds = cand.select(col("a").as("id"))
+      .union(cand.select(col("b").as("id"))).distinct()
+    val shingled = ids.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), sorted_shingles(col("text"), shingleN).as("sh"))
     val ta = shingled.select(col("id").as("a"), col("sh").as("sh_a"))
     val tb = shingled.select(col("id").as("b"), col("sh").as("sh_b"))
-    val edges = pairs.join(ta, "a").join(tb, "b")
+    val edges = cand.join(ta, "a").join(tb, "b")
       .filter(array_jaccard(col("sh_a"), col("sh_b")) >= threshold)
       .select(col("a"), col("b"))
 

@@ -57,10 +57,12 @@ object ExtensionQueries {
       val probes = docs.filter(col("doc_id") < 10)
         .select(col("doc_id"), TextExprs.sorted_shingles(col("text"), 3).as("psh"))
       val scored = docs
+        // corpus side is CPU-bound — spread the RAW text over cores BEFORE
+        // shingling (repartitioning after would shuffle the shingle arrays,
+        // ~10× the text size)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id").as("neighbor_id"),
           TextExprs.sorted_shingles(col("text"), 3).as("csh"))
-        // corpus side is CPU-bound — spread over cores
-        .repartition(s.sparkContext.defaultParallelism)
         .join(broadcast(probes), col("neighbor_id") =!= col("doc_id"))
         .select(col("doc_id"), col("neighbor_id"),
           TextExprs.array_jaccard(col("psh"), col("csh")).as("jac"))

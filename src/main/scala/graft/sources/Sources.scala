@@ -22,7 +22,9 @@ object Sources {
     *
     * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects outright; read it as a nanos long
-    * (legacy.parquet.nanosAsLong) and truncate to Spark's microsecond
+    * (legacy.parquet.nanosAsLong, set ONCE at session build — see
+    * GraftSession; mutating session conf inside a reader is thread-unsafe
+    * under concurrent queries) and truncate to Spark's microsecond
     * TimestampType. Integer `div` keeps full precision (a double division
     * would lose bits above 2^53).
     */
@@ -30,7 +32,9 @@ object Sources {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
       import org.apache.spark.sql.functions.{expr, timestamp_micros}
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      require(spark.conf.get(graft.GraftSession.NanosConf, "false") == "true",
+        s"events.parquet is TIMESTAMP(NANOS): build the session with " +
+          s"GraftSession.builder (or set ${graft.GraftSession.NanosConf}=true)")
       spark.read.parquet(path)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(path)

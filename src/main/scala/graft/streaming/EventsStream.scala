@@ -35,7 +35,9 @@ object EventsStream {
   /** Open the unbounded events source over a directory of parquet files,
     * converting nano-longs to Spark timestamps. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get(graft.GraftSession.NanosConf, "false") == "true",
+      s"events.parquet is TIMESTAMP(NANOS): build the session with " +
+        s"GraftSession.builder (or set ${graft.GraftSession.NanosConf}=true)")
     spark.readStream
       .schema(rawSchema)
       .parquet(dir)

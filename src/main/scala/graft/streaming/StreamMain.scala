@@ -19,13 +19,7 @@ object StreamMain {
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-stream")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder("graft-stream", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val events = EventsStream.readEvents(spark, args(0))
     val (frame, mode) = args.lift(1).getOrElse("windows") match {

@@ -21,14 +21,7 @@ object ExplainMain {
     }
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-explain")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder("graft-explain", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val q = graft.operators.Catalog.byName.getOrElse(args(0), {
       System.err.println(s"unknown query '${args(0)}' — try: runMain graft.tools.ExplainMain list")
