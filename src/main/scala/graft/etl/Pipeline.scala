@@ -68,4 +68,51 @@ object Pipeline {
     }
     Result(counts.toMap)
   }
+
+  /** The create_tables.py → etl.py COMPOSITION: land staging and star data
+    * INTO the session-catalog tables that `Ddl.recreateAll` created
+    * (create_tables.py:36-37 then etl.py:36-37; the reference's INSERTs
+    * target those tables, e.g. sql_queries.py:156). Each append is
+    * positional (`insertInto` matches by position, exactly the reference's
+    * `INSERT INTO t SELECT …` without a column list), through the same
+    * explicit align-and-cast used by the path-based writer.
+    *
+    * `Ddl.recreateAll(spark)` must have run first — this is the contract,
+    * not a convenience: inserting into a missing table is an error in both
+    * engines. The path-based `run` above remains the distributed-layout
+    * variant (dist/sort-key parquet); this one gives `spark.table(...)` /
+    * `spark.sql` users the reference's catalog-resident warehouse. */
+  def runIntoCatalog(spark: SparkSession, eventsPath: String,
+                     songsPath: String,
+                     timeDimLimit: Option[Int] = None): Result = {
+    val counts = scala.collection.mutable.Map[String, Long]()
+
+    // ---- COPY stage: JSON → catalog staging tables ----
+    Sources.alignPositional(Sources.readEventsJson(spark, eventsPath),
+      Schemas.stgSongEvents).write.insertInto("stg_song_events")
+    Sources.alignPositional(Sources.readSongsJson(spark, songsPath),
+      Schemas.stgSongs).write.insertInto("stg_songs")
+    val events = spark.table("stg_song_events")
+    val songsStg = spark.table("stg_songs")
+    counts("stg_song_events") = events.count()
+    counts("stg_songs") = songsStg.count()
+
+    // ---- INSERT stage, reference order (sql_queries.py:326-332) ----
+    // The staging frames read back from the catalog, so the fact/dim
+    // builds scan the landed columnar data — same single-pass-over-raw
+    // discipline as the path-based run.
+    val inserts: Seq[(String, DataFrame)] = Seq(
+      "fct_song_plays" -> StarSchemaEtl.songPlays(events, songsStg),
+      "dim_users" -> StarSchemaEtl.users(events),
+      "dim_songs" -> StarSchemaEtl.songs(songsStg),
+      "dim_artists" -> StarSchemaEtl.artists(songsStg),
+      "dim_time_dimensions" ->
+        StarSchemaEtl.timeDimensions(events, timeDimLimit))
+    inserts.foreach { case (table, df) =>
+      Sources.alignPositional(df, Schemas.starTables.toMap.apply(table))
+        .write.insertInto(table)
+      counts(table) = spark.table(table).count()
+    }
+    Result(counts.toMap)
+  }
 }

@@ -75,4 +75,59 @@ object StarSchemaEtl {
       .distinct()
     hours.select(TimeFns.timeDimensionColumns(col("h")): _*)
   }
+
+  // ---------------------------------------------------------------------
+  // FAITHFUL transforms: exact reference DDL columns/order/semantics
+  // (Schemas.Reference) for users who need outputs identical to the
+  // reference warehouse — auth kept, no artist_id/user_agent, reference
+  // column order, and the day-of-month "hour" bug reproduced.
+  // ---------------------------------------------------------------------
+
+  /** fct_song_plays exactly as sql_queries.py:155-182 lands it. */
+  def songPlaysFaithful(events: DataFrame, songs: DataFrame): DataFrame = {
+    val plays = events.filter(col("page") === "NextSong")
+    val joined = plays.join(
+      broadcast(songs),
+      plays("artist") === songs("artist_name") && plays("song") === songs("title"),
+      "left")
+    val ts = TimeFns.epochMillisToTs(col("ts"))
+    joined.select(
+      col("auth"),
+      col("itemInSession").as("item_in_session"),
+      col("level"),
+      col("location"),
+      col("sessionId").as("session_id"),
+      col("song_id"),
+      col("userId").as("user_id"),
+      TimeFns.timeKey(ts).cast("int").as("time_key"),
+      ts.as("ts"))
+  }
+
+  /** dim_users exactly as sql_queries.py:184-193 lands it. */
+  def usersFaithful(events: DataFrame): DataFrame =
+    events.select(
+      col("firstName").as("firstname"),
+      col("lastName").as("lastname"),
+      col("gender"),
+      col("level"),
+      col("registration"),
+      col("userId").as("user_id")).distinct()
+
+  /** dim_artists exactly as sql_queries.py:204-212 lands it. */
+  def artistsFaithful(stgSongs: DataFrame): DataFrame =
+    stgSongs.select(
+      col("artist_id"), col("artist_latitude"), col("artist_longitude"),
+      col("artist_location"), col("artist_name")).distinct()
+
+  /** dim_time_dimensions exactly as sql_queries.py:215-303 lands it —
+    * including the LIMIT 100 source cap (`:220`) as the DEFAULT here,
+    * because faithful means faithful. */
+  def timeDimensionsFaithful(events: DataFrame,
+                             limit: Option[Int] = Some(100)): DataFrame = {
+    val src = limit.map(events.limit).getOrElse(events)
+    val hours = src
+      .select(date_trunc("hour", TimeFns.epochMillisToTs(col("ts"))).as("h"))
+      .distinct()
+    hours.select(TimeFns.referenceTimeDimensionColumns(col("h")): _*)
+  }
 }

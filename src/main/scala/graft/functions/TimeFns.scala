@@ -27,9 +27,13 @@ object TimeFns {
 
   /** E4 — hour of day. The reference's SUBSTRING(…, 9, 2) actually extracts
     * day-of-month (sql_queries.py:224, proven by Fiddle cell 51); per
-    * SURVEY.md §7.4.2 we implement the CORRECT hour and document the
-    * divergence. */
-  def hourOfDay(ts: Column): Column = hour(ts)
+    * SURVEY.md §7.4.2 the default is the CORRECT hour. `faithful = true`
+    * reproduces the reference's bug byte-for-byte — characters 9-10 of the
+    * 'yyyy-MM-dd HH:mm:ss' rendering are the DAY digits — for users who
+    * need outputs identical to the reference's actual (buggy) warehouse. */
+  def hourOfDay(ts: Column, faithful: Boolean = false): Column =
+    if (faithful) substring(ts.cast("string"), 9, 2).cast("int")
+    else hour(ts)
 
   /** E6 — week of year. Spark weekofyear is ISO-8601; Redshift EXTRACT(WEEK)
     * differs near year boundaries (SURVEY.md §7.4.3) — ISO chosen, oracle SQL
@@ -67,8 +71,10 @@ object TimeFns {
       .otherwise("Fall")
 
   /** The full 15-column time-dimension derivation from a timestamp column,
-    * in dim_time_dimensions DDL order (sql_queries.py:214-303; E12 is the
-    * NULL special_event placeholder at :301). */
+    * in the EXTENDED dim_time_dimensions order (Schemas.dimTimeDimensions;
+    * E12 is the NULL special_event placeholder at sql_queries.py:301).
+    * Extends the reference DDL with `trunc_time` and the corrected `hour`
+    * — see Schemas.scala for the documented deltas. */
   def timeDimensionColumns(ts: Column): Seq[Column] = Seq(
     timeKey(ts).as("time_key"),
     ts.as("trunc_time"),
@@ -79,6 +85,28 @@ object TimeFns {
     quarter(ts).as("quarter"),
     year(ts).as("year"),
     hourOfDay(ts).as("hour"),
+    dayOfWeek(ts).as("day_of_week"),
+    isWeekend(ts).as("is_weekend"),
+    fiscalYear(ts).as("fiscal_year"),
+    fiscalQuarter(ts).as("fiscal_quarter"),
+    season(ts).as("season"),
+    lit(null).cast("string").as("special_event")
+  )
+
+  /** The FAITHFUL 14-column derivation: exact reference DDL order and
+    * semantics (sql_queries.py:117-134 DDL, :215-303 insert) — no
+    * trunc_time column, `hour` in position 2 computed with the reference's
+    * SUBSTRING day-of-month bug. Byte-for-byte reproduction of the
+    * reference warehouse's dim_time_dimensions. */
+  def referenceTimeDimensionColumns(ts: Column): Seq[Column] = Seq(
+    timeKey(ts).as("time_key"),
+    hourOfDay(ts, faithful = true).as("hour"),
+    to_date(ts).as("date"),
+    dayofmonth(ts).as("day"),
+    week(ts).as("week"),
+    month(ts).as("month"),
+    quarter(ts).as("quarter"),
+    year(ts).as("year"),
     dayOfWeek(ts).as("day_of_week"),
     isWeekend(ts).as("is_weekend"),
     fiscalYear(ts).as("fiscal_year"),

@@ -85,6 +85,42 @@ object ExtensionQueries {
       Sources.table(s, dir, "embeddings"), "vec_id", "embedding"),
     None)
 
+  /** EXACT embedding near-dup over a bounded probe set — the hash-checked
+    * anchor for the LSH variant above (which SimilaritySpec verifies
+    * against brute force): per-vector count of cosine≥0.9 neighbors,
+    * all-pairs within the probes. Count output (not floats) keeps the
+    * cross-engine hash stable; the 0.9 boundary is engine-safe because the
+    * synthetic near-dups sit far from it. */
+  val embNearDupExact = Q(
+    "q_x_emb_near_dup_exact",
+    "Exact embedding-cosine near-dup counts (all-pairs over probe set)",
+    (s, dir) => {
+      val p = Sources.table(s, dir, "embeddings")
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val a = p.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val b = p.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      val near = a.join(broadcast(b), col("a") < col("b"))
+        .filter(TextExprs.cosine_sim(col("va"), col("vb")) >= 0.9)
+        .select(col("a"), col("b"))
+      val perVec = near.select(col("a").as("id"))
+        .union(near.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_near"))
+      p.select(col("vec_id"))
+        .join(perVec, p("vec_id") === perVec("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+    },
+    Some("""WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+           | c AS (SELECT p1.vec_id AS a, p2.vec_id AS b FROM p p1, p p2
+           |   WHERE p1.vec_id < p2.vec_id
+           |   AND list_cosine_similarity(p1.embedding, p2.embedding) >= 0.9),
+           | e AS (SELECT a AS id FROM c UNION ALL SELECT b AS id FROM c),
+           | n AS (SELECT id, count(*) AS n_near FROM e GROUP BY id)
+           | SELECT p.vec_id, CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near
+           | FROM p LEFT JOIN n ON p.vec_id = n.id"""
+      .stripMargin.replace("\n", "")))
+
   /** Per-source corpus signatures via the typed MinHashMerge Aggregator
     * (map-side partial: one k-long array per partition reaches the
     * exchange), then pairwise estimated Jaccard between sources. */
@@ -190,13 +226,40 @@ object ExtensionQueries {
            |     THEN 3000 ELSE 0 END) AS quality_score_bp
            | FROM documents""".stripMargin.replace("\n", "")))
 
-  /** Language ID (stopword profiles + CJK ratio; heuristic → rows-only). */
+  /** Language ID — the stopword-profile argmax is pure arithmetic over
+    * token counts, so it IS oracle-expressible: the DuckDB side mirrors the
+    * per-language ratio (identical IEEE division order), the same
+    * per-position 1e-9 tiebreak epsilon, and a CASE chain whose
+    * first-listed-wins order equals Spark's greatest() over the
+    * epsilon-adjusted structs. */
   val textLangId = Q(
     "q_x_lang_id",
     "Language-ID heuristic per document",
     (s, dir) => Sources.table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.langIdColumn(col("text")).as("lang_pred")),
-    None)
+    Some("""WITH sc AS (SELECT doc_id,
+           | len(list_filter(string_split(lower(text), ' '), t -> t IN
+           |   ('the','of','and','to','in','is','that','it','for'))) * 1.0
+           |   / greatest(len(string_split(lower(text), ' ')), 1) - 0 * 1e-9 AS s_en,
+           | len(list_filter(string_split(lower(text), ' '), t -> t IN
+           |   ('le','la','les','de','des','et','en','que','une'))) * 1.0
+           |   / greatest(len(string_split(lower(text), ' ')), 1) - 1 * 1e-9 AS s_fr,
+           | len(list_filter(string_split(lower(text), ' '), t -> t IN
+           |   ('el','la','los','de','que','y','en','un','una'))) * 1.0
+           |   / greatest(len(string_split(lower(text), ' ')), 1) - 2 * 1e-9 AS s_es,
+           | len(list_filter(string_split(lower(text), ' '), t -> t IN
+           |   ('der','die','das','und','in','den','von','zu','mit'))) * 1.0
+           |   / greatest(len(string_split(lower(text), ' ')), 1) - 3 * 1e-9 AS s_de,
+           | (len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) * 1.0
+           |   / greatest(length(text), 1)) * 10.0 - 4 * 1e-9 AS s_zh
+           | FROM documents)
+           | SELECT doc_id, CASE
+           | WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+           | WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+           | WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+           | WHEN s_de >= s_zh THEN 'de'
+           | ELSE 'zh' END AS lang_pred FROM sc"""
+      .stripMargin.replace("\n", "")))
 
   /** Content fingerprint: md5 of normalized text (oracle-portable). */
   val textFingerprint = Q(
@@ -244,7 +307,7 @@ object ExtensionQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, ngramJaccardTop1, embNearDup,
-    sourceSignature, annBruteForce, annLsh, annIvf,
+    embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     jsonProps, multimodal)
 }

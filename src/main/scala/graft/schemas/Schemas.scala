@@ -63,8 +63,26 @@ object Schemas {
   ))
 
   // -------------------------------------------------------------------------
-  // Sparkify star schema (reference sql_queries.py:71-134) — column ORDER is
-  // the positional-INSERT contract (SURVEY.md §7.4 point 5).
+  // Sparkify star schema — EXTENDED variant (the repo's default warehouse).
+  //
+  // This is NOT a column-for-column mirror of the reference DDL
+  // (sql_queries.py:71-134). Deliberate deltas, chosen in SURVEY §7.4 and
+  // §8 so the README's star-join analytics work:
+  //  - fct_song_plays: drops `auth` (session auth state, no analytical use),
+  //    ADDS `artist_id` (enables the artist-dim star join the reference's
+  //    README describes but its fact can't serve) and `user_agent`;
+  //    column order differs.
+  //  - dim_users / dim_artists: same columns, reordered key-first
+  //    (user_id/artist_id lead); dim_users renames firstName/lastName →
+  //    first_name/last_name.
+  //  - dim_time_dimensions: ADDS `trunc_time` (the join-ready timestamp the
+  //    insert already computes then throws away) and moves `hour`; `hour` is
+  //    the CORRECTED hour-of-day (the reference's is a day-of-month bug,
+  //    sql_queries.py:224).
+  //
+  // Column ORDER here is the repo's own positional-INSERT contract
+  // (SURVEY.md §7.4 point 5). For byte-for-byte reference fidelity use the
+  // `Reference` schemas below with StarSchemaEtl's *Faithful transforms.
   // -------------------------------------------------------------------------
 
   val fctSongPlays: StructType = StructType(Seq(
@@ -123,6 +141,70 @@ object Schemas {
     StructField("season", StringType),
     StructField("special_event", StringType)
   ))
+
+  // -------------------------------------------------------------------------
+  // Sparkify star schema — FAITHFUL variant: exact reference DDL columns,
+  // order, and types (sql_queries.py:71-134; unquoted Redshift identifiers
+  // fold to lowercase, hence `firstname`/`lastname`; SMALLINT → ShortType,
+  // the INT time_key stays IntegerType). Use with StarSchemaEtl's
+  // *Faithful transforms to reproduce the reference warehouse
+  // byte-for-byte, day-of-month "hour" bug included.
+  // -------------------------------------------------------------------------
+
+  object Reference {
+    /** sql_queries.py:71-84. */
+    val fctSongPlays: StructType = StructType(Seq(
+      StructField("auth", StringType),
+      StructField("item_in_session", IntegerType),
+      StructField("level", StringType),
+      StructField("location", StringType),
+      StructField("session_id", IntegerType),
+      StructField("song_id", StringType),
+      StructField("user_id", IntegerType),
+      StructField("time_key", IntegerType),
+      StructField("ts", TimestampType)
+    ))
+
+    /** sql_queries.py:86-96. */
+    val dimUsers: StructType = StructType(Seq(
+      StructField("firstname", StringType),
+      StructField("lastname", StringType),
+      StructField("gender", StringType),
+      StructField("level", StringType),
+      StructField("registration", LongType),
+      StructField("user_id", IntegerType)
+    ))
+
+    /** sql_queries.py:98-105 — identical to the extended dim_songs. */
+    val dimSongs: StructType = Schemas.dimSongs
+
+    /** sql_queries.py:107-115. */
+    val dimArtists: StructType = StructType(Seq(
+      StructField("artist_id", StringType),
+      StructField("artist_latitude", DoubleType),
+      StructField("artist_longitude", DoubleType),
+      StructField("artist_location", StringType),
+      StructField("artist_name", StringType)
+    ))
+
+    /** sql_queries.py:117-134. */
+    val dimTimeDimensions: StructType = StructType(Seq(
+      StructField("time_key", IntegerType),
+      StructField("hour", IntegerType),
+      StructField("date", DateType, nullable = false),
+      StructField("day", ShortType, nullable = false),
+      StructField("week", ShortType, nullable = false),
+      StructField("month", ShortType, nullable = false),
+      StructField("quarter", ShortType, nullable = false),
+      StructField("year", ShortType, nullable = false),
+      StructField("day_of_week", ShortType, nullable = false),
+      StructField("is_weekend", BooleanType, nullable = false),
+      StructField("fiscal_year", ShortType, nullable = false),
+      StructField("fiscal_quarter", ShortType, nullable = false),
+      StructField("season", StringType),
+      StructField("special_event", StringType)
+    ))
+  }
 
   /** All star tables keyed by name, in reference creation order
     * (sql_queries.py:307-315). */

@@ -111,6 +111,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(activity(10) == 3 && activity(20) == 1)
   }
 
+  test("Ddl → Pipeline catalog composition (create_tables.py → etl.py)") {
+    Ddl.recreateAll(spark)
+    val r = Pipeline.runIntoCatalog(spark,
+      TestSpark.resource("/sparkify/log_data.json"),
+      TestSpark.resource("/sparkify/song_data.json"))
+    // the created tables are the ones the inserts landed in: spark.table /
+    // spark.sql sees the data (the reference contract — sql_queries.py:156
+    // INSERTs into the tables create_tables.py made)
+    assert(spark.table("fct_song_plays").count() == 4)
+    assert(spark.sql("SELECT count(*) FROM dim_users").collect().head.getLong(0) == 4)
+    assert(r.counts("fct_song_plays") == 4)
+    assert(r.counts("dim_time_dimensions") == 4)
+    // catalog schema == DDL schema (positional contract held)
+    assert(spark.table("fct_song_plays").schema.fieldNames.toSeq ==
+      graft.schemas.Schemas.fctSongPlays.fieldNames.toSeq)
+    // idempotent lifecycle: recreate empties them again
+    Ddl.recreateAll(spark)
+    assert(spark.table("fct_song_plays").count() == 0)
+    Ddl.dropAll(spark)
+  }
+
+  test("faithful transforms reproduce the reference DDL shape incl. hour bug") {
+    val events = Sources.readEventsJson(spark,
+      TestSpark.resource("/sparkify/log_data.json"))
+    val songs = Sources.readSongsJson(spark,
+      TestSpark.resource("/sparkify/song_data.json"))
+    val fct = StarSchemaEtl.songPlaysFaithful(events, songs)
+    assert(fct.schema.fieldNames.toSeq ==
+      graft.schemas.Schemas.Reference.fctSongPlays.fieldNames.toSeq)
+    assert(fct.count() == 4)
+    assert(fct.filter("auth IS NOT NULL").count() == 4) // auth survives
+    val users = StarSchemaEtl.usersFaithful(events)
+    assert(users.schema.fieldNames.toSeq ==
+      Seq("firstname", "lastname", "gender", "level", "registration", "user_id"))
+    val artists = StarSchemaEtl.artistsFaithful(songs)
+    assert(artists.schema.fieldNames.toSeq ==
+      graft.schemas.Schemas.Reference.dimArtists.fieldNames.toSeq)
+    // F51: the reference's "hour" is day-of-month — 2018-03-31 10:00 UTC
+    // must yield hour=31 under the faithful flag, 10 under the corrected one
+    val td = StarSchemaEtl.timeDimensionsFaithful(events, limit = None)
+    assert(td.schema.fieldNames.toSeq ==
+      graft.schemas.Schemas.Reference.dimTimeDimensions.fieldNames.toSeq)
+    val sat = td.filter("time_key = 2018033110").collect().head
+    assert(sat.getAs[Int]("hour") == 31) // faithful = the bug, by design
+    assert(td.filter("hour > 23").count() > 0)
+    // positional alignment to the reference DDL types round-trips
+    val aligned = Sources.alignPositional(td,
+      graft.schemas.Schemas.Reference.dimTimeDimensions)
+    assert(aligned.schema("day").dataType.typeName == "short")
+  }
+
   test("NULL join keys never match (§7.4.6)") {
     val events = Sources.readEventsJson(spark,
       TestSpark.resource("/sparkify/log_data.json"))
