@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * the JVM analogue of a pandas-batch UDF: per-partition setup cost is paid
   * once, rows stream through).
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * environment): `FakeCodec` derives deterministic pseudo-features from the
-  * bytes. The Spark-side contract — schemas, binary handling, partition
-  * batching, feature shapes — is real and tested; swapping `FakeCodec` for
-  * a JNI/javacv decoder changes no plan shape.
+  * IMAGE decoding is REAL: image/png rows carry genuine PNG bytes and are
+  * decoded with javax.imageio (JDK-native — see ImageCodec); features are
+  * true width/height/channels + per-channel mean/std. AUDIO/VIDEO stay
+  * STUBBED (no codec libraries in this environment): `FakeCodec` derives
+  * deterministic pseudo-features from the bytes. Swapping FakeCodec for a
+  * real audio/video decoder changes no plan shape.
   */
 object Multimodal {
 
@@ -26,10 +27,11 @@ object Multimodal {
   final case class Frame(doc_id: Long, frame_idx: Int, offset_ms: Long,
                          frame_hash: Long)
 
-  /** ==== STUB ==== deterministic stand-in for a real media codec. A real
-    * implementation decodes with an image/audio library per partition;
-    * this derives stable pseudo-features purely from the bytes so tests
-    * and plans are reproducible. */
+  /** ==== STUB (audio/video only) ==== deterministic stand-in for a real
+    * media codec. A real implementation decodes with an audio/video library
+    * per partition; this derives stable pseudo-features purely from the
+    * bytes so tests and plans are reproducible. Images do NOT use this —
+    * they decode for real via ImageCodec. */
   object FakeCodec {
     def features(bytes: Array[Byte]): Array[Float] = {
       val base = TextHashing.hashBytes(bytes, 0, bytes.length)
@@ -43,24 +45,41 @@ object Multimodal {
       TextHashing.mix64(TextHashing.hashBytes(bytes, 0, bytes.length) ^ idx)
   }
 
-  /** Attach a media column to the documents table: bytes = the UTF-8 text
-    * (an opaque stand-in payload), metadata derived deterministically from
-    * doc_id. Real pipelines read the bytes from object storage instead;
-    * everything downstream only sees (binary, metadata). */
+  /** Attach a media column to the documents table. Image rows (doc_id%3==0)
+    * carry a REAL deterministic PNG (pixels seeded from doc_id, encoded
+    * executor-side per partition); audio/video rows carry the UTF-8 text as
+    * an opaque stand-in payload. Real pipelines read the bytes from object
+    * storage instead; everything downstream only sees (binary, metadata). */
   def attachMedia(docs: DataFrame): DataFrame = {
-    val fmt = element_at(
-      array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-      (col("doc_id") % 3 + 1).cast("int"))
-    docs.select(
-      col("doc_id"),
-      col("text").cast("binary").as("media"),
-      fmt.as("format"),
-      (col("doc_id") % 640 + 32).cast("int").as("width"),
-      (col("doc_id") % 480 + 32).cast("int").as("height"),
-      (col("doc_id") % 90000).as("duration_ms"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          (id % 3).toInt match {
+            case 0 =>
+              // tiny real PNG: dims small enough that encode stays cheap at
+              // corpus scale, large enough to exercise real pixel stats
+              val w = (id % 24 + 8).toInt
+              val h = (id % 16 + 8).toInt
+              MediaRow(id, ImageCodec.encodePng(w, h, id), "image/png",
+                w, h, 0L)
+            case 1 =>
+              MediaRow(id, text.getBytes("UTF-8"), "audio/wav",
+                (id % 640 + 32).toInt, (id % 480 + 32).toInt, id % 90000)
+            case _ =>
+              MediaRow(id, text.getBytes("UTF-8"), "video/mp4",
+                (id % 640 + 32).toInt, (id % 480 + 32).toInt, id % 90000)
+          }
+        }
+      }.toDF()
   }
 
   /** Decode + feature-extract: executor-side, batched per partition.
+    * Images decode for REAL (javax.imageio): features =
+    * [width, height, channels, meanR, meanG, meanB, stdR, stdG, stdB, 0…].
+    * Audio/video (and undecodable images) fall back to FakeCodec.
     * Output rows: (doc_id, format, n_bytes, feat_dim, features). */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -68,19 +87,30 @@ object Multimodal {
     media.select("doc_id", "media", "format", "width", "height", "duration_ms")
       .as[MediaRow]
       .mapPartitions { rows =>
-        // per-partition setup (a real codec would init here, once)
+        // per-partition setup (a real audio/video codec would init here)
         rows.map { r =>
-          val feats = FakeCodec.features(r.media)
+          val feats =
+            if (r.format == "image/png")
+              ImageCodec.decode(r.media).map { d =>
+                val f = new Array[Float](FeatureDim)
+                f(0) = d.width.toFloat
+                f(1) = d.height.toFloat
+                f(2) = d.channels.toFloat
+                System.arraycopy(d.meanRgb, 0, f, 3, 3)
+                System.arraycopy(d.stdRgb, 0, f, 6, 3)
+                f
+              }.getOrElse(FakeCodec.features(r.media))
+            else FakeCodec.features(r.media)
           MediaFeatures(r.doc_id, r.format, r.media.length.toLong,
             FeatureDim, feats)
         }
       }
   }
 
-  /** Resize images to (targetW, targetH): metadata updates for real; the
-    * pixel transform is the ==== STUB ==== (a real codec re-encodes; the
-    * stub re-hashes bytes with the target shape so output is deterministic
-    * and shape-dependent). Non-image rows pass through untouched. */
+  /** Resize images to (targetW, targetH) — REAL: decode, bilinear rescale,
+    * PNG re-encode (ImageCodec.resizePng). Undecodable image payloads fall
+    * back to a deterministic pseudo-resize so the operator stays total.
+    * Non-image rows pass through untouched. */
   def resizeImages(media: DataFrame, targetW: Int, targetH: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -90,18 +120,19 @@ object Multimodal {
         rows.map { r =>
           if (r.format != "image/png") r
           else {
-            val resized = {
-              // STUB: real impl decodes + rescales; fake payload derives
-              // deterministically from (bytes, target shape)
-              val seed = TextHashing.hashBytes(r.media, 0, r.media.length) ^
-                (targetW.toLong << 32) ^ targetH.toLong
-              val out = new Array[Byte](math.max(16, r.media.length / 2))
-              var i = 0
-              while (i < out.length) {
-                out(i) = (TextHashing.mix64(seed + i) & 0xff).toByte; i += 1
+            val resized = ImageCodec.resizePng(r.media, targetW, targetH)
+              .getOrElse {
+                // fallback for non-decodable payloads: deterministic bytes
+                // derived from (input, target shape)
+                val seed = TextHashing.hashBytes(r.media, 0, r.media.length) ^
+                  (targetW.toLong << 32) ^ targetH.toLong
+                val out = new Array[Byte](math.max(16, r.media.length / 2))
+                var i = 0
+                while (i < out.length) {
+                  out(i) = (TextHashing.mix64(seed + i) & 0xff).toByte; i += 1
+                }
+                out
               }
-              out
-            }
             r.copy(media = resized, width = targetW, height = targetH)
           }
         }

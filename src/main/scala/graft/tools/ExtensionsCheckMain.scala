@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Integration check for the `spark.sql.extensions` CONFIG registration path
+  * (GraftExtensions applied by Spark at SparkContext creation, not via
+  * programmatic withExtensions):
+  *
+  *   sbt "runMain graft.tools.ExtensionsCheckMain"
+  *
+  * Must run in its own JVM — spark.sql.extensions is a STATIC conf, read
+  * only when the first session of the process is built, which is why the
+  * shared-context ScalaTest JVM cannot exercise it (ExtensionsSpec covers
+  * the withExtensions path instead). Exits 0 iff every injected function is
+  * callable from plain spark.sql with correct results.
+  */
+object ExtensionsCheckMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-check")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val row = spark.sql(
+      """SELECT simhash64('a b c') AS sh,
+        |  ngram_jaccard('a b c d', 'a b c d') AS j,
+        |  cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cos,
+        |  size(minhash_sig('x y z w')) AS k,
+        |  size(winnow_sig('some document text to fingerprint here')) AS nw,
+        |  hyperplane_bucket(array(0.5F, 0.5F)) AS bkt""".stripMargin)
+      .collect().head
+    val ok = row.getAs[Double]("j") == 1.0 &&
+      math.abs(row.getAs[Double]("cos") - 1.0) < 1e-12 &&
+      row.getAs[Int]("k") == 128 &&
+      row.getAs[Int]("nw") > 0 &&
+      row.getAs[Int]("bkt") >= 0
+    spark.stop()
+    if (ok) {
+      println("[ext-check] PASS: spark.sql.extensions config injection works")
+    } else {
+      System.err.println(s"[ext-check] FAIL: unexpected results $row")
+      sys.exit(1)
+    }
+  }
+}

@@ -48,6 +48,43 @@ class MultimodalSpec extends AnyFunSuite {
     images.foreach(r => assert(again(r.doc_id) == r.media.toSeq))
   }
 
+  test("image path is REAL: PNG bytes decode, features carry true dims/stats") {
+    val media = Multimodal.attachMedia(docs)
+    val img = media.filter("format = 'image/png'").limit(5).collect()
+    assert(img.nonEmpty)
+    img.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("media")
+      // PNG magic
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N')
+      val d = ImageCodec.decode(bytes).get
+      assert(d.width == r.getAs[Int]("width"))
+      assert(d.height == r.getAs[Int]("height"))
+      assert(d.channels == 3)
+      // pseudo-random pixels: channel means land mid-range, nonzero spread
+      assert(d.meanRgb.forall(m => m > 0.2f && m < 0.8f))
+      assert(d.stdRgb.forall(_ > 0.05f))
+    }
+    val feats = Multimodal.extractFeatures(media)
+      .filter(_.format == "image/png").collect()
+    val meta = media.filter("format = 'image/png'").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    feats.foreach { f =>
+      val (w, h) = meta(f.doc_id)
+      assert(f.features(0) == w.toFloat && f.features(1) == h.toFloat)
+      assert(f.features(2) == 3.0f)
+    }
+  }
+
+  test("resizeImages really rescales: output PNG decodes to target dims") {
+    val media = Multimodal.attachMedia(docs).filter("format = 'image/png'").limit(3)
+    val out = Multimodal.resizeImages(media, 17, 11).collect()
+    out.foreach { r =>
+      val d = ImageCodec.decode(r.media).get
+      assert(d.width == 17 && d.height == 11)
+    }
+  }
+
   test("sampleFrames: n frames per video row only") {
     val media = Multimodal.attachMedia(docs)
     val nVideos = media.filter("format = 'video/mp4'").count()

@@ -41,8 +41,9 @@ class ExtensionsSpec extends AnyFunSuite {
 
   // NOTE: the `spark.sql.extensions` config path applies the same injection
   // at SparkContext creation; it is a STATIC conf, so it cannot be exercised
-  // in this shared-context test JVM — the withExtensions test above covers
-  // the injection machinery itself.
+  // in this shared-context test JVM. It IS exercised in its own JVM by
+  //   sbt "runMain graft.tools.ExtensionsCheckMain"
+  // (part of the verify checklist).
 
   test("MinHashMerge: group signature = element-wise min; jaccard estimate sane") {
     val spark = base
