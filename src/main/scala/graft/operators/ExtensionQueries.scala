@@ -75,7 +75,31 @@ object ExtensionQueries {
           col("top").getItem(0).getField("neighbor_id").as("neighbor_id"),
           round(col("top").getItem(0).getField("cos"), 3).as("jaccard"))
     },
-    None)
+    // Oracle-expressible because the shingles are WORD 3-grams of
+    // space-split tokens: DuckDB rebuilds the same distinct-shingle sets
+    // as strings (hashed-set vs string-set Jaccard agree modulo 64-bit
+    // collisions, negligible at this corpus size), same <3-token
+    // single-shingle edge case, same (jac DESC, neighbor_id) tiebreak as
+    // TopKAgg.
+    Some("""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+           | sh AS (SELECT doc_id, list_distinct(CASE
+           |   WHEN len(toks) = 0 THEN []
+           |   WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+           |   ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+           |   END) AS s FROM d),
+           | p AS (SELECT doc_id, s FROM sh WHERE doc_id < 10),
+           | sc AS (SELECT p.doc_id, c.doc_id AS neighbor_id,
+           |   CASE WHEN len(p.s) = 0 AND len(c.s) = 0 THEN 1.0
+           |        WHEN len(p.s) = 0 OR len(c.s) = 0 THEN 0.0
+           |        ELSE len(list_intersect(p.s, c.s)) * 1.0
+           |          / (len(p.s) + len(c.s) - len(list_intersect(p.s, c.s)))
+           |   END AS jac
+           |   FROM p, sh c WHERE c.doc_id <> p.doc_id),
+           | r AS (SELECT doc_id, neighbor_id, jac, row_number()
+           |   OVER (PARTITION BY doc_id ORDER BY jac DESC, neighbor_id) AS rn FROM sc)
+           | SELECT doc_id, neighbor_id, round(jac, 3) AS jaccard FROM r WHERE rn = 1"""
+      .stripMargin.replace("\n", "")))
 
   /** Embedding near-dup report via hyperplane LSH buckets. */
   val embNearDup = Q(
