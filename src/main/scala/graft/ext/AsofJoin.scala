@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — the time-series operator Spark's built-ins lack (pandas
+  * `merge_asof`, kdb `aj`, DuckDB `ASOF JOIN`): for each left row, the
+  * single right row with the LATEST right.ts ≤ left.ts (backward) or the
+  * EARLIEST right.ts ≥ left.ts (forward) within the same key.
+  *
+  * Implementation is the MERGE shape, not a range join: union both sides
+  * tagged, one hash shuffle on the key, one sort by (ts, side), then a
+  * running `last(right_payload, ignoreNulls)` window carries the current
+  * as-of match onto every left row. Cost at 100 TB: exactly one exchange +
+  * per-partition sort — same layout as any keyed window — versus a range
+  * join's per-key quadratic blowup (every left × every earlier right pair
+  * materialized before the per-pair filter).
+  *
+  * Ties (right.ts == left.ts) match, as in pandas/DuckDB (`allow_exact_
+  * matches=True` semantics): the right row sorts before the left row at
+  * equal ts via the side tag.
+  *
+  * The right side must be unique per (key, ts) — enforce upstream (e.g.
+  * aggregate) — otherwise which same-ts row wins is nondeterministic.
+  */
+object AsofJoin {
+
+  /** Backward as-of (pandas default): latest right at-or-before left.ts.
+    *
+    * @param rightCols right-side payload columns to carry onto matches
+    * @param toleranceSeconds optional max staleness: matches older than
+    *   left.ts - tolerance are dropped (NULL payload), pandas `tolerance`
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightCols: Seq[String],
+               toleranceSeconds: Option[Long] = None): DataFrame =
+    merge(left, right, key, ts, rightCols, toleranceSeconds, forward = false)
+
+  /** Forward as-of: earliest right at-or-after left.ts. */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+              rightCols: Seq[String],
+              toleranceSeconds: Option[Long] = None): DataFrame =
+    merge(left, right, key, ts, rightCols, toleranceSeconds, forward = true)
+
+  private def merge(left: DataFrame, right: DataFrame, key: String,
+                    ts: String, rightCols: Seq[String],
+                    toleranceSeconds: Option[Long],
+                    forward: Boolean): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("__asof"),
+      "left side may not contain a __asof column")
+
+    // tag sides; right payload rides in one struct (ts kept for tolerance)
+    val payload = struct(
+      (col(ts).as("__rts") +: rightCols.map(col)): _*)
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("__side"), payload.as("__asof")) ++
+        leftCols.filterNot(Seq(key, ts).contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val l = left.select(
+      Seq(col(key), col(ts), lit(1).as("__side"),
+        lit(null).cast(r.schema("__asof").dataType).as("__asof")) ++
+        leftCols.filterNot(Seq(key, ts).contains).map(col): _*)
+
+    // one exchange on the key; sort direction decides backward/forward.
+    // At equal ts the right row sorts first either way (side 0 < 1), so
+    // exact-ts rights are visible to the window at the left row.
+    val ordered =
+      if (forward) Seq(col(ts).desc, col("__side").asc)
+      else Seq(col(ts).asc, col("__side").asc)
+    val w = Window.partitionBy(col(key)).orderBy(ordered: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumn("__match", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    // tolerance: |match ts - left ts| ≤ tolerance, else NULL the payload
+    val gated = toleranceSeconds match {
+      case Some(tol) =>
+        val gap =
+          if (forward) unix_timestamp(col("__match.__rts")) - unix_timestamp(col(ts))
+          else unix_timestamp(col(ts)) - unix_timestamp(col("__match.__rts"))
+        carried.withColumn("__match",
+          when(gap <= tol, col("__match")))
+      case None => carried
+    }
+
+    gated.select(leftCols.map(col) ++
+      rightCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+}

@@ -213,6 +213,34 @@ object ExtensionQueries {
     },
     None)
 
+  /** As-of join (AsofJoin.backward — single-shuffle merge shape): each
+    * click event picks up the latest purchase value at-or-before it for
+    * the same user. Oracle = DuckDB's native ASOF LEFT JOIN; both sides
+    * see identical microsecond timestamps (Spark truncates the nanos
+    * parquet on read; the oracle date_truncs to match), and purchases are
+    * pre-aggregated per (user, ts) so same-ts winners are deterministic. */
+  val asofJoin = Q(
+    "q_x_asof_join",
+    "As-of join: latest purchase at-or-before each click, per user",
+    (s, dir) => {
+      val e = Sources.table(s, dir, "events")
+      val probes = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("qv"))
+      graft.ext.AsofJoin.backward(probes, quotes, "user_id", "ts", Seq("qv"))
+        .select(col("event_id"), col("user_id"),
+          round(col("qv"), 2).as("asof_value"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id,
+           |   date_trunc('microseconds', ts) AS ts, event_type, value FROM events),
+           | p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+           | q AS (SELECT user_id, ts, max(value) AS qv FROM e
+           |   WHERE event_type = 'purchase' GROUP BY 1, 2)
+           | SELECT p.event_id, p.user_id, round(q.qv, 2) AS asof_value
+           | FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.ts >= q.ts"""
+      .stripMargin.replace("\n", "")))
+
   // ------------------------------------------------------------- text --
 
   /** Token counting: whitespace + BPE-ish regex tokens. */
@@ -331,7 +359,7 @@ object ExtensionQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, ngramJaccardTop1, embNearDup,
-    embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf,
+    embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     jsonProps, multimodal)
 }
