@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range join (point-in-interval) — Spark turns a pure inequality join
+  * condition into BroadcastNestedLoopJoin/CartesianProduct: per-key
+  * quadratic, a scale killer. This operator uses the standard BINNING
+  * reduction instead: quantize the time axis into `binSeconds` buckets,
+  * explode each interval into the bins it covers, map each point to its
+  * single bin, then EQUI-join on (keys…, bin) and post-filter exact
+  * containment. Shuffle payload is rows × (covered bins), the join is a
+  * hash join, and a point lands in exactly one bin so no dedup pass is
+  * needed.
+  *
+  * Pick `binSeconds` near the typical interval length: bins too fine
+  * multiply the exploded interval rows; too coarse degrades the equi-join
+  * into the post-filter. Either way the plan stays hash-join-shaped.
+  */
+object RangeJoin {
+
+  /** Inner-join points to intervals `[start, end)` sharing `keys` (may be
+    * empty for a keyless/global range join). Output: every (point,
+    * covering interval) pair, point columns first. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointTs: String, startCol: String, endCol: String,
+                      keys: Seq[String] = Nil,
+                      binSeconds: Long = 3600L): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val binUs = binSeconds * 1000000L
+    // exactly representable micros arithmetic; end is exclusive so the
+    // last covered bin is floor((end-1µs)/bin)
+    val p = points.withColumn("__bin",
+      floor(unix_micros(col(pointTs)) / binUs))
+    val i = intervals
+      // empty/inverted intervals match nothing (and Spark's sequence()
+      // would otherwise run DESCENDING for them, fabricating bins)
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin", explode(sequence(
+        floor(unix_micros(col(startCol)) / binUs),
+        floor((unix_micros(col(endCol)) - 1) / binUs))))
+    p.join(i, keys :+ "__bin")
+      .filter(unix_micros(col(pointTs)) >= unix_micros(col(startCol)) &&
+        unix_micros(col(pointTs)) < unix_micros(col(endCol)))
+      .drop("__bin")
+  }
+}

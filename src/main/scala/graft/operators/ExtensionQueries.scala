@@ -241,6 +241,45 @@ object ExtensionQueries {
            | FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.ts >= q.ts"""
       .stripMargin.replace("\n", "")))
 
+  /** Range join (RangeJoin.pointInInterval — binned equi-join shape, no
+    * BroadcastNestedLoop): each click against the 10-minute windows opened
+    * by the same user's purchases; per-click coverage report. Oracle =
+    * DuckDB inequality join (fine at sf0.01; the binning exists precisely
+    * because that shape is quadratic at scale). */
+  val rangeJoin = Q(
+    "q_x_range_join",
+    "Range join: clicks inside 10-min post-purchase windows, per user",
+    (s, dir) => {
+      val e = Sources.table(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val windows = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"),
+          col("value").as("qv"))
+      val hits = graft.ext.RangeJoin.pointInInterval(
+          clicks, windows, "ts", "w_start", "w_end",
+          keys = Seq("user_id"), binSeconds = 600L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_windows"), round(max(col("qv")), 2).as("max_qv"))
+      clicks.join(hits, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"), col("max_qv"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id,
+           |   date_trunc('microseconds', ts) AS ts, event_type, value FROM events),
+           | p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+           | w AS (SELECT user_id, ts AS w_start, ts + INTERVAL 10 MINUTE AS w_end,
+           |   value AS qv FROM e WHERE event_type = 'purchase'),
+           | m AS (SELECT p.event_id, count(*) AS n_windows, round(max(w.qv), 2) AS max_qv
+           |   FROM p JOIN w ON p.user_id = w.user_id
+           |     AND p.ts >= w.w_start AND p.ts < w.w_end
+           |   GROUP BY 1)
+           | SELECT p.event_id, CAST(coalesce(m.n_windows, 0) AS BIGINT) AS n_windows,
+           |   m.max_qv
+           | FROM p LEFT JOIN m ON p.event_id = m.event_id"""
+      .stripMargin.replace("\n", "")))
+
   // ------------------------------------------------------------- text --
 
   /** Token counting: whitespace + BPE-ish regex tokens. */
@@ -360,6 +399,7 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, ngramJaccardTop1, embNearDup,
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
+    rangeJoin,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     jsonProps, multimodal)
 }
