@@ -116,6 +116,46 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup — the unbounded-corpus counterpart of
+    * Dedup.exact: the FIRST row per key within the watermark horizon
+    * survives; later duplicates drop, and per-key state evicts once the
+    * watermark passes (bounded state on an unbounded stream — the horizon
+    * is the dedup guarantee window, exactly the built-in
+    * `dropDuplicatesWithinWatermark` contract). Keys shard across
+    * executors by hash, same as the batch groupBy. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  final case class DupHit(key: Long, event_id: Long, n_seen: Long)
+
+  /** The audit complement of dedupStream: emits one row PER DUPLICATE
+    * occurrence (first sightings pass silently), with the running
+    * occurrence number — the "what did we drop" stream a curation
+    * pipeline logs. Custom state (a count per key) via
+    * flatMapGroupsWithState; NoTimeout because the audit is exact over
+    * the stream's lifetime (swap in EventTimeTimeout to bound state by a
+    * horizon like dedupStream). */
+  def duplicateAudit(events: DataFrame, keyCol: String): Dataset[DupHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("long").as("key"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, DupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, eid) =>
+            n += 1
+            if (n > 1) Some(DupHit(key, eid, n)) else None
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   /** Stateful per-user running session stats via mapGroupsWithState:
     * arbitrary state (count, value sum, last event type) maintained per key
     * across micro-batches. */

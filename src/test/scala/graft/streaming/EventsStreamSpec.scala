@@ -44,6 +44,35 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: cross-micro-batch duplicates suppressed; audit emits them") {
+    val dir = Files.createTempDirectory("graft-stream-dedup")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val src = EventsStream.readEvents(spark, dir.toAbsolutePath.toString)
+
+    val deduped = EventsStream.dedupStream(src, Seq("event_id"),
+      watermark = "365 days")
+    val qd = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val audit = EventsStream.duplicateAudit(src, "event_id")
+    val qa = audit.toDF().writeStream.format("memory").queryName("audit_out")
+      .outputMode("append").start()
+    try {
+      qd.processAllAvailable(); qa.processAllAvailable()
+      val n = Sources.table(spark, "/root/testdata/sf0.001", "events").count()
+      assert(spark.table("dedup_out").count() == n)
+      assert(spark.table("audit_out").count() == 0)
+      // second micro-batch: the SAME file again → all rows are duplicates
+      Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+        dir.resolve("batch2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      qd.processAllAvailable(); qa.processAllAvailable()
+      assert(spark.table("dedup_out").count() == n) // no new survivors
+      val hits = spark.table("audit_out")
+      assert(hits.count() == n) // every replayed row audited
+      assert(hits.filter("n_seen <> 2").count() == 0)
+    } finally { qd.stop(); qa.stop() }
+  }
+
   test("event-time session windows match batch sessionization") {
     import org.apache.spark.sql.expressions.Window
     val dir = stageDir()
