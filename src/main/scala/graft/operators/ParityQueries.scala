@@ -430,10 +430,86 @@ object ParityQueries {
            | CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
            | FROM g""".stripMargin.replace("\n", "")))
 
+  /** Grouped EXACT percentiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition, so the
+    * rounded values hash-match. (percentile_approx is the scale path for
+    * streaming/huge groups; the exact form is the oracle-able anchor.) */
+  val percentiles = Q(
+    "q_a7_percentile",
+    "Grouped exact percentiles (p25/p50/p75 extendedprice per returnflag)",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+        round(max(col("l_extendedprice")), 2).as("pmax")),
+    Some("""SELECT l_returnflag,
+           | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+           | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           | round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+           | round(max(l_extendedprice), 2) AS pmax
+           | FROM lineitem GROUP BY l_returnflag"""
+      .stripMargin.replace("\n", "")))
+
+  /** lag/lead + running sum — the remaining core window shapes beyond
+    * row_number (windowRank) and sessionize. The running sum accumulates
+    * in the same deterministic (ts, event_id) order in both engines, so
+    * even the floating-point prefix sums agree bit-for-bit. */
+  val windowLagLead = Q(
+    "q_w_lag_lead",
+    "Window: lag/lead/running-sum of value per user in event order",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        round(lag(col("value"), 1).over(w), 2).as("prev_value"),
+        round(lead(col("value"), 1).over(w), 2).as("next_value"),
+        round(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_value"))
+    },
+    Some("""SELECT event_id, user_id,
+           | round(lag(value) OVER w, 2) AS prev_value,
+           | round(lead(value) OVER w, 2) AS next_value,
+           | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |   ROWS UNBOUNDED PRECEDING), 2) AS running_value
+           | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+      .stripMargin.replace("\n", "")))
+
+  /** Pivot (groupBy().pivot() — the spreadsheet turn): events per user ×
+    * event_type as columns. Fixed value list on the Spark side (the 100 TB
+    * discipline: a discovery pass over the pivot column is a full extra
+    * scan); DuckDB mirrors with FILTERed counts. */
+  val pivotCounts = Q(
+    "q_p9_pivot",
+    "Pivot: per-user event counts, one column per event_type",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("error"), lit(0L)).as("n_error")),
+    Some("""SELECT user_id,
+           | count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           | count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           | count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           | count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           | count(*) FILTER (WHERE event_type = 'error') AS n_error
+           | FROM events GROUP BY user_id"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(
     scanProject, filterEq, filterLike, filterInBetween,
     joinLeft, joinTwoKey, joinAnti, joinSemi, starJoin,
     aggCount, aggGroup, groupingSets, countDistinct, approxDistinct, distinctDim,
+    percentiles, pivotCounts,
     timeDims, epochRoundtrip, caseFiscal,
-    cteTopK, windowRank, sessionize, pricingSummary)
+    cteTopK, windowRank, windowLagLead, sessionize, pricingSummary)
 }
