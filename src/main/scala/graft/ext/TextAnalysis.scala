@@ -89,6 +89,34 @@ object TextAnalysis {
     greatest(ranked: _*).getField("lang")
   }
 
+  // PII patterns kept RE2-compatible (no backrefs/lookaround) so the same
+  // regex text runs identically under Java regex (Spark) and RE2 (DuckDB,
+  // and the usual scan services) — a practical requirement for a redaction
+  // step that must be re-verifiable outside the JVM.
+  private val piiPatterns: Seq[(String, String, String)] = Seq(
+    // (name, pattern, replacement)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\d{3}[-.]\\d{3}[-.]\\d{4}", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
+
+  /** PII scrub — the redaction pass every training-data pipeline runs
+    * before text lands in a corpus: emails, phone numbers, IPv4s, SSNs →
+    * typed placeholder tokens. Map-only chained regexp_replace (codegen'd
+    * built-ins, no UDF); order matters (emails before IPs, so a dotted
+    * user@host doesn't half-match). Returns (redacted, n_pii) columns. */
+  def redactPii(text: Column): Seq[Column] = {
+    // count each pattern on the PREVIOUS stage's text, so n_pii is exactly
+    // the number of replacements performed (an email's digits can't also
+    // count as a phone number once the email is already a placeholder)
+    val (redacted, nPii) = piiPatterns.foldLeft((text, lit(0L))) {
+      case ((c, n), (_, pat, repl)) =>
+        (regexp_replace(c, pat, repl),
+          n + regexp_count(c, lit(pat)).cast("long"))
+    }
+    Seq(redacted.as("redacted"), nPii.as("n_pii"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
     * (oracle-portable), plus winnowing fingerprints for overlap detection. */
   def contentFingerprint(text: Column): Column =

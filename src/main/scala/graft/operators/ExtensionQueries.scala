@@ -362,6 +362,28 @@ object ExtensionQueries {
     Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
            | FROM documents""".stripMargin.replace("\n", "")))
 
+  /** PII redaction (TextAnalysis.redactPii): emails/phones/IPv4s/SSNs →
+    * placeholder tokens, map-only. The patterns are RE2-compatible by
+    * construction, so the DuckDB oracle runs the IDENTICAL regex text;
+    * counts are per-stage (see redactPii), mirrored with chained CTEs. */
+  val piiRedact = Q(
+    "q_x_pii_redact",
+    "PII redaction: email/phone/IP/SSN scrub + replacement count",
+    (s, dir) => Sources.table(s, dir, "documents")
+      .select(col("doc_id") +: TextAnalysis.redactPii(col("text")): _*),
+    Some("""WITH s1 AS (SELECT doc_id, text AS t0,
+           |   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           |   FROM documents),
+           | s2 AS (SELECT *, regexp_replace(t1, '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g') AS t2 FROM s1),
+           | s3 AS (SELECT *, regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3 FROM s2),
+           | s4 AS (SELECT *, regexp_replace(t3, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t4 FROM s3)
+           | SELECT doc_id, t4 AS redacted,
+           | CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           |   + len(regexp_extract_all(t1, '\d{3}[-.]\d{3}[-.]\d{4}'))
+           |   + len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+           |   + len(regexp_extract_all(t3, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_pii
+           | FROM s4""".stripMargin.replace("\n", "")))
+
   /** JSON metadata extraction — training pipelines parse per-record JSON
     * props constantly; codegen'd get_json_object, no UDF. */
   val jsonProps = Q(
@@ -401,5 +423,5 @@ object ExtensionQueries {
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     rangeJoin,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
-    jsonProps, multimodal)
+    piiRedact, jsonProps, multimodal)
 }

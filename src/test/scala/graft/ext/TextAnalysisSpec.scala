@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def redact(s: String): (String, Long) = {
+    val spark0 = spark
+    import spark0.implicits._
+    val r = Seq(s).toDF("text")
+      .select(TextAnalysis.redactPii(col("text")): _*)
+      .collect().head
+    (r.getString(0), r.getLong(1))
+  }
+
+  test("redactPii: each PII class replaced with its placeholder") {
+    assert(redact("mail me at jo.doe+x@example.co.uk today") ==
+      (("mail me at <EMAIL> today", 1L)))
+    assert(redact("call 555-867-5309 or 555.867.5309") ==
+      (("call <PHONE> or <PHONE>", 2L)))
+    assert(redact("server at 192.168.0.1 down") ==
+      (("server at <IP> down", 1L)))
+    assert(redact("ssn 078-05-1120 leaked") ==
+      (("ssn <SSN> leaked", 1L)))
+    assert(redact("no pii here, just 12345 and v1.2") ==
+      (("no pii here, just 12345 and v1.2", 0L)))
+  }
+
+  test("redactPii: sequential counting — an email's host isn't re-counted as an IP") {
+    // the dotted local/host part would IP-match if counted on raw text
+    val (out, n) = redact("from 10.0.0.7@9.9.9.9.example.com sent via 10.0.0.8")
+    assert(out == "from <EMAIL> sent via <IP>")
+    assert(n == 2L)
+  }
+
+  test("redactPii: mixed document counts every replacement") {
+    val (out, n) = redact(
+      "a@b.io wrote: ping 8.8.8.8, fax 123-456-7890, ssn 111-22-3333")
+    assert(out == "<EMAIL> wrote: ping <IP>, fax <PHONE>, ssn <SSN>")
+    assert(n == 4L)
+  }
+
+  test("langId boundary: stopword-free text falls back to first profile") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Seq("zzz qqq xxx").toDF("text")
+      .select(TextAnalysis.langIdColumn(col("text")).as("lang"))
+      .collect().head.getString(0)
+    assert(out == "en") // deterministic tiebreak: first-listed profile wins
+  }
+}
