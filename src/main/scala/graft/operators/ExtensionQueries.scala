@@ -280,6 +280,21 @@ object ExtensionQueries {
            | FROM p LEFT JOIN m ON p.event_id = m.event_id"""
       .stripMargin.replace("\n", "")))
 
+  /** Deterministic train/val/test split (Sampling.deterministicSplit):
+    * md5-hex bucketing — portable across engines (unlike xxhash64/rand),
+    * so the oracle verifies the EXACT assignment DuckDB would compute. */
+  val trainSplit = Q(
+    "q_x_train_split",
+    "Deterministic md5-bucket train/val/test assignment per document",
+    (s, dir) => graft.ext.Sampling.deterministicSplit(
+        Sources.table(s, dir, "documents"), "doc_id")
+      .select(col("doc_id"), col("split")),
+    Some("""SELECT doc_id, CASE
+           | WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e' THEN 'val'
+           | WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' THEN 'test'
+           | ELSE 'train' END AS split FROM documents"""
+      .stripMargin.replace("\n", "")))
+
   // ------------------------------------------------------------- text --
 
   /** Token counting: whitespace + BPE-ish regex tokens. */
@@ -421,7 +436,7 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, ngramJaccardTop1, embNearDup,
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
-    rangeJoin,
+    rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     piiRedact, jsonProps, multimodal)
 }
