@@ -170,6 +170,18 @@ object Sources {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** Incremental partition load — the 100 TB append pattern the
+    * reference's full-reload ETL lacks: dynamic partition overwrite
+    * replaces ONLY the partitions present in `df` (yesterday's late data,
+    * today's batch) and leaves every other partition untouched. The mode
+    * rides as a per-write option, not session conf — concurrent writers
+    * with different modes don't interfere. */
+  def writePartitionedIncremental(df: DataFrame, path: String,
+                                  partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed catalog table — the full Redshift distkey analogue: two
     * tables bucketed on their join key with the same bucket count join
     * WITHOUT a shuffle (co-located hash join). Opt-in (bucketing pays one
