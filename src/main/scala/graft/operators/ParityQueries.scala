@@ -439,11 +439,16 @@ object ParityQueries {
     "Grouped exact percentiles (p25/p50/p75 extendedprice per returnflag)",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
+      // ONE percentile aggregate with an array of fractions: a single
+      // per-group value buffer instead of three (3× less agg memory/work)
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
-        round(max(col("l_extendedprice")), 2).as("pmax")),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"),
+        round(max(col("l_extendedprice")), 2).as("pmax"))
+      .select(col("l_returnflag"),
+        round(col("ps").getItem(0), 2).as("p25"),
+        round(col("ps").getItem(1), 2).as("p50"),
+        round(col("ps").getItem(2), 2).as("p75"),
+        col("pmax")),
     Some("""SELECT l_returnflag,
            | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
            | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
