@@ -117,6 +117,26 @@ object TextAnalysis {
     Seq(redacted.as("redacted"), nPii.as("n_pii"))
   }
 
+  /** Document chunking — split each document into overlapping
+    * `windowTokens`-token windows every `strideTokens` tokens (stride <
+    * window ⇒ overlap), the canonical context-window preprocessing for
+    * LLM training/embedding. Map-only: tokenize once, explode the window
+    * starts; no shuffle, output rows ≈ n_tokens/stride per doc. The tail
+    * chunk may be shorter; empty docs yield zero chunks. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            windowTokens: Int = 32, strideTokens: Int = 16): DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0,
+      "window and stride must be positive")
+    val toks = filter(split(col(textCol), " ", -1), t => t =!= lit(""))
+    val starts = when(size(toks) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(toks) - 1, lit(strideTokens)))
+    val chunks = transform(starts,
+      s => array_join(slice(toks, s + 1, lit(windowTokens)), " "))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
     * (oracle-portable), plus winnowing fingerprints for overlap detection. */
   def contentFingerprint(text: Column): Column =

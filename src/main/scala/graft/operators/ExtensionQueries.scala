@@ -377,6 +377,21 @@ object ExtensionQueries {
     Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
            | FROM documents""".stripMargin.replace("\n", "")))
 
+  /** Document chunking (TextAnalysis.chunk): 32-token windows, stride 16
+    * (50% overlap). DuckDB mirrors the token filter, the 1-based list
+    * slice, and the start arithmetic exactly. */
+  val chunkDocs = Q(
+    "q_x_chunk",
+    "Chunk documents into overlapping 32-token windows (stride 16)",
+    (s, dir) => TextAnalysis.chunk(
+      Sources.table(s, dir, "documents"), "doc_id", "text", 32, 16),
+    Some("""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+           | e AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 16)) AS s FROM d)
+           | SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS chunk_idx,
+           |   array_to_string(toks[s:s+31], ' ') AS chunk FROM e"""
+      .stripMargin.replace("\n", "")))
+
   /** PII redaction (TextAnalysis.redactPii): emails/phones/IPv4s/SSNs →
     * placeholder tokens, map-only. The patterns are RE2-compatible by
     * construction, so the DuckDB oracle runs the IDENTICAL regex text;
@@ -438,5 +453,5 @@ object ExtensionQueries {
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
-    piiRedact, jsonProps, multimodal)
+    chunkDocs, piiRedact, jsonProps, multimodal)
 }

@@ -44,6 +44,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == 4L)
   }
 
+  test("chunk: overlap, tail chunk, stride accounting, empty doc") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "solo"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "doc_id", "text",
+        windowTokens = 4, strideTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // starts 0,2,4,6,8 → 5 chunks; last is the 2-token tail
+    assert(d1.toSeq == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10", "w9 w10"))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("solo"))
+    assert(!out.exists(_._1 == 3L)) // empty doc → zero chunks
+  }
+
   test("langId boundary: stopword-free text falls back to first profile") {
     val spark0 = spark
     import spark0.implicits._
