@@ -89,6 +89,30 @@ object TextAnalysis {
     greatest(ranked: _*).getField("lang")
   }
 
+  /** Repetition signals (Gopher-style quality filters): the fraction of
+    * NON-UNIQUE word n-grams (1 − distinct/total) for n = 1, 2, 3.
+    * Machine-generated / boilerplate text scores high; normal prose low.
+    * Chosen over "top n-gram fraction" because distinct-ratio needs no
+    * mode computation (whose tiebreak would be engine-specific) — it's a
+    * deterministic, map-only arithmetic identity in any engine. */
+  def repetitionColumns(text: Column): Seq[Column] = {
+    val toks = filter(split(text, " ", -1), t => t =!= lit(""))
+    def grams(n: Int): Column =
+      if (n == 1) toks
+      else when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(toks, i + k)): _*)))
+    def dupFrac(g: Column): Column =
+      when(size(g) === 0, 0.0).otherwise(
+        round(lit(1.0) - size(array_distinct(g)).cast("double") /
+          size(g).cast("double"), 4))
+    Seq(
+      dupFrac(grams(1)).as("dup_word_frac"),
+      dupFrac(grams(2)).as("dup_2gram_frac"),
+      dupFrac(grams(3)).as("dup_3gram_frac"))
+  }
+
   // PII patterns kept RE2-compatible (no backrefs/lookaround) so the same
   // regex text runs identically under Java regex (Spark) and RE2 (DuckDB,
   // and the usual scan services) — a practical requirement for a redaction

@@ -377,6 +377,31 @@ object ExtensionQueries {
     Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
            | FROM documents""".stripMargin.replace("\n", "")))
 
+  /** Repetition quality signals (TextAnalysis.repetitionColumns):
+    * non-unique word/2-gram/3-gram fractions — Gopher-style boilerplate
+    * detection, pure arithmetic so DuckDB reproduces it exactly. */
+  val repetition = Q(
+    "q_x_repetition",
+    "Repetition signals: non-unique word/2-gram/3-gram fractions",
+    (s, dir) => Sources.table(s, dir, "documents")
+      .select(col("doc_id") +: TextAnalysis.repetitionColumns(col("text")): _*),
+    Some("""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split(text, ' '), t -> t <> '') AS t1 FROM documents),
+           | g AS (SELECT doc_id, t1,
+           |   CASE WHEN len(t1) < 2 THEN [] ELSE
+           |     [t1[i] || ' ' || t1[i+1] for i in range(1, len(t1))] END AS t2,
+           |   CASE WHEN len(t1) < 3 THEN [] ELSE
+           |     [t1[i] || ' ' || t1[i+1] || ' ' || t1[i+2] for i in range(1, len(t1) - 1)] END AS t3
+           |   FROM d)
+           | SELECT doc_id,
+           | CASE WHEN len(t1) = 0 THEN 0.0 ELSE
+           |   round(1.0 - len(list_distinct(t1)) * 1.0 / len(t1), 4) END AS dup_word_frac,
+           | CASE WHEN len(t2) = 0 THEN 0.0 ELSE
+           |   round(1.0 - len(list_distinct(t2)) * 1.0 / len(t2), 4) END AS dup_2gram_frac,
+           | CASE WHEN len(t3) = 0 THEN 0.0 ELSE
+           |   round(1.0 - len(list_distinct(t3)) * 1.0 / len(t3), 4) END AS dup_3gram_frac
+           | FROM g""".stripMargin.replace("\n", "")))
+
   /** Document chunking (TextAnalysis.chunk): 32-token windows, stride 16
     * (50% overlap). DuckDB mirrors the token filter, the 1-based list
     * slice, and the start arithmetic exactly. */
@@ -453,5 +478,5 @@ object ExtensionQueries {
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
-    chunkDocs, piiRedact, jsonProps, multimodal)
+    chunkDocs, repetition, piiRedact, jsonProps, multimodal)
 }

@@ -63,6 +63,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 3L)) // empty doc → zero chunks
   }
 
+  test("repetition: boilerplate scores high, varied prose low, edge cases zero") {
+    val spark0 = spark
+    import spark0.implicits._
+    def reps(s: String): (Double, Double, Double) = {
+      val r = Seq(s).toDF("text")
+        .select(TextAnalysis.repetitionColumns(col("text")): _*)
+        .collect().head
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    val (w1, b1, t1) = reps("buy now buy now buy now buy now")
+    assert(w1 > 0.7)  // 2 distinct words / 8
+    assert(b1 > 0.5)  // "buy now"/"now buy" repeat
+    assert(t1 > 0.5)
+    val (w2, b2, t2) = reps("the quick brown fox jumps over a lazy dog")
+    assert(w2 == 0.0 && b2 == 0.0 && t2 == 0.0)
+    assert(reps("") == ((0.0, 0.0, 0.0)))
+    assert(reps("one two") == ((0.0, 0.0, 0.0))) // too short for 3-grams
+  }
+
   test("langId boundary: stopword-free text falls back to first profile") {
     val spark0 = spark
     import spark0.implicits._
