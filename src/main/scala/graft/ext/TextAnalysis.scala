@@ -159,11 +159,17 @@ object TextAnalysis {
     val toks = filter(split(col(textCol), " ", -1), t => t =!= lit(""))
     val starts = when(size(toks) === 0, array().cast("array<int>"))
       .otherwise(sequence(lit(0), size(toks) - 1, lit(strideTokens)))
-    val chunks = transform(starts,
-      s => array_join(slice(toks, s + 1, lit(windowTokens)), " "))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    // explode the (cheap, int) starts FIRST, slice from the tokenized
+    // array as a top-level expression after the Generate: the tokenize
+    // runs once per input row, not once per chunk (slicing inside a
+    // transform() lambda would re-tokenize per chunk — no subexpression
+    // elimination inside higher-order-function lambdas, O(tokens²/stride)
+    // on long documents)
+    df.select(col(idCol), toks.as("__toks"),
+        posexplode(starts).as(Seq("chunk_idx", "s")))
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
-        col("chunk"))
+        array_join(slice(col("__toks"), col("s") + 1, lit(windowTokens)), " ")
+          .as("chunk"))
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
