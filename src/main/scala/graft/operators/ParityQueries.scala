@@ -457,6 +457,43 @@ object ParityQueries {
            | FROM lineitem GROUP BY l_returnflag"""
       .stripMargin.replace("\n", "")))
 
+  /** CUBE — all 2^k grouping combinations (GROUPING SETS' bigger sibling;
+    * same single-pass expand+aggregate plan in Spark). */
+  val cubeAgg = Q(
+    "q_a8_cube",
+    "CUBE over (orderstatus, orderpriority): counts + revenue",
+    (s, dir) => t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("revenue")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           | round(sum(o_totalprice), 2) AS revenue
+           | FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+      .stripMargin.replace("\n", "")))
+
+  /** Set operations — INTERSECT / EXCEPT (bag-distinct semantics): users
+    * seen in both halves of the month vs only the first half. */
+  val setOps = Q(
+    "q_q2_set_ops",
+    "Set ops: INTERSECT and EXCEPT over first/second-half user sets",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val firstHalf = e.filter(dayofmonth(col("ts")) <= 15)
+        .select(col("user_id"))
+      val secondHalf = e.filter(dayofmonth(col("ts")) > 15)
+        .select(col("user_id"))
+      firstHalf.intersect(secondHalf)
+        .withColumn("membership", lit("both"))
+        .unionByName(firstHalf.except(secondHalf)
+          .withColumn("membership", lit("first_only")))
+    },
+    Some("""WITH f AS (SELECT user_id FROM events WHERE extract(day FROM ts) <= 15),
+           | s AS (SELECT user_id FROM events WHERE extract(day FROM ts) > 15)
+           | SELECT user_id, 'both' AS membership FROM (SELECT user_id FROM f INTERSECT SELECT user_id FROM s)
+           | UNION ALL
+           | SELECT user_id, 'first_only' AS membership FROM (SELECT user_id FROM f EXCEPT SELECT user_id FROM s)"""
+      .stripMargin.replace("\n", "")))
+
   /** lag/lead + running sum — the remaining core window shapes beyond
     * row_number (windowRank) and sessionize. The running sum accumulates
     * in the same deterministic (ts, event_id) order in both engines, so
@@ -514,7 +551,7 @@ object ParityQueries {
     scanProject, filterEq, filterLike, filterInBetween,
     joinLeft, joinTwoKey, joinAnti, joinSemi, starJoin,
     aggCount, aggGroup, groupingSets, countDistinct, approxDistinct, distinctDim,
-    percentiles, pivotCounts,
+    percentiles, pivotCounts, cubeAgg, setOps,
     timeDims, epochRoundtrip, caseFiscal,
     cteTopK, windowRank, windowLagLead, sessionize, pricingSummary)
 }
