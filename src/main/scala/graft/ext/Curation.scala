@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed training-data curation pipeline — the end-to-end flow the
+  * individual operators exist for:
+  *
+  *   exact dedup → near-dup dedup (MinHash+LSH) → quality gate →
+  *   PII redaction → chunking → deterministic split assignment
+  *
+  * Each stage is the already-tested operator; this object owns the
+  * composition order (cheap exact dedup BEFORE the sketch pass shrinks
+  * the LSH input; redaction BEFORE chunking so no chunk straddles a
+  * half-redacted span) and the per-stage accounting a production run logs.
+  *
+  * Scale shape: stages 1-2 are the only shuffling stages (hash agg +
+  * bucketed LSH); quality, redaction, chunking, and split are map-only,
+  * so the pipeline's cost at 100 TB is dedup's cost plus one linear pass.
+  */
+object Curation {
+
+  final case class Report(input: Long, afterExactDedup: Long,
+                          afterNearDedup: Long, afterQuality: Long,
+                          chunks: Long)
+
+  final case class Result(chunks: DataFrame, report: Report)
+
+  /** Run the full pipeline over a documents frame.
+    *
+    * @param minQualityBp   quality-gate floor in basis points (0..10000)
+    * @param jaccardThreshold near-dup verify threshold
+    * @return chunk-level frame (doc_id, chunk_idx, chunk, split) of
+    *         surviving canonical docs, plus per-stage counts
+    */
+  def run(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+          minQualityBp: Long = 5000L, jaccardThreshold: Double = 0.7,
+          windowTokens: Int = 32, strideTokens: Int = 16): Result = {
+    val input = docs.count()
+
+    // 1. exact dedup (hash-agg; canonical = min id)
+    val exact = Dedup.exactByHash(docs, idCol, Seq(textCol))
+      .filter(col("is_canonical")).select(col(idCol))
+    val d1 = docs.join(exact, Seq(idCol), "left_semi")
+    val n1 = d1.count()
+
+    // 2. near-dup dedup on the exact-deduped survivors
+    val near = Dedup.minhash(d1, idCol, textCol, threshold = jaccardThreshold)
+      .filter(col("is_canonical")).select(col(idCol))
+    val d2 = d1.join(near, Seq(idCol), "left_semi")
+    val n2 = d2.count()
+
+    // 3. quality gate (map-only)
+    val d3 = d2
+      .withColumn("__q", struct(TextAnalysis.qualityColumns(col(textCol)): _*))
+      .filter(col("__q.quality_score_bp") >= minQualityBp)
+      .drop("__q")
+    val n3 = d3.count()
+
+    // 4. PII redaction, then 5. chunking over the REDACTED text
+    val redacted = d3.select(
+      col(idCol) +: TextAnalysis.redactPii(col(textCol)): _*)
+    val chunked = TextAnalysis.chunk(
+      redacted.withColumnRenamed("redacted", "__text"),
+      idCol, "__text", windowTokens, strideTokens)
+
+    // 6. deterministic split (stable across reruns/engines)
+    val split = Sampling.deterministicSplit(chunked, idCol)
+      .select(col(idCol), col("chunk_idx"), col("chunk"), col("split"))
+    Result(split, Report(input, n1, n2, n3, split.count()))
+  }
+}

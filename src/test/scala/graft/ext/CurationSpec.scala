@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Sources
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("full pipeline over testdata docs: monotone counts, deterministic output") {
+    val docs = Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val r = Curation.run(docs, minQualityBp = 4000L)
+    assert(r.report.input == 500)
+    // each stage can only shrink the doc set
+    assert(r.report.afterExactDedup <= r.report.input)
+    assert(r.report.afterNearDedup <= r.report.afterExactDedup)
+    assert(r.report.afterQuality <= r.report.afterNearDedup)
+    // sf0.001 has no byte-identical texts (500 distinct), but the corpus
+    // plants NEAR-dup clusters and a quality spread: those stages fire
+    assert(r.report.afterNearDedup < r.report.afterExactDedup)
+    assert(r.report.afterQuality < r.report.afterNearDedup)
+    assert(r.report.chunks >= r.report.afterQuality) // ≥1 chunk per doc
+    assert(r.chunks.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "chunk", "split"))
+    assert(r.chunks.select("split").distinct().count() <= 3)
+    // deterministic end to end: rerun produces identical chunk rows
+    val a = r.chunks.collect().map(_.toSeq).toSet
+    val b = Curation.run(docs, minQualityBp = 4000L)
+      .chunks.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("planted PII never reaches a chunk") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(20)
+    val pii = Seq((9001L,
+      ("contact me at leak@example.com or 555-123-4567 " * 8).trim,
+      "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.run(base.unionByName(pii), minQualityBp = 0L)
+    val hits = r.chunks
+      .filter(col => col.getAs[String]("chunk").contains("example.com") ||
+        col.getAs[String]("chunk").contains("555-123-4567"))
+    assert(hits.isEmpty)
+    assert(r.chunks.filter($"chunk".contains("<EMAIL>")).count() > 0)
+  }
+}
