@@ -23,7 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "ngram_jaccard" -> (xs => NgramJaccard(xs(0), xs(1), 3)),
     "cosine_sim" -> (xs => CosineSim(xs(0), xs(1))),
     "winnow_sig" -> (xs => WinnowSig(xs.head, 9, 12)),
-    "hyperplane_bucket" -> (xs => HyperplaneBucket(xs.head, 16, 42L)))
+    "hyperplane_bucket" -> (xs => HyperplaneBucket(xs.head, 16, 42L)),
+    "l2_normalize" -> (xs => L2Normalize(xs.head)),
+    "quantize_int8" -> (xs => QuantizeInt8(xs.head)),
+    "quantize_scale" -> (xs => QuantizeScale(xs.head)))
 
   override def apply(e: SparkSessionExtensions): Unit =
     functions.foreach { case (name, builder) =>

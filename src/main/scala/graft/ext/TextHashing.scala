@@ -232,6 +232,61 @@ object TextHashing {
 
   /** Cosine similarity between two float-array embeddings, accumulated in
     * double (same formula as DuckDB's list_cosine_similarity). */
+  /** L2-normalize a float vector (unit length; zero vectors pass through
+    * unchanged). One pass for the norm, one for the scale — kept as a JVM
+    * kernel so the expression stays in whole-stage codegen and avoids the
+    * lambda-re-evaluation trap of expressing this with transform(). */
+  def l2NormalizeFloat(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; ss += x * x; i += 1 }
+    val out = new Array[Float](n)
+    if (ss == 0.0) {
+      i = 0
+      while (i < n) { out(i) = v.getFloat(i); i += 1 }
+    } else {
+      val inv = 1.0 / math.sqrt(ss)
+      i = 0
+      while (i < n) { out(i) = (v.getFloat(i) * inv).toFloat; i += 1 }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Symmetric linear int8 quantization: clamp(round(x / scale), -127, 127)
+    * with scale = maxAbs/127 — the standard embedding compression (4× less
+    * storage/shuffle). Returns bytes; dequantize ≈ value * scale. */
+  def quantizeInt8(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var maxAbs = 0.0f
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i)); if (a > maxAbs) maxAbs = a; i += 1
+    }
+    val out = new Array[Byte](n)
+    if (maxAbs > 0.0f) {
+      val scale = 127.0 / maxAbs
+      i = 0
+      while (i < n) {
+        val q = math.round(v.getFloat(i) * scale)
+        out(i) = math.max(-127L, math.min(127L, q)).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** The per-vector scale quantizeInt8 used (for dequantization). */
+  def quantizeScale(v: ArrayData): Float = {
+    val n = v.numElements()
+    var maxAbs = 0.0f
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i)); if (a > maxAbs) maxAbs = a; i += 1
+    }
+    if (maxAbs == 0.0f) 0.0f else maxAbs / 127.0f
+  }
+
   def cosineFloat(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -131,6 +131,36 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  case class L2Normalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      TextHashing.l2NormalizeFloat(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.ext.TextHashing.l2NormalizeFloat($c)")
+    override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+      copy(child = newChild)
+  }
+
+  case class QuantizeInt8(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      TextHashing.quantizeInt8(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.ext.TextHashing.quantizeInt8($c)")
+    override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+      copy(child = newChild)
+  }
+
+  case class QuantizeScale(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = FloatType
+    override def nullSafeEval(input: Any): Any =
+      TextHashing.quantizeScale(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.ext.TextHashing.quantizeScale($c)")
+    override protected def withNewChildInternal(newChild: Expression): QuantizeScale =
+      copy(child = newChild)
+  }
+
   case class HyperplaneBucket(child: Expression, nPlanes: Int, seed: Long)
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -162,6 +192,9 @@ object TextExprs {
   def array_jaccard(a: Column, b: Column): Column =
     col(ArrayJaccard(e(a), e(b)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(e(a), e(b)))
+  def l2_normalize(c: Column): Column = col(L2Normalize(e(c)))
+  def quantize_int8(c: Column): Column = col(QuantizeInt8(e(c)))
+  def quantize_scale(c: Column): Column = col(QuantizeScale(e(c)))
   def hyperplane_bucket(c: Column, nPlanes: Int = 16, seed: Long = 42L): Column =
     col(HyperplaneBucket(e(c), nPlanes, seed))
   def nearest_cells(c: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
@@ -171,14 +204,20 @@ object TextExprs {
   def registerSql(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig",
-      xs => MinHashSig(xs.head, 128, 3), "graft")
+      xs => MinHashSig(xs.head, 128, 3), "internal")
     reg.createOrReplaceTempFunction("simhash64",
-      xs => SimHash64(xs.head), "graft")
+      xs => SimHash64(xs.head), "internal")
     reg.createOrReplaceTempFunction("ngram_jaccard",
-      xs => NgramJaccard(xs(0), xs(1), 3), "graft")
+      xs => NgramJaccard(xs(0), xs(1), 3), "internal")
     reg.createOrReplaceTempFunction("cosine_sim",
-      xs => CosineSim(xs(0), xs(1)), "graft")
+      xs => CosineSim(xs(0), xs(1)), "internal")
     reg.createOrReplaceTempFunction("winnow_sig",
-      xs => WinnowSig(xs.head, 9, 12), "graft")
+      xs => WinnowSig(xs.head, 9, 12), "internal")
+    reg.createOrReplaceTempFunction("l2_normalize",
+      xs => L2Normalize(xs.head), "internal")
+    reg.createOrReplaceTempFunction("quantize_int8",
+      xs => QuantizeInt8(xs.head), "internal")
+    reg.createOrReplaceTempFunction("quantize_scale",
+      xs => QuantizeScale(xs.head), "internal")
   }
 }
