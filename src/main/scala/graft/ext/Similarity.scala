@@ -36,6 +36,26 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Exact-structure top-k over an INT8-QUANTIZED corpus: the form a
+    * 100 TB vector store actually keeps (4× less scan/shuffle than
+    * float32). Quantization is map-only; cosine is scale-invariant so the
+    * per-vector scales cancel and codes compare directly. Results differ
+    * from float brute force only by rounding noise (SimilaritySpec pins
+    * recall). */
+  def bruteForceTopKInt8(emb: DataFrame, probeIds: Seq[Long], k: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(idCol), quantize_int8(col(vecCol)).as("qvec"))
+    val probes = q.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("vec_id"), col("qvec").as("pvec"))
+    val corpus = q.select(col(idCol).as("neighbor_id"), col("qvec").as("cvec"))
+    val scored = corpus.join(broadcast(probes),
+        col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine_sim_int8(col("pvec"), col("cvec")).as("cos"))
+    topK(scored, k)
+  }
+
   /** Approximate top-k via multi-table signed-random-projection LSH
     * (an LSH forest: `nTables` independent tables of `nPlanes` sign bits;
     * candidates = union of same-bucket mates across tables). Same output

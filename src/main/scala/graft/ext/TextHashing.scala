@@ -287,6 +287,24 @@ object TextHashing {
     if (maxAbs == 0.0f) 0.0f else maxAbs / 127.0f
   }
 
+  /** Cosine over int8-quantized vectors. Symmetric linear quantization
+    * preserves direction up to rounding, and cosine is scale-invariant, so
+    * the per-vector scales cancel — compare quantized codes directly
+    * (integer multiply-adds; ~4× less memory traffic than floats). */
+  def cosineInt8(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toLong
+      val y = b.getByte(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
   def cosineFloat(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0

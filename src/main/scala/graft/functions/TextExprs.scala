@@ -131,6 +131,18 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  case class CosineSimInt8(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextHashing.cosineInt8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.ext.TextHashing.cosineInt8($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): CosineSimInt8 = copy(left = l, right = r)
+  }
+
   case class L2Normalize(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(FloatType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
@@ -193,6 +205,8 @@ object TextExprs {
     col(ArrayJaccard(e(a), e(b)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(e(a), e(b)))
   def l2_normalize(c: Column): Column = col(L2Normalize(e(c)))
+  def cosine_sim_int8(a: Column, b: Column): Column =
+    col(CosineSimInt8(e(a), e(b)))
   def quantize_int8(c: Column): Column = col(QuantizeInt8(e(c)))
   def quantize_scale(c: Column): Column = col(QuantizeScale(e(c)))
   def hyperplane_bucket(c: Column, nPlanes: Int = 16, seed: Long = 42L): Column =

@@ -27,6 +27,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("int8-quantized brute force: high recall, cosine within rounding noise") {
+    val probes = (0L until 20L).toSeq
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, 3))
+    val quant = Similarity.bruteForceTopKInt8(emb, probes, 3)
+    val recall = (exact & pairs(quant)).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall $recall too low")
+    // int8 cosine tracks float cosine closely on the shared pairs
+    val floatCos = Similarity.bruteForceTopK(emb, probes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    quant.collect().foreach { r =>
+      floatCos.get((r.getLong(0), r.getLong(2))).foreach { cf =>
+        assert(math.abs(cf - r.getDouble(3)) < 0.02)
+      }
+    }
+  }
+
   test("LSH top-3 recall vs brute force ≥ 0.5 on probe set") {
     val probes = (0L until 20L).toSeq
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
