@@ -55,6 +55,37 @@ class JoinPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("AsofJoin.forward + tolerance match brute force on random data (5 seeds)") {
+    val spark0 = spark
+    import spark0.implicits._
+    for (seed <- 21L to 25L) {
+      val left = sample(rowsGen(50), seed)
+      val right = sample(rowsGen(35), seed + 100)
+        .groupBy(r => (r._2, r._3)).values.map(_.maxBy(_._1)).toList
+      val ldf = left.map { case (id, k, o) =>
+        (id, k, new Timestamp(base + o * 1000L)) }.toDF("id", "k", "ts")
+      val rdf = right.map { case (id, k, o) =>
+        (k, new Timestamp(base + o * 1000L), id.toDouble) }.toDF("k", "ts", "px")
+
+      val fwd = AsofJoin.forward(ldf, rdf, "k", "ts", Seq("px"))
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+      val tol = AsofJoin.backward(ldf, rdf, "k", "ts", Seq("px"),
+          toleranceSeconds = Some(15L))
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+
+      left.foreach { case (id, k, o) =>
+        val expFwd = right.filter(r => r._2 == k && r._3 >= o)
+          .sortBy(r => (r._3, -r._1)).headOption.map(_._1.toDouble)
+        assert(fwd(id) == expFwd, s"fwd seed=$seed id=$id")
+        val expTol = right.filter(r => r._2 == k && r._3 <= o && o - r._3 <= 15)
+          .sortBy(r => (r._3, r._1)).lastOption.map(_._1.toDouble)
+        assert(tol(id) == expTol, s"tol seed=$seed id=$id")
+      }
+    }
+  }
+
   test("RangeJoin.pointInInterval matches brute force on random data (5 seeds)") {
     val spark0 = spark
     import spark0.implicits._
