@@ -399,6 +399,41 @@ object ParityQueries {
       .stripMargin.replace("\n", "")),
     headline = true)
 
+  /** TPC-H Q3 shape (shipping priority): selective filters on both fact
+    * sides, customer filter broadcast into the orders scan, one genuine
+    * lineitem⋈orders shuffle pair, grouped revenue, top 10. The classic
+    * filter-pushdown + join-order benchmark query. */
+  val shippingPriority = Q(
+    "q_tpch_q3_shipping",
+    "TPC-H Q3-style shipping priority (filters + join + agg + top-k)",
+    (s, dir) => {
+      val cutoff = lit(java.sql.Timestamp.valueOf("1998-06-15 00:00:00"))
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_trunc("day", col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, date_trunc('day', o_orderdate) AS o_orderdate,
+           | o_orderpriority,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           | JOIN customer ON o_custkey = c_custkey
+           | WHERE c_mktsegment = 'BUILDING'
+           |   AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+           |   AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+           | GROUP BY l_orderkey, date_trunc('day', o_orderdate), o_orderpriority
+           | ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+      .stripMargin.replace("\n", "")),
+    headline = true)
+
   /** Sessionization — gap-based session assignment per user (lag + running
     * sum over one user-partitioned sort; the canonical event-analytics
     * window pattern). Timestamps compare in integer microseconds so both
@@ -553,5 +588,6 @@ object ParityQueries {
     aggCount, aggGroup, groupingSets, countDistinct, approxDistinct, distinctDim,
     percentiles, pivotCounts, cubeAgg, setOps,
     timeDims, epochRoundtrip, caseFiscal,
-    cteTopK, windowRank, windowLagLead, sessionize, pricingSummary)
+    cteTopK, windowRank, windowLagLead, sessionize, pricingSummary,
+    shippingPriority)
 }
