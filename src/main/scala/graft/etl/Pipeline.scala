@@ -69,6 +69,38 @@ object Pipeline {
     Result(counts.toMap)
   }
 
+  /** FAITHFUL end-to-end run: the reference warehouse byte-for-byte —
+    * reference DDL columns/order/types (Schemas.Reference), the
+    * day-of-month "hour" bug, the LIMIT 100 time-dim cap — landed as
+    * parquet under `warehouseDir`. A reference user who needs outputs
+    * identical to their Redshift warehouse runs THIS; the default `run`
+    * is the corrected/extended schema. */
+  def runFaithful(spark: SparkSession, eventsPath: String, songsPath: String,
+                  warehouseDir: String): Result = {
+    val events = Sources.readEventsJson(spark, eventsPath)
+    val songsStg = Sources.readSongsJson(spark, songsPath)
+    val steps: Seq[(String, DataFrame,
+                    org.apache.spark.sql.types.StructType)] = Seq(
+      ("fct_song_plays", StarSchemaEtl.songPlaysFaithful(events, songsStg),
+        Schemas.Reference.fctSongPlays),
+      ("dim_users", StarSchemaEtl.usersFaithful(events),
+        Schemas.Reference.dimUsers),
+      ("dim_songs", StarSchemaEtl.songs(songsStg),
+        Schemas.Reference.dimSongs),
+      ("dim_artists", StarSchemaEtl.artistsFaithful(songsStg),
+        Schemas.Reference.dimArtists),
+      ("dim_time_dimensions", StarSchemaEtl.timeDimensionsFaithful(events),
+        Schemas.Reference.dimTimeDimensions))
+    val counts = scala.collection.mutable.Map[String, Long](
+      "stg_song_events" -> events.count(), "stg_songs" -> songsStg.count())
+    steps.foreach { case (table, df, schema) =>
+      Sources.insertInto(Sources.alignPositional(df, schema), schema,
+        s"$warehouseDir/$table", SaveMode.Overwrite)
+      counts(table) = spark.read.parquet(s"$warehouseDir/$table").count()
+    }
+    Result(counts.toMap)
+  }
+
   /** The create_tables.py → etl.py COMPOSITION: land staging and star data
     * INTO the session-catalog tables that `Ddl.recreateAll` created
     * (create_tables.py:36-37 then etl.py:36-37; the reference's INSERTs

@@ -162,6 +162,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(aligned.schema("day").dataType.typeName == "short")
   }
 
+  test("runFaithful lands the byte-for-byte reference warehouse") {
+    val dir = Files.createTempDirectory("graft-faithful").toAbsolutePath.toString
+    val r = Pipeline.runFaithful(spark,
+      TestSpark.resource("/sparkify/log_data.json"),
+      TestSpark.resource("/sparkify/song_data.json"), dir)
+    assert(r.counts("fct_song_plays") == 4)
+    val fct = spark.read.parquet(s"$dir/fct_song_plays")
+    assert(fct.schema.fieldNames.toSeq ==
+      graft.schemas.Schemas.Reference.fctSongPlays.fieldNames.toSeq)
+    assert(fct.filter("auth = 'Logged In'").count() > 0)
+    val td = spark.read.parquet(s"$dir/dim_time_dimensions")
+    assert(td.schema("day").dataType.typeName == "short")
+    // the reference's hour bug reproduced in the landed table
+    assert(td.filter("hour > 23").count() > 0)
+    val users = spark.read.parquet(s"$dir/dim_users")
+    assert(users.schema.fieldNames.head == "firstname")
+  }
+
   test("NULL join keys never match (§7.4.6)") {
     val events = Sources.readEventsJson(spark,
       TestSpark.resource("/sparkify/log_data.json"))
