@@ -434,6 +434,30 @@ object ParityQueries {
       .stripMargin.replace("\n", "")),
     headline = true)
 
+  /** TPC-H Q6 shape (forecast revenue): pure filter+sum — the canonical
+    * predicate-pushdown benchmark. Every predicate must reach the scan
+    * (PushedFilters); the aggregate is a single map-side-combined scalar. */
+  val forecastRevenue = Q(
+    "q_tpch_q6_forecast",
+    "TPC-H Q6-style forecast revenue (filter + scalar sum)",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >=
+          lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") <
+          lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue")),
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+           | FROM lineitem
+           | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           |   AND l_discount BETWEEN 0.03 AND 0.07
+           |   AND l_quantity < 24"""
+      .stripMargin.replace("\n", "")),
+    headline = true)
+
   /** Sessionization — gap-based session assignment per user (lag + running
     * sum over one user-partitioned sort; the canonical event-analytics
     * window pattern). Timestamps compare in integer microseconds so both
@@ -589,5 +613,5 @@ object ParityQueries {
     percentiles, pivotCounts, cubeAgg, setOps,
     timeDims, epochRoundtrip, caseFiscal,
     cteTopK, windowRank, windowLagLead, sessionize, pricingSummary,
-    shippingPriority)
+    shippingPriority, forecastRevenue)
 }
