@@ -35,13 +35,20 @@ object Bench {
       }
     }
 
+    // Median of 3 timed runs per query: single-shot sub-second timings are
+    // noisy enough (GC/JIT/scheduler jitter under a 50-query JVM) to mask
+    // or fake regressions; the median is robust to one bad run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = queries.map { q =>
-      val t0 = System.nanoTime()
-      try force(q.run(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try force(q.run(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      q.name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -84,21 +84,27 @@ object Dedup {
     // the shingle CPU and the (array-sized) shuffle — at 100 TB the
     // candidate set is orders of magnitude smaller than the corpus, and an
     // unpruned verify would shingle + ship the whole corpus twice.
-    // localCheckpoint so the pair self-join isn't re-executed for each of
-    // candIds / the edge join below.
-    val cand = pairs.localCheckpoint(true)
-    val candIds = cand.select(col("a").as("id"))
-      .union(cand.select(col("b").as("id"))).distinct()
-    val shingled = ids.join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), sorted_shingles(col("text"), shingleN).as("sh"))
-    val ta = shingled.select(col("id").as("a"), col("sh").as("sh_a"))
-    val tb = shingled.select(col("id").as("b"), col("sh").as("sh_b"))
-    val edges = cand.join(ta, "a").join(tb, "b")
-      .filter(array_jaccard(col("sh_a"), col("sh_b")) >= threshold)
-      .select(col("a"), col("b"))
+    // Lazy persist (not an eager localCheckpoint barrier): the pair set is
+    // tiny and its lineage is one self-join above a checkpoint, so caching
+    // avoids both the re-execution for candIds/edge-join AND the extra
+    // stop-the-world job a second checkpoint would cost.
+    val cand = pairs.persist()
+    try {
+      val candIds = cand.select(col("a").as("id"))
+        .union(cand.select(col("b").as("id"))).distinct()
+      val shingled = ids.join(candIds, Seq("id"), "left_semi")
+        .select(col("id"), sorted_shingles(col("text"), shingleN).as("sh"))
+      val ta = shingled.select(col("id").as("a"), col("sh").as("sh_a"))
+      val tb = shingled.select(col("id").as("b"), col("sh").as("sh_b"))
+      val edges = cand.join(ta, "a").join(tb, "b")
+        .filter(array_jaccard(col("sh_a"), col("sh_b")) >= threshold)
+        .select(col("a"), col("b"))
 
-    connectedComponents(ids.select(col("id")), edges)
-      .withColumnRenamed("id", idCol)
+      // connectedComponents consumes `edges` eagerly (take or checkpoint),
+      // so the cache can be dropped as soon as it returns
+      connectedComponents(ids.select(col("id")), edges)
+        .withColumnRenamed("id", idCol)
+    } finally cand.unpersist(blocking = false)
   }
 
   /** SimHash near-dup clustering: 64-bit sketch (map-only), candidates =
@@ -165,10 +171,17 @@ object Dedup {
   /** Sketching is CPU-bound: when the input has fewer partitions than the
     * cluster has slots (tiny files locally; a handful of giant files at
     * scale), repartition up so the map-only sketch pass uses every core.
-    * A no-op when the source is already well-partitioned. */
+    * A no-op when the source is already well-partitioned.
+    *
+    * The partition probe uses `inputFiles` (a FileIndex listing — already
+    * cached by the read) rather than `df.rdd.getNumPartitions`, which
+    * forces full physical planning + RDD DAG construction just to read a
+    * count. A file-backed source with ≥ slots files has ≥ slots scan
+    * partitions; a non-file source (empty listing) conservatively fans out. */
   private def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val nFiles = try df.inputFiles.length catch { case _: Exception => 0 }
+    if (nFiles >= target) df else df.repartition(target)
   }
 
   /** Connected components over the verified edge set.
@@ -183,8 +196,12 @@ object Dedup {
                           maxIter: Int = 15,
                           smallEdgeLimit: Long = 2000000L): DataFrame = {
     val spark = nodes.sparkSession
-    val cached = edges.localCheckpoint(true)
-    if (cached.count() <= smallEdgeLimit) {
+    // Single guarded fetch: take(limit+1) executes the edge plan ONCE and
+    // bounds driver memory (limit × 16 B). The old shape — eager checkpoint
+    // + count() + collect() — cost two extra stop-the-world jobs per run.
+    val probeLimit = math.min(smallEdgeLimit, Int.MaxValue - 1L).toInt
+    val fetched = edges.take(probeLimit + 1)
+    if (fetched.length <= probeLimit) {
       // driver union-find with path compression
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
@@ -194,7 +211,7 @@ object Dedup {
         while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      cached.collect().foreach { row =>
+      fetched.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
@@ -210,7 +227,9 @@ object Dedup {
           coalesce(col("label"), col("id")).as("cluster_id"),
           (col("id") === coalesce(col("label"), col("id"))).as("is_canonical"))
     }
-    distributedCC(nodes, cached, maxIter)
+    // over the limit (rare): checkpoint now so the iterative propagation
+    // doesn't re-run the (expensive) verify plan every round
+    distributedCC(nodes, edges.localCheckpoint(true), maxIter)
   }
 
   /** Distributed min-label propagation (the >smallEdgeLimit path). */

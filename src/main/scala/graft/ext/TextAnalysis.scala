@@ -96,26 +96,23 @@ object TextAnalysis {
     * mode computation (whose tiebreak would be engine-specific) — it's a
     * deterministic, map-only arithmetic identity in any engine. */
   def repetitionColumns(text: Column): Seq[Column] = {
-    val toks = filter(split(text, " ", -1), t => t =!= lit(""))
-    // n-grams via zip_with over SHIFTED SLICES, never element_at inside a
-    // lambda: higher-order-function lambdas get no subexpression
-    // elimination, so element_at(toks, i) would re-run split+filter per
-    // element — O(tokens²) per document (measured: 28 s vs 0.5 s at sf0.1
-    // for this query). Slice arguments evaluate once per row.
-    def shifted(k: Int, n: Int): Column =
-      slice(toks, lit(k + 1), greatest(size(toks) - (n - 1), lit(0)))
-    def grams(n: Int): Column =
-      if (n == 1) toks
-      else (1 until n).foldLeft(shifted(0, n))((acc, k) =>
-        zip_with(acc, shifted(k, n), (a, b) => concat_ws(" ", a, b)))
-    def dupFrac(g: Column): Column =
-      when(size(g) === 0, 0.0).otherwise(
-        round(lit(1.0) - size(array_distinct(g)).cast("double") /
-          size(g).cast("double"), 4))
+    // one-pass codegen kernel: [t1, d1, t2, d2, t3, d3] — totals exact,
+    // distincts over 64-bit gram hashes (collision odds immaterial; the
+    // DuckDB oracle distinct-counts the gram STRINGS and still hash-matches).
+    // Replaces the former zip_with string-gram build: no per-row string
+    // arrays, ~3× less allocation. The six element_at references share one
+    // kernel call via codegen subexpression elimination (deterministic expr).
+    val st = repetition_stats(text)
+    def frac(i: Int): Column = {
+      val t = element_at(st, 2 * i - 1)
+      val d = element_at(st, 2 * i)
+      when(t === 0L, lit(0.0)).otherwise(
+        round(lit(1.0) - d.cast("double") / t.cast("double"), 4))
+    }
     Seq(
-      dupFrac(grams(1)).as("dup_word_frac"),
-      dupFrac(grams(2)).as("dup_2gram_frac"),
-      dupFrac(grams(3)).as("dup_3gram_frac"))
+      frac(1).as("dup_word_frac"),
+      frac(2).as("dup_2gram_frac"),
+      frac(3).as("dup_3gram_frac"))
   }
 
   // PII patterns kept RE2-compatible (no backrefs/lookaround) so the same

@@ -199,6 +199,43 @@ object TextHashing {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** One-pass repetition stats over word n-grams (n = 1, 2, 3):
+    * [total_1, distinct_1, total_2, distinct_2, total_3, distinct_3].
+    * Totals are exact; distinct counts are over 64-bit gram hashes (the
+    * same rolling-mix construction as shingleHashes, WITHOUT its <n-token
+    * whole-text fallback — here fewer than n tokens means zero n-grams).
+    * Per-document collision odds ~m²/2⁶⁵ — immaterial for quality signals.
+    * Replaces a 1/2/3-gram string-array build (3× the text in short-lived
+    * allocations per row) with long arithmetic over one token-hash array. */
+  def repetitionStats(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes)
+    val nTok = offs.length / 2
+    val tokHash = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      tokHash(i) = hashBytes(bytes, offs(2 * i), offs(2 * i + 1)); i += 1
+    }
+    val out = new Array[Long](6)
+    var n = 1
+    while (n <= 3) {
+      val total = math.max(0, nTok - n + 1)
+      val set = new java.util.HashSet[java.lang.Long](math.max(16, total * 2))
+      var s = 0
+      while (s < total) {
+        var h = 0x27d4eb2f165667c5L
+        var j = 0
+        while (j < n) { h = mix64(h ^ tokHash(s + j)); j += 1 }
+        set.add(h)
+        s += 1
+      }
+      out(2 * (n - 1)) = total
+      out(2 * (n - 1) + 1) = set.size()
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken '03): rolling
     * char k-gram hashes, minimum per window of w, distinct mins sorted —
     * robust to local edits, used for overlap detection. */

@@ -75,6 +75,16 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      TextHashing.repetitionStats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.ext.TextHashing.repetitionStats($c)")
+    override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+      copy(child = newChild)
+  }
+
   case class ArrayJaccard(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -201,6 +211,7 @@ object TextExprs {
     col(NgramJaccard(e(a), e(b), n))
   def sorted_shingles(c: Column, n: Int = 3): Column =
     col(SortedShingles(e(c), n))
+  def repetition_stats(c: Column): Column = col(RepetitionStats(e(c)))
   def array_jaccard(a: Column, b: Column): Column =
     col(ArrayJaccard(e(a), e(b)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(e(a), e(b)))

@@ -516,6 +516,30 @@ object ParityQueries {
            | FROM lineitem GROUP BY l_returnflag"""
       .stripMargin.replace("\n", "")))
 
+  /** Grouped APPROX percentiles — the 100 TB percentile path. Exact
+    * `percentile` buffers EVERY group value in one aggregation buffer
+    * (per-group memory grows with the data → executor OOM at scale);
+    * `percentile_approx` keeps a bounded mergeable sketch
+    * (Greenwald-Khanna variant, accuracy=1/ε memory), so per-group state
+    * is fixed no matter how many rows flow in. Sketch results are
+    * engine-specific → rows-only driver check; ApproxAggSpec pins the
+    * estimates against the exact percentiles. */
+  val percentilesApprox = Q(
+    "q_a7b_percentile_approx",
+    "Grouped approx percentiles (bounded sketch — the at-scale variant)",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+          .as("ps"),
+        round(max(col("l_extendedprice")), 2).as("pmax"))
+      .select(col("l_returnflag"),
+        round(col("ps").getItem(0), 2).as("p25"),
+        round(col("ps").getItem(1), 2).as("p50"),
+        round(col("ps").getItem(2), 2).as("p75"),
+        col("pmax")),
+    None)
+
   /** CUBE — all 2^k grouping combinations (GROUPING SETS' bigger sibling;
     * same single-pass expand+aggregate plan in Spark). */
   val cubeAgg = Q(
@@ -610,7 +634,7 @@ object ParityQueries {
     scanProject, filterEq, filterLike, filterInBetween,
     joinLeft, joinTwoKey, joinAnti, joinSemi, starJoin,
     aggCount, aggGroup, groupingSets, countDistinct, approxDistinct, distinctDim,
-    percentiles, pivotCounts, cubeAgg, setOps,
+    percentiles, percentilesApprox, pivotCounts, cubeAgg, setOps,
     timeDims, epochRoundtrip, caseFiscal,
     cteTopK, windowRank, windowLagLead, sessionize, pricingSummary,
     shippingPriority, forecastRevenue)
