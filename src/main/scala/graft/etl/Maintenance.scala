@@ -26,6 +26,22 @@ object Maintenance {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Hive-partitioned layout (what writePartitionedIncremental produces):
+    // recurse into each `col=value` subdirectory and compact it in place.
+    // A flat rewrite of the root would silently FLATTEN the layout (the
+    // partition column lives in the directory name, not the files) and
+    // lose partition pruning. Per-leaf compaction preserves the layout,
+    // stays shuffle-free, and sizes files per partition.
+    val partDirs = fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (partDirs.nonEmpty) {
+      val reports = partDirs.map(p =>
+        compact(spark, p.getPath.toString, targetFileBytes))
+      return CompactionReport(reports.map(_.filesBefore).sum,
+        reports.map(_.filesAfter).sum, reports.map(_.bytes).sum)
+    }
+
     val dataFiles = fs.listStatus(path).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum

@@ -69,11 +69,15 @@ object Pipeline {
     Result(counts.toMap)
   }
 
-  /** FAITHFUL end-to-end run: the reference warehouse byte-for-byte —
+  /** FAITHFUL end-to-end run: the reference warehouse schema + semantics —
     * reference DDL columns/order/types (Schemas.Reference), the
     * day-of-month "hour" bug, the LIMIT 100 time-dim cap — landed as
-    * parquet under `warehouseDir`. A reference user who needs outputs
-    * identical to their Redshift warehouse runs THIS; the default `run`
+    * parquet under `warehouseDir`. One deliberate divergence: the
+    * reference's bare `LIMIT 100` is an unspecified subset (not
+    * reproducible even across its own runs), so the faithful time dim
+    * takes the first 100 events by (ts, sessionId, itemInSession) —
+    * deterministic here, same shape there. A reference user who needs
+    * their Redshift warehouse's layout runs THIS; the default `run`
     * is the corrected/extended schema. */
   def runFaithful(spark: SparkSession, eventsPath: String, songsPath: String,
                   warehouseDir: String): Result = {

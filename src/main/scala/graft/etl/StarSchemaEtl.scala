@@ -124,7 +124,14 @@ object StarSchemaEtl {
     * because faithful means faithful. */
   def timeDimensionsFaithful(events: DataFrame,
                              limit: Option[Int] = Some(100)): DataFrame = {
-    val src = limit.map(events.limit).getOrElse(events)
+    // The reference's bare `LIMIT 100` (sql_queries.py:224) picks an
+    // UNSPECIFIED 100-row subset — not reproducible run-to-run in either
+    // engine. For faithful-but-deterministic output we take the first 100
+    // by (ts, sessionId, itemInSession), a total order over real events —
+    // the one deliberate divergence from the reference's semantics.
+    val src = limit.map(n =>
+      events.orderBy(col("ts"), col("sessionId"), col("itemInSession"))
+        .limit(n)).getOrElse(events)
     val hours = src
       .select(date_trunc("hour", TimeFns.epochMillisToTs(col("ts"))).as("h"))
       .distinct()

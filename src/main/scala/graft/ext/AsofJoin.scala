@@ -48,8 +48,15 @@ object AsofJoin {
                     toleranceSeconds: Option[Long],
                     forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("__asof"),
-      "left side may not contain a __asof column")
+    val reservedClash = leftCols.filter(Set("__asof", "__side", "__match"))
+    require(reservedClash.isEmpty,
+      s"left side may not contain reserved columns: ${reservedClash.mkString(",")}")
+    // rightCols are appended to the left schema verbatim — a name shared
+    // with a left column (or the internal __rts) would produce duplicate/
+    // ambiguous output columns far from this call site
+    val payloadClash = rightCols.filter(c => leftCols.contains(c) || c == "__rts")
+    require(payloadClash.isEmpty,
+      s"rightCols collide with left columns: ${payloadClash.mkString(",")} — alias them on the right side first")
 
     // tag sides; right payload rides in one struct (ts kept for tolerance)
     val payload = struct(
@@ -76,14 +83,17 @@ object AsofJoin {
       .withColumn("__match", last(col("__asof"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
-    // tolerance: |match ts - left ts| ≤ tolerance, else NULL the payload
+    // tolerance: |match ts - left ts| ≤ tolerance, else NULL the payload.
+    // Gap computed in MICROSECONDS (the storage precision) — unix_timestamp
+    // truncates to whole seconds, which mis-gates sub-second staleness by
+    // up to ~1 s in either direction.
     val gated = toleranceSeconds match {
       case Some(tol) =>
         val gap =
-          if (forward) unix_timestamp(col("__match.__rts")) - unix_timestamp(col(ts))
-          else unix_timestamp(col(ts)) - unix_timestamp(col("__match.__rts"))
+          if (forward) unix_micros(col("__match.__rts")) - unix_micros(col(ts))
+          else unix_micros(col(ts)) - unix_micros(col("__match.__rts"))
         carried.withColumn("__match",
-          when(gap <= tol, col("__match")))
+          when(gap <= tol * 1000000L, col("__match")))
       case None => carried
     }
 

@@ -1,0 +1,88 @@
+package graft.ext
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** Real, JDK-native audio codec (javax.sound.sampled — zero extra
+  * dependencies, the same route ImageCodec takes for PNG): WAV/PCM16
+  * encode/decode plus per-channel amplitude statistics. With this, only
+  * VIDEO remains behind Multimodal.FakeCodec.
+  *
+  * Executor-side and allocation-conscious: decode is called from
+  * mapPartitions batches, one clip at a time.
+  */
+object AudioCodec {
+
+  /** Decoded audio summary: format facts plus per-channel RMS and peak
+    * amplitude in [0,1] — the cheap audio-quality features (silence /
+    * clipping detection) a curation pipeline gates on. */
+  final case class DecodedAudio(sampleRateHz: Float, channels: Int,
+                                nFrames: Long, durationMs: Long,
+                                rms: Array[Float], peak: Array[Float])
+
+  /** Deterministic mono PCM16 WAV: a sine at `freqHz` scaled by
+    * `amplitude`, containerized by AudioSystem (canonical RIFF header, no
+    * timestamps → identical inputs give identical bytes). */
+  def encodeWav(nSamples: Int, sampleRateHz: Int, freqHz: Double,
+                amplitude: Double): Array[Byte] = {
+    require(nSamples > 0 && sampleRateHz > 0, "positive samples/rate")
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, 1,
+      /* signed = */ true, /* bigEndian = */ false)
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (amplitude *
+        math.sin(2.0 * math.Pi * freqHz * i / sampleRateHz) * 32767.0).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode any AudioSystem-supported container holding signed PCM16
+    * (WAV/AIFF/AU); None when the bytes aren't decodable audio. */
+  def decode(bytes: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val ch = fmt.getChannels
+          val frameBytes = fmt.getFrameSize
+          val buf = ais.readAllBytes()
+          val nFrames = buf.length / frameBytes
+          val sumSq = new Array[Double](ch)
+          val pk = new Array[Double](ch)
+          var f = 0
+          while (f < nFrames) {
+            var c = 0
+            while (c < ch) {
+              val off = f * frameBytes + c * 2
+              val v = (if (fmt.isBigEndian)
+                  ((buf(off) << 8) | (buf(off + 1) & 0xff)).toShort
+                else ((buf(off + 1) << 8) | (buf(off) & 0xff)).toShort
+                ).toDouble / 32768.0
+              sumSq(c) += v * v
+              if (math.abs(v) > pk(c)) pk(c) = math.abs(v)
+              c += 1
+            }
+            f += 1
+          }
+          val rms = Array.tabulate(ch)(c =>
+            if (nFrames == 0) 0f else math.sqrt(sumSq(c) / nFrames).toFloat)
+          Some(DecodedAudio(fmt.getSampleRate, ch, nFrames.toLong,
+            if (fmt.getSampleRate > 0)
+              (nFrames * 1000L / fmt.getSampleRate.toLong) else 0L,
+            rms, pk.map(_.toFloat)))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+}

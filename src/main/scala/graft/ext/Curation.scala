@@ -38,16 +38,21 @@ object Curation {
           windowTokens: Int = 32, strideTokens: Int = 16): Result = {
     val input = docs.count()
 
+    // Each stage's survivors are localCheckpoint'd (the repo's convention
+    // for multiply-consumed frames): without the barrier, every per-stage
+    // count() plus the returned chunks frame would re-execute the whole
+    // upstream plan — the expensive LSH dedup ~4× instead of once.
+
     // 1. exact dedup (hash-agg; canonical = min id)
     val exact = Dedup.exactByHash(docs, idCol, Seq(textCol))
       .filter(col("is_canonical")).select(col(idCol))
-    val d1 = docs.join(exact, Seq(idCol), "left_semi")
+    val d1 = docs.join(exact, Seq(idCol), "left_semi").localCheckpoint(true)
     val n1 = d1.count()
 
     // 2. near-dup dedup on the exact-deduped survivors
     val near = Dedup.minhash(d1, idCol, textCol, threshold = jaccardThreshold)
       .filter(col("is_canonical")).select(col(idCol))
-    val d2 = d1.join(near, Seq(idCol), "left_semi")
+    val d2 = d1.join(near, Seq(idCol), "left_semi").localCheckpoint(true)
     val n2 = d2.count()
 
     // 3. quality gate (map-only)
@@ -55,6 +60,7 @@ object Curation {
       .withColumn("__q", struct(TextAnalysis.qualityColumns(col(textCol)): _*))
       .filter(col("__q.quality_score_bp") >= minQualityBp)
       .drop("__q")
+      .localCheckpoint(true)
     val n3 = d3.count()
 
     // 4. PII redaction, then 5. chunking over the REDACTED text

@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decoding is REAL: image/png rows carry genuine PNG bytes and are
   * decoded with javax.imageio (JDK-native — see ImageCodec); features are
-  * true width/height/channels + per-channel mean/std. AUDIO/VIDEO stay
-  * STUBBED (no codec libraries in this environment): `FakeCodec` derives
+  * true width/height/channels + per-channel mean/std. AUDIO decoding is
+  * REAL too: audio/wav rows carry genuine PCM16 WAV bytes decoded with
+  * javax.sound.sampled (see AudioCodec); features are true sample-rate/
+  * channels/duration + per-channel RMS/peak. Only VIDEO stays STUBBED (no
+  * container/codec libraries in this environment): `FakeCodec` derives
   * deterministic pseudo-features from the bytes. Swapping FakeCodec for a
-  * real audio/video decoder changes no plan shape.
+  * real video decoder changes no plan shape.
   */
 object Multimodal {
 
@@ -27,11 +30,12 @@ object Multimodal {
   final case class Frame(doc_id: Long, frame_idx: Int, offset_ms: Long,
                          frame_hash: Long)
 
-  /** ==== STUB (audio/video only) ==== deterministic stand-in for a real
-    * media codec. A real implementation decodes with an audio/video library
-    * per partition; this derives stable pseudo-features purely from the
-    * bytes so tests and plans are reproducible. Images do NOT use this —
-    * they decode for real via ImageCodec. */
+  /** ==== STUB (video only) ==== deterministic stand-in for a real media
+    * codec. A real implementation decodes with a video library per
+    * partition; this derives stable pseudo-features purely from the bytes
+    * so tests and plans are reproducible. Images and audio do NOT use
+    * this — they decode for real via ImageCodec / AudioCodec (it remains
+    * only as their fallback for undecodable payloads). */
   object FakeCodec {
     def features(bytes: Array[Byte]): Array[Float] = {
       val base = TextHashing.hashBytes(bytes, 0, bytes.length)
@@ -46,10 +50,12 @@ object Multimodal {
   }
 
   /** Attach a media column to the documents table. Image rows (doc_id%3==0)
-    * carry a REAL deterministic PNG (pixels seeded from doc_id, encoded
-    * executor-side per partition); audio/video rows carry the UTF-8 text as
-    * an opaque stand-in payload. Real pipelines read the bytes from object
-    * storage instead; everything downstream only sees (binary, metadata). */
+    * carry a REAL deterministic PNG (pixels seeded from doc_id); audio rows
+    * (doc_id%3==1) carry a REAL deterministic PCM16 WAV (a doc_id-seeded
+    * sine, 8 kHz); video rows carry the UTF-8 text as an opaque stand-in
+    * payload. All encoded executor-side per partition. Real pipelines read
+    * the bytes from object storage instead; everything downstream only
+    * sees (binary, metadata). */
   def attachMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -66,8 +72,13 @@ object Multimodal {
               MediaRow(id, ImageCodec.encodePng(w, h, id), "image/png",
                 w, h, 0L)
             case 1 =>
-              MediaRow(id, text.getBytes("UTF-8"), "audio/wav",
-                (id % 640 + 32).toInt, (id % 480 + 32).toInt, id % 90000)
+              // short real WAV clip (0.1–1.1 s @ 8 kHz): cheap at corpus
+              // scale, long enough for stable amplitude statistics
+              val sr = 8000
+              val n = (id % 8000 + 800).toInt
+              MediaRow(id,
+                AudioCodec.encodeWav(n, sr, 100.0 + (id % 1000), 0.5),
+                "audio/wav", 0, 0, n.toLong * 1000L / sr)
             case _ =>
               MediaRow(id, text.getBytes("UTF-8"), "video/mp4",
                 (id % 640 + 32).toInt, (id % 480 + 32).toInt, id % 90000)
@@ -79,7 +90,10 @@ object Multimodal {
   /** Decode + feature-extract: executor-side, batched per partition.
     * Images decode for REAL (javax.imageio): features =
     * [width, height, channels, meanR, meanG, meanB, stdR, stdG, stdB, 0…].
-    * Audio/video (and undecodable images) fall back to FakeCodec.
+    * Audio decodes for REAL (javax.sound.sampled): features =
+    * [sampleRate, channels, nFrames, durationMs, rms_ch0, peak_ch0,
+    *  rms_ch1, peak_ch1, 0…].
+    * Video (and undecodable image/audio payloads) falls back to FakeCodec.
     * Output rows: (doc_id, format, n_bytes, feat_dim, features). */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -87,7 +101,7 @@ object Multimodal {
     media.select("doc_id", "media", "format", "width", "height", "duration_ms")
       .as[MediaRow]
       .mapPartitions { rows =>
-        // per-partition setup (a real audio/video codec would init here)
+        // per-partition setup (a real video codec would init here)
         rows.map { r =>
           val feats =
             if (r.format == "image/png")
@@ -98,6 +112,21 @@ object Multimodal {
                 f(2) = d.channels.toFloat
                 System.arraycopy(d.meanRgb, 0, f, 3, 3)
                 System.arraycopy(d.stdRgb, 0, f, 6, 3)
+                f
+              }.getOrElse(FakeCodec.features(r.media))
+            else if (r.format == "audio/wav")
+              AudioCodec.decode(r.media).map { d =>
+                val f = new Array[Float](FeatureDim)
+                f(0) = d.sampleRateHz
+                f(1) = d.channels.toFloat
+                f(2) = d.nFrames.toFloat
+                f(3) = d.durationMs.toFloat
+                var c = 0
+                while (c < math.min(d.channels, 2)) {
+                  f(4 + 2 * c) = d.rms(c)
+                  f(5 + 2 * c) = d.peak(c)
+                  c += 1
+                }
                 f
               }.getOrElse(FakeCodec.features(r.media))
             else FakeCodec.features(r.media)

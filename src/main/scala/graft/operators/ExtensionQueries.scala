@@ -46,6 +46,51 @@ object ExtensionQueries {
       Sources.table(s, dir, "documents"), "doc_id", "text"),
     None)
 
+  /** The minhash/simhash VERIFY stage, oracle-anchored: the clustering
+    * queries are rows-only (engine-specific sketch hashes), but their
+    * verify step — exact 3-gram Jaccard ≥ threshold over a bounded
+    * candidate set — is the SAME sorted_shingles + array_jaccard path
+    * `Dedup.minhash` runs (`Dedup.scala` verify join), and DuckDB rebuilds
+    * identical word-3-gram sets. Candidates here: every (probe, later-id
+    * doc) pair for a deterministic 1-in-5 probe sample — bounded by
+    * construction (probes broadcast; corpus streams once). Green here
+    * hash-anchors the semantics of the whole near-dup family's edge set. */
+  val dedupVerify = Q(
+    "q_x_dedup_verify",
+    "Near-dup verify stage: exact 3-gram Jaccard ≥ 0.5 candidate edges",
+    (s, dir) => {
+      val docs = Sources.table(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("a"),
+          TextExprs.sorted_shingles(col("text"), 3).as("sh_a"))
+      val corpus = docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id").as("b"),
+          TextExprs.sorted_shingles(col("text"), 3).as("sh_b"))
+      corpus.join(broadcast(probes), col("a") < col("b"))
+        .select(col("a"), col("b"),
+          TextExprs.array_jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .select(col("a"), col("b"), round(col("jac"), 3).as("jaccard"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+           | sh AS (SELECT doc_id, list_distinct(CASE
+           |   WHEN len(toks) = 0 THEN []
+           |   WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+           |   ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+           |   END) AS s FROM d),
+           | p AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0),
+           | sc AS (SELECT p.doc_id AS a, c.doc_id AS b,
+           |   CASE WHEN len(p.s) = 0 AND len(c.s) = 0 THEN 1.0
+           |        WHEN len(p.s) = 0 OR len(c.s) = 0 THEN 0.0
+           |        ELSE len(list_intersect(p.s, c.s)) * 1.0
+           |          / (len(p.s) + len(c.s) - len(list_intersect(p.s, c.s)))
+           |   END AS jac
+           |   FROM p, sh c WHERE p.doc_id < c.doc_id)
+           | SELECT a, b, round(jac, 3) AS jaccard FROM sc WHERE jac >= 0.5"""
+      .stripMargin.replace("\n", "")))
+
   /** n-gram Jaccard: top-1 most similar doc for a 10-doc probe set. */
   val ngramJaccardTop1 = Q(
     "q_x_ngram_jaccard",
@@ -474,7 +519,7 @@ object ExtensionQueries {
     None)
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, ngramJaccardTop1, embNearDup,
+    dedupExact, dedupMinhash, dedupSimhash, dedupVerify, ngramJaccardTop1, embNearDup,
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,

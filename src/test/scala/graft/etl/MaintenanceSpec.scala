@@ -30,6 +30,31 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.compact(spark, dir, 1L << 30).filesAfter == 1)
   }
 
+  test("compact: Hive-partitioned table keeps its dt= layout and data") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-compact-part").toString + "/t"
+    val df = (0L until 2000L)
+      .map(i => (i, s"2024-01-0${i % 3 + 1}", s"row_$i")).toDF("id", "dt", "v")
+    df.repartition(16).write.partitionBy("dt").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .orderBy("id").collect().map(_.toSeq)
+
+    val report = Maintenance.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(report.filesAfter == 3, "one file per dt partition")
+    assert(report.filesBefore > report.filesAfter)
+
+    // layout preserved: dt= subdirectories still present → pruning works
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subdirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(subdirs.count(_.startsWith("dt=")) == 3, s"got $subdirs")
+
+    val after = spark.read.parquet(dir).orderBy("id").collect().map(_.toSeq)
+    assert(after.toSeq == before.toSeq)
+  }
+
   test("writePartitionedIncremental: dynamic overwrite touches only incoming partitions") {
     val spark0 = spark
     import spark0.implicits._

@@ -2,6 +2,7 @@ package graft.ext
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -65,6 +66,40 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(1L) == Some(100.0)) // 5s gap ≤ 10
     assert(out(2L) == Some(200.0)) // 0s gap
     assert(out(3L) == None)        // 60s gap > 10 → gated
+  }
+
+  test("tolerance is exact at sub-second precision (micros, not floor-seconds)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 0.4 s and 1.6 s stale quotes around a tolerance of 1 s: a whole-second
+    // unix_timestamp gate floors both timestamps, mis-gating each by ~1 s
+    val probes = Seq(
+      (1L, 10L, Timestamp.valueOf("2024-01-01 10:00:01.500")),
+      (2L, 20L, Timestamp.valueOf("2024-01-01 10:00:01.600"))
+    ).toDF("event_id", "user_id", "ts")
+    val quotes = Seq(
+      (10L, Timestamp.valueOf("2024-01-01 10:00:01.100"), 1.0), // 0.4s stale
+      (20L, Timestamp.valueOf("2024-01-01 10:00:00.000"), 2.0)  // 1.6s stale
+    ).toDF("user_id", "ts", "px")
+    val out = AsofJoin.backward(probes, quotes, "user_id", "ts", Seq("px"),
+        toleranceSeconds = Some(1L))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+    assert(out(1L) == Some(1.0), "0.4s-stale match inside tolerance=1s must survive")
+    assert(out(2L) == None, "1.6s-stale match must be gated at tolerance=1s")
+  }
+
+  test("column-collision guards reject reserved/duplicate names") {
+    val (trades, quotes) = fixtures
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(trades.withColumn("__side", lit(1)), quotes,
+        "user_id", "ts", Seq("px"))
+    }
+    intercept[IllegalArgumentException] {
+      // right payload column name already present on the left
+      AsofJoin.backward(trades, quotes.withColumnRenamed("px", "tag"),
+        "user_id", "ts", Seq("tag"))
+    }
   }
 
   test("plan: exactly one exchange (merge shape, not a range join)") {

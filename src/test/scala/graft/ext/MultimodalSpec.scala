@@ -76,6 +76,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio path is REAL: WAV bytes decode, features carry true amplitude stats") {
+    val media = Multimodal.attachMedia(docs)
+    val wavs = media.filter("format = 'audio/wav'").limit(5).collect()
+    assert(wavs.nonEmpty)
+    wavs.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("media")
+      // RIFF/WAVE magic
+      assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V')
+      val id = r.getAs[Long]("doc_id")
+      val d = AudioCodec.decode(bytes).get
+      assert(d.sampleRateHz == 8000f)
+      assert(d.channels == 1)
+      assert(d.nFrames == (id % 8000 + 800))
+      assert(d.durationMs == r.getAs[Long]("duration_ms"))
+      // a 0.5-amplitude sine: RMS ≈ 0.5/√2, peak ≈ 0.5 — REAL decoded PCM,
+      // not byte-hash pseudo-features
+      assert(math.abs(d.rms(0) - 0.5 / math.sqrt(2.0)) < 0.02,
+        s"doc $id rms ${d.rms(0)}")
+      assert(d.peak(0) > 0.45f && d.peak(0) <= 0.5001f, s"doc $id peak ${d.peak(0)}")
+    }
+    val feats = Multimodal.extractFeatures(media)
+      .filter(_.format == "audio/wav").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.features(0) == 8000f, "sample rate rides in features")
+      assert(f.features(1) == 1f)
+      assert(math.abs(f.features(4) - 0.3536f) < 0.02f, s"rms ${f.features(4)}")
+      assert(f.features(5) > 0.45f, s"peak ${f.features(5)}")
+    }
+  }
+
   test("resizeImages really rescales: output PNG decodes to target dims") {
     val media = Multimodal.attachMedia(docs).filter("format = 'image/png'").limit(3)
     val out = Multimodal.resizeImages(media, 17, 11).collect()
