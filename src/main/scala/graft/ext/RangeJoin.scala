@@ -21,24 +21,35 @@ object RangeJoin {
 
   /** Inner-join points to intervals `[start, end)` sharing `keys` (may be
     * empty for a keyless/global range join). Output: every (point,
-    * covering interval) pair, point columns first. */
+    * covering interval) pair, point columns first.
+    *
+    * `maxBinsPerInterval` bounds the explode: a pathological interval (a
+    * year-long window against 1-second bins) would otherwise fabricate
+    * millions of rows from ONE input row — the same failure mode
+    * `maxBucket` caps in Dedup. Intervals covering more bins are DROPPED
+    * (they match nothing); pick binSeconds near the typical interval
+    * length so real intervals sit at a handful of bins, and raise the cap
+    * deliberately if genuinely-long intervals must join. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointTs: String, startCol: String, endCol: String,
                       keys: Seq[String] = Nil,
-                      binSeconds: Long = 3600L): DataFrame = {
+                      binSeconds: Long = 3600L,
+                      maxBinsPerInterval: Long = 4096L): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val binUs = binSeconds * 1000000L
     // exactly representable micros arithmetic; end is exclusive so the
     // last covered bin is floor((end-1µs)/bin)
     val p = points.withColumn("__bin",
       floor(unix_micros(col(pointTs)) / binUs))
+    val firstBin = floor(unix_micros(col(startCol)) / binUs)
+    val lastBin = floor((unix_micros(col(endCol)) - 1) / binUs)
     val i = intervals
       // empty/inverted intervals match nothing (and Spark's sequence()
       // would otherwise run DESCENDING for them, fabricating bins)
       .filter(col(endCol) > col(startCol))
-      .withColumn("__bin", explode(sequence(
-        floor(unix_micros(col(startCol)) / binUs),
-        floor((unix_micros(col(endCol)) - 1) / binUs))))
+      .filter(lastBin - firstBin < maxBinsPerInterval)
+      .withColumn("__bin", explode(sequence(firstBin, lastBin)))
     p.join(i, keys :+ "__bin")
       .filter(unix_micros(col(pointTs)) >= unix_micros(col(startCol)) &&
         unix_micros(col(pointTs)) < unix_micros(col(endCol)))

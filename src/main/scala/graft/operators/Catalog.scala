@@ -26,7 +26,8 @@ final case class Q(
 /** The full query surface, assembled from the parity catalog (SURVEY.md §2)
   * and the LLM-pipeline extension operators. */
 object Catalog {
-  lazy val all: Seq[Q] = ParityQueries.all ++ ExtensionQueries.all
+  lazy val all: Seq[Q] =
+    ParityQueries.all ++ ExtensionQueries.all ++ StreamingQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -52,6 +52,33 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("maxBinsPerInterval caps pathological intervals instead of exploding") {
+    val spark0 = spark
+    import spark0.implicits._
+    val (points, _) = fixtures
+    // one sane 2-minute window + one all-day window: at binSeconds=1 the
+    // all-day interval would explode into 86,400 rows from a single input
+    // row — the cap (default 4096) drops it; the sane window still joins
+    val intervals = Seq(
+      (1L, ts("2024-01-01 10:04:00"), ts("2024-01-01 10:06:00"), "sane"),
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), "all_day")
+    ).toDF("user_id", "w_start", "w_end", "tag")
+    val capped = RangeJoin.pointInInterval(points, intervals,
+        "ts", "w_start", "w_end", Seq("user_id"), binSeconds = 1L)
+      .select("event_id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(capped == Set((1L, "sane")),
+      "oversized interval must be dropped, sane one kept")
+    // raising the cap deliberately restores the dropped interval's matches
+    val uncapped = RangeJoin.pointInInterval(points, intervals,
+        "ts", "w_start", "w_end", Seq("user_id"), binSeconds = 1L,
+        maxBinsPerInterval = 100000L)
+      .select("event_id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(uncapped == Set((1L, "sane"),
+      (1L, "all_day"), (2L, "all_day"), (3L, "all_day"), (5L, "all_day")))
+  }
+
   test("keyless range join works and stays hash-join-shaped") {
     val (points, intervals) = fixtures
     val df = RangeJoin.pointInInterval(points.drop("user_id"),
