@@ -146,6 +146,32 @@ object ExtensionQueries {
            | SELECT doc_id, neighbor_id, round(jac, 3) AS jaccard FROM r WHERE rn = 1"""
       .stripMargin.replace("\n", "")))
 
+  /** Levenshtein edit distance over a bounded probe cross — the classic
+    * character-level near-dup measure (complements the token-level Jaccard
+    * family). Both engines implement unit-cost insert/delete/substitute
+    * over characters, identical for BMP text. Bounded on both axes
+    * (20×20 probe pairs, first 100 chars): at 100 TB edit distance is a
+    * VERIFY-stage measure over candidate pairs, never all-pairs — this
+    * query is that verify shape. */
+  val editDistance = Q(
+    "q_x_edit_distance",
+    "Levenshtein distance over bounded probe pairs (first 100 chars)",
+    (s, dir) => {
+      val docs = Sources.table(s, dir, "documents")
+      val a = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("a"), substring(col("text"), 1, 100).as("ta"))
+      val b = docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select(col("doc_id").as("b"), substring(col("text"), 1, 100).as("tb"))
+      a.crossJoin(broadcast(b))
+        .select(col("a"), col("b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+    },
+    Some("""SELECT a.doc_id AS a, b.doc_id AS b,
+           | CAST(levenshtein(left(a.text, 100), left(b.text, 100)) AS BIGINT) AS edit_dist
+           | FROM documents a, documents b
+           | WHERE a.doc_id < 20 AND b.doc_id >= 20 AND b.doc_id < 40"""
+      .stripMargin.replace("\n", "")))
+
   /** Embedding near-dup report via hyperplane LSH buckets. */
   val embNearDup = Q(
     "q_x_emb_near_dup",
@@ -519,7 +545,8 @@ object ExtensionQueries {
     None)
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupVerify, ngramJaccardTop1, embNearDup,
+    dedupExact, dedupMinhash, dedupSimhash, dedupVerify, ngramJaccardTop1,
+    editDistance, embNearDup,
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,

@@ -604,6 +604,54 @@ object ParityQueries {
            | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
       .stripMargin.replace("\n", "")))
 
+  /** Distribution-rank windows — ntile/percent_rank/dense_rank, the
+    * remaining rank family beyond row_number/lag/lead. One partition key
+    * (event_type) → a single exchange; the two orderings (value alone for
+    * the tie-sharing ranks, value+event_id for ntile whose tie split must
+    * be total to be deterministic) are two sorts over the same shuffle. */
+  val windowNtile = Q(
+    "q_w_ntile",
+    "Window ranks: ntile(4) / percent_rank / dense_rank per event_type",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byVal = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val byValId = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        ntile(4).over(byValId).cast("long").as("quartile"),
+        round(percent_rank().over(byVal), 6).as("prank"),
+        dense_rank().over(byVal).cast("long").as("drank"))
+    },
+    Some("""SELECT event_id, event_type,
+           | CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS quartile,
+           | round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) AS prank,
+           | CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS drank
+           | FROM events""".stripMargin.replace("\n", "")))
+
+  /** Explicit salt-based skew mitigation, PARITY-CHECKED: the salted join
+    * (hot keys scattered over 8 sub-keys, small side replicated per salt —
+    * Skew.saltedJoin) must produce exactly the plain join's aggregate. The
+    * oracle runs the UNsalted SQL join, so the hash match proves the
+    * rewrite is semantics-preserving, not just plan-shaped. */
+  val saltedJoinParity = Q(
+    "q_j5_salted_join",
+    "Salted skew join == plain join (revenue per supplier nation)",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(li, sup, "l_suppkey", salts = 8,
+          saltBy = col("l_orderkey"))
+        .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    },
+    Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
+           | round(sum(l_extendedprice), 2) AS revenue
+           | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           | GROUP BY 1""".stripMargin.replace("\n", "")))
+
   /** Pivot (groupBy().pivot() — the spreadsheet turn): events per user ×
     * event_type as columns. Fixed value list on the Spark side (the 100 TB
     * discipline: a discovery pass over the pivot column is a full extra
@@ -636,6 +684,6 @@ object ParityQueries {
     aggCount, aggGroup, groupingSets, countDistinct, approxDistinct, distinctDim,
     percentiles, percentilesApprox, pivotCounts, cubeAgg, setOps,
     timeDims, epochRoundtrip, caseFiscal,
-    cteTopK, windowRank, windowLagLead, sessionize, pricingSummary,
-    shippingPriority, forecastRevenue)
+    cteTopK, windowRank, windowLagLead, windowNtile, sessionize,
+    saltedJoinParity, pricingSummary, shippingPriority, forecastRevenue)
 }

@@ -1,16 +1,38 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-visible checks for the Structured Streaming surface. The
-  * streaming operators are spec-verified in EventsStreamSpec; this entry
-  * additionally runs one under the driver's correctness gate: a bounded
-  * fixture streamed through the real `readStream → dropDuplicatesWithin
-  * Watermark → memory sink` path must reproduce the batch answer.
+  * streaming operators are spec-verified in EventsStreamSpec; these entries
+  * additionally run them under the driver's correctness gate: a bounded
+  * fixture streamed through the real `readStream → transform → memory sink`
+  * path must reproduce the batch answer DuckDB computes.
   */
 object StreamingQueries {
 
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The file stream source needs a DIRECTORY; stage the fixture as a
+    * symlink (no copy) in a fresh temp dir. */
+  private def stageEvents(dir: String): String = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-q")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    stage.toString
+  }
+
+  /** Run a streaming frame to completion into a memory sink, return the
+    * sink table. */
+  private def runToMemory(s: SparkSession, out: DataFrame, mode: String,
+                          prefix: String): DataFrame = {
+    val name = s"${prefix}_${nextId.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
 
   /** Streaming exact dedup, batch-equivalence form: stream the events
     * parquet as a micro-batch source, dedup on (user_id, event_type)
@@ -23,22 +45,31 @@ object StreamingQueries {
     "q_s_stream_dedup",
     "Streaming dedup (dropDuplicatesWithinWatermark) key-set = batch DISTINCT",
     (s, dir) => {
-      val name = s"graft_stream_dedup_${nextId.incrementAndGet()}"
-      // the file stream source needs a DIRECTORY; stage the fixture as a
-      // symlink (no copy) in a fresh temp dir
-      val stage = java.nio.file.Files.createTempDirectory("graft-stream-q")
-      java.nio.file.Files.createSymbolicLink(
-        stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(dir, "events.parquet"))
-      val src = graft.streaming.EventsStream.readEvents(s, stage.toString)
-      val q = graft.streaming.EventsStream
+      val src = graft.streaming.EventsStream.readEvents(s, stageEvents(dir))
+      val out = graft.streaming.EventsStream
         .dedupStream(src, Seq("user_id", "event_type"), watermark = "365 days")
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(name).select(col("user_id"), col("event_type"))
+      runToMemory(s, out, "append", "graft_stream_dedup")
+        .select(col("user_id"), col("event_type"))
     },
     Some("SELECT DISTINCT user_id, event_type FROM events"))
 
-  val all: Seq[Q] = Seq(streamDedup)
+  /** Watermarked event-time window aggregation, batch-equivalence form:
+    * the streaming hourly (window × event_type) counts/sums must equal the
+    * batch GROUP BY date_trunc('hour') — the core streaming-agg semantics
+    * (event-time windows, not arrival-time) under the driver gate. */
+  val streamWindow = Q(
+    "q_s_stream_window",
+    "Streaming watermarked hourly windows = batch GROUP BY date_trunc",
+    (s, dir) => {
+      val src = graft.streaming.EventsStream.readEvents(s, stageEvents(dir))
+      val out = graft.streaming.EventsStream.windowedCounts(src)
+      runToMemory(s, out, "complete", "graft_stream_win")
+        .select(col("window_start"), col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+    },
+    Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+           | count(*) AS n, round(sum(value), 2) AS sum_value
+           | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", "")))
+
+  val all: Seq[Q] = Seq(streamDedup, streamWindow)
 }
