@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "ngram_jaccard" -> (xs => NgramJaccard(xs(0), xs(1), 3)),
     "cosine_sim" -> (xs => CosineSim(xs(0), xs(1))),
     "winnow_sig" -> (xs => WinnowSig(xs.head, 9, 12)),
+    "sorted_shingles" -> (xs => SortedShingles(xs.head, 3)),
+    "array_jaccard" -> (xs => ArrayJaccard(xs(0), xs(1))),
+    "repetition_stats" -> (xs => RepetitionStats(xs.head)),
     "hyperplane_bucket" -> (xs => HyperplaneBucket(xs.head, 16, 42L)),
     "l2_normalize" -> (xs => L2Normalize(xs.head)),
     "quantize_int8" -> (xs => QuantizeInt8(xs.head)),

@@ -238,6 +238,12 @@ object TextExprs {
       xs => CosineSim(xs(0), xs(1)), "internal")
     reg.createOrReplaceTempFunction("winnow_sig",
       xs => WinnowSig(xs.head, 9, 12), "internal")
+    reg.createOrReplaceTempFunction("sorted_shingles",
+      xs => SortedShingles(xs.head, 3), "internal")
+    reg.createOrReplaceTempFunction("array_jaccard",
+      xs => ArrayJaccard(xs(0), xs(1)), "internal")
+    reg.createOrReplaceTempFunction("repetition_stats",
+      xs => RepetitionStats(xs.head), "internal")
     reg.createOrReplaceTempFunction("l2_normalize",
       xs => L2Normalize(xs.head), "internal")
     reg.createOrReplaceTempFunction("quantize_int8",

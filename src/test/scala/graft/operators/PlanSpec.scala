@@ -76,4 +76,32 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_q1_cte_topk")
     assert(p.contains("TakeOrderedAndProject"), s"global sort instead of topK:\n$p")
   }
+
+  test("rank windows share one exchange and one sort (order prefix reuse)") {
+    val p = plan("q_w_ntile")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange:\n$p")
+    // the (value) ordering is a prefix of (value, event_id): both Window
+    // operators must run off a single Sort
+    val sorts = "\\bSort\\b".r.findAllIn(p).length
+    assert(sorts == 1, s"expected 1 sort, the prefix rule regressed:\n$p")
+  }
+
+  test("salted join broadcasts the replicated small side; agg stays partial") {
+    val p = plan("q_j5_salted_join")
+    assert(p.contains("BroadcastHashJoin"), s"salted small side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // salt explode (Generate) must sit UNDER the broadcast, so the
+    // replication happens once on the small side, not per large-side row
+    assert(p.indexOf("Generate") > p.indexOf("BroadcastExchange"),
+      s"salt explode outside the broadcast build:\n$p")
+  }
+
+  test("dedup verify keeps the probe side broadcast (corpus streams once)") {
+    val p = plan("q_x_dedup_verify")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

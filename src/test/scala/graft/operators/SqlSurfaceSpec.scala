@@ -22,7 +22,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q_j3_join_anti", "q_j2_join_semi", "q_j4_star_join",
     "q_a1_count", "q_a2_group_agg", "q_a3_grouping_sets", "q_a4_distinct",
     "q_q1_cte_topk", "q_w_row_number", "q_x_dedup_exact",
-    "q_a5_count_distinct", "q_tpch_q1_pricing")
+    "q_a5_count_distinct", "q_tpch_q1_pricing",
+    "q_j5_salted_join", "q_w_ntile", "q_x_edit_distance",
+    "q_s_stream_dedup", "q_s_stream_window")
 
   sparkCompatible.toSeq.sorted.foreach { name =>
     test(s"$name: spark.sql(oracle text) == DataFrame result") {
