@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExprs._
+
+/** Benchmark decontamination — the n-gram overlap removal every serious
+  * training-data pipeline runs before a corpus ships (the standard recipe:
+  * drop any training document sharing a word n-gram with an evaluation
+  * set; n = 8..13 in the published pipelines).
+  *
+  * Two shapes:
+  *  - `exact`: explode doc grams, broadcast-semi-join against the probe
+  *    gram set, anti-join the contaminated ids back. The corpus never
+  *    shuffles (grams meet the broadcast in the map stage; only the small
+  *    contaminated-id set moves). Deterministic → DuckDB-oracle-able.
+  *  - `bloom`: build a Bloom filter of probe gram hashes (distributed
+  *    treeAggregate via DataFrameStatFunctions), ship it into a codegen
+  *    membership probe, filter map-only. ZERO joins and zero corpus
+  *    shuffle — the 100 TB shape when even the exploded-gram broadcast
+  *    probe is too hot. False positives (rate `fpp`) over-remove
+  *    harmlessly; false negatives cannot occur, so the decontamination
+  *    guarantee holds.
+  *
+  * Gram construction is `sorted_shingles` (distinct word-n-gram hashes,
+  * TextHashing): documents shorter than n tokens contribute their whole
+  * text as one gram — i.e. short texts are matched exactly.
+  */
+object Decontaminate {
+
+  private def gramCol(textCol: String, n: Int): Column =
+    sorted_shingles(col(textCol), n)
+
+  /** Exact decontamination: `docs` minus every row sharing an n-gram with
+    * `probes`. */
+  def exact(docs: DataFrame, probes: DataFrame, idCol: String,
+            textCol: String, n: Int = 8): DataFrame = {
+    val probeGrams = probes
+      .select(explode(gramCol(textCol, n)).as("__g")).distinct()
+    val docGrams = docs
+      .select(col(idCol), explode(gramCol(textCol, n)).as("__g"))
+    val contaminated = docGrams
+      .join(broadcast(probeGrams), Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Bloom decontamination: map-only filter against a sketch of the probe
+    * grams. `expectedGrams` sizes the filter (overestimate freely — memory
+    * is ~1.2 bytes/item at fpp 0.001). */
+  def bloom(docs: DataFrame, probes: DataFrame, idCol: String,
+            textCol: String, n: Int = 8, expectedGrams: Long = 1000000L,
+            fpp: Double = 0.001): DataFrame = {
+    require(expectedGrams > 0 && fpp > 0 && fpp < 1, "bad bloom parameters")
+    val bf = probes.select(explode(gramCol(textCol, n)).as("__g"))
+      .stat.bloomFilter("__g", expectedGrams, fpp)
+    // one projection materializes the gram array; the filter's exists()
+    // lambda then probes the ATTRIBUTE (no re-shingling per element — the
+    // HOF re-evaluation trap)
+    docs.withColumn("__sh", gramCol(textCol, n))
+      .filter(!exists(col("__sh"), g => bloom_contains(g, bf)))
+      .drop("__sh")
+  }
+}

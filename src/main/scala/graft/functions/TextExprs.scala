@@ -75,6 +75,26 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Membership probe against a pre-built Bloom filter of 64-bit gram
+    * hashes. The filter is a trained (bounded, mergeable) sketch shipped
+    * into generated code as a reference object — the decontamination
+    * filter touches no join, no shuffle: a map-only mightContain per gram
+    * (false positives at the sketch's fpp; false negatives impossible). */
+  case class BloomContains(child: Expression,
+                           bloom: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(input: Any): Any =
+      bloom.mightContainLong(input.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloom", bloom,
+        "org.apache.spark.util.sketch.BloomFilter")
+      defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomContains =
+      copy(child = newChild)
+  }
+
   case class RepetitionStats(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
@@ -212,6 +232,9 @@ object TextExprs {
   def sorted_shingles(c: Column, n: Int = 3): Column =
     col(SortedShingles(e(c), n))
   def repetition_stats(c: Column): Column = col(RepetitionStats(e(c)))
+  def bloom_contains(c: Column,
+                     bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    col(BloomContains(e(c), bloom))
   def array_jaccard(a: Column, b: Column): Column =
     col(ArrayJaccard(e(a), e(b)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(e(a), e(b)))

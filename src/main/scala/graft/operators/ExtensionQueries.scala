@@ -146,6 +146,53 @@ object ExtensionQueries {
            | SELECT doc_id, neighbor_id, round(jac, 3) AS jaccard FROM r WHERE rn = 1"""
       .stripMargin.replace("\n", "")))
 
+  /** Benchmark decontamination, exact form (Decontaminate.exact): drop
+    * every training doc sharing a word 8-gram with the "benchmark" probe
+    * set (here: the 1-in-50 doc sample). The corpus never shuffles —
+    * exploded grams meet the broadcast probe-gram set map-side; only the
+    * small contaminated-id set moves. DuckDB rebuilds the identical gram
+    * sets → hash-anchored. */
+  val decontaminate = Q(
+    "q_x_decontaminate",
+    "Decontamination: drop docs sharing an 8-gram with the probe set",
+    (s, dir) => {
+      val docs = Sources.table(s, dir, "documents")
+      graft.ext.Decontaminate.exact(
+          docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("source"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+           | sh AS (SELECT doc_id, list_distinct(CASE
+           |   WHEN len(toks) = 0 THEN []
+           |   WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+           |   ELSE [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]
+           |   END) AS s FROM d),
+           | pg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+           | dg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+           | bad AS (SELECT DISTINCT doc_id FROM dg WHERE g IN (SELECT g FROM pg))
+           | SELECT doc_id, source FROM documents
+           | WHERE doc_id NOT IN (SELECT doc_id FROM bad)"""
+      .stripMargin.replace("\n", "")))
+
+  /** Bloom-filter decontamination (Decontaminate.bloom) — the zero-join,
+    * zero-shuffle scale path: a sketch of probe gram hashes rides into a
+    * codegen membership probe; the corpus is filtered map-only. False
+    * positives over-remove at ~fpp (harmless); false negatives are
+    * impossible, so the guarantee holds. Sketch-based → rows-only check;
+    * DecontaminateSpec pins superset-of-exact + removal-rate bounds. */
+  val decontaminateBloom = Q(
+    "q_x_decontaminate_bloom",
+    "Decontamination via Bloom sketch (map-only, no joins)",
+    (s, dir) => {
+      val docs = Sources.table(s, dir, "documents")
+      graft.ext.Decontaminate.bloom(
+          docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+          n = 8, expectedGrams = 100000L)
+        .select(col("doc_id"), col("source"))
+    },
+    None)
+
   /** Levenshtein edit distance over a bounded probe cross — the classic
     * character-level near-dup measure (complements the token-level Jaccard
     * family). Both engines implement unit-cost insert/delete/substitute
@@ -546,7 +593,7 @@ object ExtensionQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupVerify, ngramJaccardTop1,
-    editDistance, embNearDup,
+    editDistance, decontaminate, decontaminateBloom, embNearDup,
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
