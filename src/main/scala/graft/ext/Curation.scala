@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** The composed training-data curation pipeline — the end-to-end flow the
   * individual operators exist for:
   *
-  *   exact dedup → near-dup dedup (MinHash+LSH) → quality gate →
+  *   exact dedup → near-dup dedup (MinHash+LSH) →
+  *   [benchmark decontamination] → quality gate →
   *   PII redaction → chunking → deterministic split assignment
   *
   * Each stage is the already-tested operator; this object owns the
@@ -22,7 +23,8 @@ object Curation {
 
   final case class Report(input: Long, afterExactDedup: Long,
                           afterNearDedup: Long, afterQuality: Long,
-                          chunks: Long)
+                          chunks: Long,
+                          afterDecontamination: Option[Long] = None)
 
   final case class Result(chunks: DataFrame, report: Report)
 
@@ -30,12 +32,18 @@ object Curation {
     *
     * @param minQualityBp   quality-gate floor in basis points (0..10000)
     * @param jaccardThreshold near-dup verify threshold
+    * @param decontaminateAgainst optional benchmark/eval corpus: docs
+    *   sharing a word `decontaminateN`-gram with it are dropped (between
+    *   near-dup dedup and the quality gate — overlap removal before any
+    *   text rewriting)
     * @return chunk-level frame (doc_id, chunk_idx, chunk, split) of
     *         surviving canonical docs, plus per-stage counts
     */
   def run(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
           minQualityBp: Long = 5000L, jaccardThreshold: Double = 0.7,
-          windowTokens: Int = 32, strideTokens: Int = 16): Result = {
+          windowTokens: Int = 32, strideTokens: Int = 16,
+          decontaminateAgainst: Option[DataFrame] = None,
+          decontaminateN: Int = 8): Result = {
     val input = docs.count()
 
     // Each stage's survivors are localCheckpoint'd (the repo's convention
@@ -55,8 +63,18 @@ object Curation {
     val d2 = d1.join(near, Seq(idCol), "left_semi").localCheckpoint(true)
     val n2 = d2.count()
 
+    // 2b. optional benchmark decontamination (before any text rewriting)
+    val (d2b, n2b) = decontaminateAgainst match {
+      case Some(probes) =>
+        val kept = Decontaminate
+          .exact(d2, probes, idCol, textCol, decontaminateN)
+          .localCheckpoint(true)
+        (kept, Some(kept.count()))
+      case None => (d2, None)
+    }
+
     // 3. quality gate (map-only)
-    val d3 = d2
+    val d3 = d2b
       .withColumn("__q", struct(TextAnalysis.qualityColumns(col(textCol)): _*))
       .filter(col("__q.quality_score_bp") >= minQualityBp)
       .drop("__q")
@@ -73,6 +91,6 @@ object Curation {
     // 6. deterministic split (stable across reruns/engines)
     val split = Sampling.deterministicSplit(chunked, idCol)
       .select(col(idCol), col("chunk_idx"), col("chunk"), col("split"))
-    Result(split, Report(input, n1, n2, n3, split.count()))
+    Result(split, Report(input, n1, n2, n3, split.count(), n2b))
   }
 }

@@ -557,6 +557,27 @@ object ExtensionQueries {
            |   + len(regexp_extract_all(t3, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_pii
            | FROM s4""".stripMargin.replace("\n", "")))
 
+  /** Corpus vocabulary — the canonical distributed word-count shape every
+    * tokenizer-training / vocab-analysis pipeline runs: explode tokens,
+    * partial-count map-side (the exploded token stream never reaches the
+    * exchange unaggregated), top-k via TakeOrderedAndProject (no global
+    * sort). Deterministic under ties by (n DESC, token ASC) total order. */
+  val vocabTopK = Q(
+    "q_x_vocab_topk",
+    "Corpus vocabulary: top-50 tokens by frequency",
+    (s, dir) => Sources.table(s, dir, "documents")
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50),
+    Some("""WITH t AS (SELECT unnest(list_filter(string_split(text, ' '),
+           |   x -> x <> '')) AS token FROM documents)
+           | SELECT token, count(*) AS n FROM t GROUP BY token
+           | ORDER BY n DESC, token LIMIT 50"""
+      .stripMargin.replace("\n", "")))
+
   /** JSON metadata extraction — training pipelines parse per-record JSON
     * props constantly; codegen'd get_json_object, no UDF. */
   val jsonProps = Q(
@@ -597,5 +618,5 @@ object ExtensionQueries {
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
-    chunkDocs, repetition, piiRedact, jsonProps, multimodal)
+    chunkDocs, repetition, piiRedact, vocabTopK, jsonProps, multimodal)
 }

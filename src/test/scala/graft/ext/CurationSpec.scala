@@ -31,6 +31,23 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("optional decontamination stage drops benchmark-overlapping docs") {
+    val docs = Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val probes = docs.filter("doc_id % 50 = 0")
+    val r = Curation.run(docs, minQualityBp = 0L,
+      decontaminateAgainst = Some(probes))
+    val n2b = r.report.afterDecontamination.get
+    assert(n2b < r.report.afterNearDedup, "probe overlaps must be dropped")
+    assert(r.report.afterQuality <= n2b)
+    // none of the probe ids survive into chunks
+    val ids = r.chunks.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.exists(_ % 50 == 0))
+    // without the stage, the report carries no decontamination count
+    assert(Curation.run(docs, minQualityBp = 0L)
+      .report.afterDecontamination.isEmpty)
+  }
+
   test("planted PII never reaches a chunk") {
     val spark0 = spark
     import spark0.implicits._
