@@ -458,6 +458,87 @@ object ParityQueries {
       .stripMargin.replace("\n", "")),
     headline = true)
 
+  /** TPC-H Q5 shape — the 6-table "local supplier volume" join: the
+    * region/nation dims prune to one region BEFORE joining (broadcast),
+    * the orders year-filter pushes to its scan, and the only wide
+    * exchanges are the lineitem⋈orders⋈customer fact spine. The
+    * c_nationkey = s_nationkey "local" constraint rides the supplier
+    * broadcast join — no extra shuffle. */
+  val localSupplierVolume = Q(
+    "q_tpch_q5_local_supplier",
+    "TPC-H Q5-style local supplier volume (6-table join, one region/year)",
+    (s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+            lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") <
+            lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val supplier = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val customer = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    },
+    Some("""SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           | FROM lineitem
+           | JOIN orders ON l_orderkey = o_orderkey
+           | JOIN customer ON o_custkey = c_custkey
+           | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           | JOIN nation ON s_nationkey = n_nationkey
+           | JOIN region ON n_regionkey = r_regionkey
+           | WHERE r_name = 'ASIA'
+           |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           | GROUP BY n_name""".stripMargin.replace("\n", "")),
+    headline = true)
+
+  /** TPC-H Q18 shape — "large volume orders": aggregate lineitem FIRST
+    * (partial map-side sum per orderkey), HAVING-filter to the few whale
+    * orders, THEN join the filtered keys to orders/customer — the
+    * aggregate-before-join discipline that keeps the join inputs tiny at
+    * scale (joining first would shuffle every lineitem row twice). */
+  val largeOrders = Q(
+    "q_tpch_q18_large_orders",
+    "TPC-H Q18-style large-volume orders (agg-then-join, HAVING filter)",
+    (s, dir) => {
+      val whales = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 200.0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .join(whales, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("total_qty"), 2).as("total_qty"))
+    },
+    Some("""WITH w AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+           |   FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200.0)
+           | SELECT c_custkey, c_mktsegment, o_orderkey,
+           |   round(o_totalprice, 2) AS o_totalprice,
+           |   round(total_qty, 2) AS total_qty
+           | FROM orders JOIN w ON o_orderkey = l_orderkey
+           | JOIN customer ON o_custkey = c_custkey"""
+      .stripMargin.replace("\n", "")))
+
   /** Sessionization — gap-based session assignment per user (lag + running
     * sum over one user-partitioned sort; the canonical event-analytics
     * window pattern). Timestamps compare in integer microseconds so both
@@ -685,5 +766,6 @@ object ParityQueries {
     percentiles, percentilesApprox, pivotCounts, cubeAgg, setOps,
     timeDims, epochRoundtrip, caseFiscal,
     cteTopK, windowRank, windowLagLead, windowNtile, sessionize,
-    saltedJoinParity, pricingSummary, shippingPriority, forecastRevenue)
+    saltedJoinParity, pricingSummary, shippingPriority, forecastRevenue,
+    localSupplierVolume, largeOrders)
 }
