@@ -86,4 +86,40 @@ object Analyze {
     }
     TableStats(files, rows, compressed, uncompressed, cols)
   }
+
+  final case class FileRange(file: String, min: String, max: String)
+
+  /** Per-FILE footer (min, max) for one column — the pruning-width
+    * diagnostic: a filter on `column` skips every file whose range
+    * excludes the predicate. `Sources.writeZOrdered` exists to make these
+    * ranges narrow on two columns at once. */
+  def perFileRange(spark: SparkSession, dir: String,
+                   column: String): Seq[FileRange] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .flatMap { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          var acc: Statistics[_] = null
+          reader.getFooter.getBlocks.forEach { block =>
+            block.getColumns.forEach { col =>
+              if (col.getPath.toDotString == column) {
+                val st = col.getStatistics
+                if (st != null && st.hasNonNullValue) {
+                  if (acc == null) {
+                    acc = Statistics.createStats(col.getPrimitiveType)
+                  }
+                  mergeInto(acc, st)
+                }
+              }
+            }
+          }
+          Option(acc).map(a =>
+            FileRange(f.getPath.getName, a.minAsString, a.maxAsString))
+        } finally reader.close()
+      }
+  }
 }

@@ -75,6 +75,20 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Morton/Z-order interleave of two non-negative long columns — the
+    * clustering key behind writeZOrdered (see ext.ZOrder). */
+  case class ZOrderKey(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      graft.ext.ZOrder.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.ext.ZOrder.interleave($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): ZOrderKey = copy(left = l, right = r)
+  }
+
   /** Membership probe against a pre-built Bloom filter of 64-bit gram
     * hashes. The filter is a trained (bounded, mergeable) sketch shipped
     * into generated code as a reference object — the decontamination
@@ -235,6 +249,7 @@ object TextExprs {
   def bloom_contains(c: Column,
                      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     col(BloomContains(e(c), bloom))
+  def zorder_key(a: Column, b: Column): Column = col(ZOrderKey(e(a), e(b)))
   def array_jaccard(a: Column, b: Column): Column =
     col(ArrayJaccard(e(a), e(b)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(e(a), e(b)))

@@ -182,6 +182,24 @@ object Sources {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** Z-ordered layout — multi-dimensional clustering (Delta/Iceberg
+    * OPTIMIZE ZORDER BY analogue): range-partition + sort by the Morton
+    * interleave of two non-negative long columns, so every output file
+    * covers a NARROW min/max range on BOTH columns and parquet scan
+    * pruning (row-group/file skipping on footer stats) fires for filters
+    * on either one. A plain sort key prunes one column only; `etl.Analyze`
+    * reads back the per-file ranges this write produces. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(numFiles > 0, "numFiles must be positive")
+    df.withColumn("__z", graft.functions.TextExprs.zorder_key(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed catalog table — the full Redshift distkey analogue: two
     * tables bucketed on their join key with the same bucket count join
     * WITHOUT a shuffle (co-located hash join). Opt-in (bucketing pays one
