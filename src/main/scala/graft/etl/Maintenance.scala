@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Table maintenance — the background jobs a 100 TB parquet warehouse
   * cannot live without. The reference delegates these to Redshift
@@ -66,5 +66,52 @@ object Maintenance {
     val after = fs.listStatus(path).toSeq
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     CompactionReport(dataFiles.size.toLong, after.toLong, totalBytes)
+  }
+
+  final case class UpsertReport(baseRows: Long, updateRows: Long,
+                                resultRows: Long)
+
+  /** Keyed upsert (MERGE INTO analogue on plain parquet): base ∪ updates,
+    * keep the winning row per key — updates beat base; within each side the
+    * greatest `versionCol` wins (ties broken deterministically by the
+    * side tag). Rewrites through the same swap `compact` uses, so a
+    * mid-failure leaves the original table readable. This is the
+    * full-rewrite form; at 100 TB restrict the rewrite by partitioning the
+    * table and upserting per partition (writePartitionedIncremental), or
+    * use a transactional table format — the MERGE semantics stay as here.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String, updates: DataFrame,
+                  key: String, versionCol: String): UpsertReport = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(dir)
+    require(base.columns.sameElements(updates.columns),
+      s"upsert schema mismatch: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    val nBase = base.count()
+    val nUpd = updates.count()
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__src").desc, col(versionCol).desc)
+    val winners = tagged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+      .localCheckpoint(true) // materialize BEFORE the swap reads the dir
+
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + "__upsert_tmp")
+    val old = new Path(dir + "__upsert_old")
+    winners.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"upsert: could not move $dir aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path)
+      throw new java.io.IOException(s"upsert: could not promote $tmp")
+    }
+    fs.delete(old, true)
+    UpsertReport(nBase, nUpd, spark.read.parquet(dir).count())
   }
 }

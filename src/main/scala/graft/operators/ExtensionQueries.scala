@@ -578,6 +578,29 @@ object ExtensionQueries {
            | ORDER BY n DESC, token LIMIT 50"""
       .stripMargin.replace("\n", "")))
 
+  /** Per-source corpus report — the "corpus dashboard" aggregate every
+    * curation run logs: doc counts, token/char totals, language spread per
+    * source. Exact integer sums (order-independent) keep it oracle-able. */
+  val corpusReport = Q(
+    "q_x_corpus_report",
+    "Per-source corpus report: docs, tokens, chars, language spread",
+    (s, dir) => Sources.table(s, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        size(filter(split(col("text"), " ", -1), t => t =!= lit("")))
+          .cast("long").as("n_toks"),
+        col("lang"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        count_distinct(col("lang")).as("n_langs")),
+    Some("""SELECT source, count(*) AS n_docs,
+           | CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
+           | sum(n_chars) AS total_chars,
+           | count(DISTINCT lang) AS n_langs
+           | FROM documents GROUP BY source"""
+      .stripMargin.replace("\n", "")))
+
   /** JSON metadata extraction — training pipelines parse per-record JSON
     * props constantly; codegen'd get_json_object, no UDF. */
   val jsonProps = Q(
@@ -618,5 +641,6 @@ object ExtensionQueries {
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
-    chunkDocs, repetition, piiRedact, vocabTopK, jsonProps, multimodal)
+    chunkDocs, repetition, piiRedact, vocabTopK, corpusReport, jsonProps,
+    multimodal)
 }

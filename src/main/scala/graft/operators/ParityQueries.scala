@@ -458,6 +458,56 @@ object ParityQueries {
       .stripMargin.replace("\n", "")),
     headline = true)
 
+  /** Ordered conversion funnel — the event-analytics staple: how far did
+    * each user get through view → click → purchase, where each stage must
+    * occur AT OR AFTER the previous stage's first occurrence (a plain
+    * "has event" count ignores ordering and overcounts). Three staged
+    * min-aggregations, each joined on the (small) per-user frame from the
+    * previous stage. Oracle truncates to microseconds so both engines
+    * compare identical timestamps. */
+  val funnel = Q(
+    "q_a9_funnel",
+    "Ordered funnel: view → click → purchase stage per user",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("mv"))
+      val c = e.join(v, Seq("user_id"))
+        .filter(col("event_type") === "click" && col("ts") >= col("mv"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("mc"))
+      val p = e.join(c, Seq("user_id"))
+        .filter(col("event_type") === "purchase" && col("ts") >= col("mc"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("mp"))
+      e.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("mp").isNotNull, 3L)
+            .when(col("mc").isNotNull, 2L)
+            .when(col("mv").isNotNull, 1L)
+            .otherwise(0L).as("funnel_stage"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+           |   date_trunc('microseconds', ts) AS ts FROM events),
+           | v AS (SELECT user_id, min(ts) AS mv FROM e
+           |   WHERE event_type = 'view' GROUP BY 1),
+           | c AS (SELECT e.user_id, min(e.ts) AS mc FROM e JOIN v USING (user_id)
+           |   WHERE event_type = 'click' AND e.ts >= v.mv GROUP BY 1),
+           | p AS (SELECT e.user_id, min(e.ts) AS mp FROM e JOIN c USING (user_id)
+           |   WHERE event_type = 'purchase' AND e.ts >= c.mc GROUP BY 1)
+           | SELECT u.user_id, CAST(CASE
+           |   WHEN p.user_id IS NOT NULL THEN 3
+           |   WHEN c.user_id IS NOT NULL THEN 2
+           |   WHEN v.user_id IS NOT NULL THEN 1
+           |   ELSE 0 END AS BIGINT) AS funnel_stage
+           | FROM (SELECT DISTINCT user_id FROM e) u
+           | LEFT JOIN v USING (user_id)
+           | LEFT JOIN c USING (user_id)
+           | LEFT JOIN p USING (user_id)"""
+      .stripMargin.replace("\n", "")))
+
   /** TPC-H Q5 shape — the 6-table "local supplier volume" join: the
     * region/nation dims prune to one region BEFORE joining (broadcast),
     * the orders year-filter pushes to its scan, and the only wide
@@ -763,7 +813,7 @@ object ParityQueries {
     scanProject, filterEq, filterLike, filterInBetween,
     joinLeft, joinTwoKey, joinAnti, joinSemi, starJoin,
     aggCount, aggGroup, groupingSets, countDistinct, approxDistinct, distinctDim,
-    percentiles, percentilesApprox, pivotCounts, cubeAgg, setOps,
+    percentiles, percentilesApprox, pivotCounts, cubeAgg, setOps, funnel,
     timeDims, epochRoundtrip, caseFiscal,
     cteTopK, windowRank, windowLagLead, windowNtile, sessionize,
     saltedJoinParity, pricingSummary, shippingPriority, forecastRevenue,

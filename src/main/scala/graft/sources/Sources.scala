@@ -103,6 +103,14 @@ object Sources {
     df.write.mode(SaveMode.Overwrite)
       .option("header", header.toString).csv(path)
 
+  /** Schema-evolution read: union the schemas of every file in the
+    * directory (`mergeSchema`), so a table whose writers added columns over
+    * time reads as one frame — old files surface the new columns as NULL.
+    * Footer-merge only; no data rewrite. The cost is one footer read per
+    * file at planning (why it's opt-in here and off by default in Spark). */
+  def readMergedParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** ORC — columnar alternative sink/source; vectorized reader + pushdown
     * come free, same as parquet. */
   def readOrc(spark: SparkSession, path: String): DataFrame =

@@ -55,6 +55,39 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after.toSeq == before.toSeq)
   }
 
+  test("mergeUpsert: updates win per key, versions ordered, base preserved") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/t"
+    Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
+      .toDF("id", "v", "payload").write.parquet(dir)
+    // update id=2, insert id=4 (two versions — the later must win)
+    val updates = Seq((2L, 2L, "b2"), (4L, 1L, "d-old"), (4L, 2L, "d"))
+      .toDF("id", "v", "payload")
+    val report = Maintenance.mergeUpsert(spark, dir, updates, "id", "v")
+    assert(report.baseRows == 3 && report.updateRows == 3 && report.resultRows == 4)
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out == Map(
+      1L -> ((1L, "a")), 2L -> ((2L, "b2")),
+      3L -> ((1L, "c")), 4L -> ((2L, "d"))))
+  }
+
+  test("readMergedParquet: schema evolution across file generations") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-merge").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.parquet(dir + "/gen=1")
+    Seq((2L, "b", 9L)).toDF("id", "v1", "v2_added_later")
+      .write.parquet(dir + "/gen=2")
+    val df = Sources.readMergedParquet(spark, dir)
+    assert(df.columns.toSet == Set("id", "v1", "v2_added_later", "gen"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2_added_later")))
+    assert(rows(1).getLong(rows(1).fieldIndex("v2_added_later")) == 9L)
+  }
+
   test("writePartitionedIncremental: dynamic overwrite touches only incoming partitions") {
     val spark0 = spark
     import spark0.implicits._
