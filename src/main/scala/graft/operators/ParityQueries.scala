@@ -490,7 +490,7 @@ object ParityQueries {
             .otherwise(0L).as("funnel_stage"))
     },
     Some("""WITH e AS (SELECT user_id, event_type,
-           |   date_trunc('microseconds', ts) AS ts FROM events),
+           |   date_trunc('microsecond', ts) AS ts FROM events),
            | v AS (SELECT user_id, min(ts) AS mv FROM e
            |   WHERE event_type = 'view' GROUP BY 1),
            | c AS (SELECT e.user_id, min(e.ts) AS mc FROM e JOIN v USING (user_id)

@@ -86,6 +86,41 @@ class JoinPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("AsofJoin tolerance at millisecond resolution matches brute force (5 seeds)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // sub-second offsets: the tolerance gate must compare true microsecond
+    // gaps — a floor-to-seconds gate is off by up to ~1s either way here
+    val msGen: Gen[List[(Long, Long, Int)]] =
+      Gen.listOfN(50, for {
+        key <- Gen.choose(0L, 3L)
+        off <- Gen.choose(0, 5000) // milliseconds
+      } yield (key, off)).map(_.zipWithIndex.map {
+        case ((k, o), i) => (i.toLong, k, o)
+      })
+    for (seed <- 31L to 35L) {
+      val left = sample(msGen, seed)
+      val right = sample(msGen, seed + 100)
+        .groupBy(r => (r._2, r._3)).values.map(_.maxBy(_._1)).toList
+      val ldf = left.map { case (id, k, o) =>
+        (id, k, new Timestamp(base + o)) }.toDF("id", "k", "ts")
+      val rdf = right.map { case (id, k, o) =>
+        (k, new Timestamp(base + o), id.toDouble) }.toDF("k", "ts", "px")
+
+      val tol = AsofJoin.backward(ldf, rdf, "k", "ts", Seq("px"),
+          toleranceSeconds = Some(2L))
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+
+      left.foreach { case (id, k, o) =>
+        val exp = right
+          .filter(r => r._2 == k && r._3 <= o && o - r._3 <= 2000)
+          .sortBy(r => (r._3, r._1)).lastOption.map(_._1.toDouble)
+        assert(tol(id) == exp, s"ms-tol seed=$seed id=$id off=$o")
+      }
+    }
+  }
+
   test("RangeJoin.pointInInterval matches brute force on random data (5 seeds)") {
     val spark0 = spark
     import spark0.implicits._
