@@ -398,6 +398,34 @@ object ExtensionQueries {
            | FROM p LEFT JOIN m ON p.event_id = m.event_id"""
       .stripMargin.replace("\n", "")))
 
+  /** Time-grid resample + forward fill (Resample.forwardFill — grid
+    * explode + the as-of merge shape): each user's purchase value sampled
+    * on an hour-aligned grid across their observed span. Oracle = DuckDB
+    * generate_series + ASOF LEFT JOIN, microsecond-truncated; hour-aligned
+    * grid instants survive the nanos→micros read identically. Bounded
+    * probe set (user_id < 50) keeps the oracle compare small. */
+  val resampleFfill = Q(
+    "q_x_resample_ffill",
+    "Hourly resample + forward fill of purchase values per user",
+    (s, dir) => {
+      val e = Sources.table(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("value").as("v"))
+      graft.ext.Resample.forwardFill(e, "user_id", "ts", "v", 3600L)
+        .select(col("user_id"), col("ts"), round(col("v"), 2).as("v"))
+    },
+    Some("""WITH e AS (SELECT user_id, date_trunc('microsecond', ts) AS ts, value AS v
+           |   FROM events WHERE event_type = 'purchase' AND user_id < 50),
+           | obs AS (SELECT user_id, ts, max(v) AS v FROM e GROUP BY 1, 2),
+           | span AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM e GROUP BY 1),
+           | grid AS (SELECT user_id, unnest(generate_series(
+           |     make_timestamp(epoch_us(t0) // 3600000000 * 3600000000),
+           |     t1, INTERVAL 1 HOUR)) AS ts FROM span)
+           | SELECT g.user_id, g.ts, round(o.v, 2) AS v
+           | FROM grid g ASOF LEFT JOIN obs o
+           |   ON g.user_id = o.user_id AND g.ts >= o.ts"""
+      .stripMargin.replace("\n", "")))
+
   /** Deterministic train/val/test split (Sampling.deterministicSplit):
     * md5-hex bucketing — portable across engines (unlike xxhash64/rand),
     * so the oracle verifies the EXACT assignment DuckDB would compute. */
@@ -637,7 +665,7 @@ object ExtensionQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupVerify, ngramJaccardTop1,
-    editDistance, decontaminate, decontaminateBloom, embNearDup,
+    editDistance, decontaminate, decontaminateBloom, resampleFfill, embNearDup,
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
