@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Global plan guardrail: EVERY registered query's physical plan is swept
+  * for the two scale-killers — CartesianProduct (never acceptable) and
+  * BroadcastNestedLoopJoin (acceptable ONLY where a bounded probe set is
+  * deliberately broadcast against a streaming corpus; each allowance is
+  * justified below). A new query that accidentally degenerates — a missed
+  * join key, an inequality-only condition — fails here by name instead of
+  * surfacing as a mystery at scale.
+  */
+class PlanSweepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose BNLJ is the intended bounded-probe shape: a small,
+    * explicitly-bounded side (fixed id range / fixed probe list) is
+    * broadcast; the corpus streams exactly once. */
+  private val bnljByDesign = Set(
+    "q_x_ann_cosine_topk",    // 10 probe vectors broadcast vs corpus
+    "q_x_ngram_jaccard",      // 10 probe shingle-sets broadcast (=!= cond)
+    "q_x_emb_near_dup_exact", // 200-vector probe set, a<b all-pairs
+    "q_x_dedup_verify",       // 1-in-5 probe candidates, a<b
+    "q_x_edit_distance",      // 20×20 probe cross
+    "q_x_source_signature")   // all-pairs over per-SOURCE signatures (≤ |sources|²)
+
+  Catalog.all.filterNot(_.name.startsWith("q_s_")).foreach { q =>
+    test(s"${q.name}: no CartesianProduct; BNLJ only by design") {
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} degenerated to a cartesian product:\n$plan")
+      if (!bnljByDesign(q.name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} has an unexpected nested-loop join:\n$plan")
+      }
+    }
+  }
+}
