@@ -208,6 +208,26 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Quantile rank-bucketing — the preprocessing that makes writeZOrdered
+    * effective on skewed or signed columns: Morton interleaving needs
+    * non-negative, roughly-uniform inputs, and raw values (prices, ids
+    * with gaps, negatives) aren't. Buckets come from approxQuantile (a
+    * bounded distributed sketch — no global sort, no single-partition
+    * window), applied as a codegen'd comparison sum: bucket = #splits
+    * below the value, in [0, nBuckets). Keep nBuckets ≤ 256 — the
+    * comparison chain is O(nBuckets) per row. */
+  def rankBuckets(df: DataFrame, column: String, nBuckets: Int,
+                  outCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(nBuckets > 1 && nBuckets <= 256, "nBuckets must be in 2..256")
+    val splits = df.stat.approxQuantile(column,
+      (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+    val c = col(column).cast("double")
+    val bucket = splits.map(s => when(c > lit(s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.withColumn(outCol, bucket)
+  }
+
   /** Bucketed catalog table — the full Redshift distkey analogue: two
     * tables bucketed on their join key with the same bucket count join
     * WITHOUT a shuffle (co-located hash join). Opt-in (bucketing pays one

@@ -23,6 +23,24 @@ class ZOrderSpec extends AnyFunSuite {
     assert(xs.map(ZOrder.interleave(7L, _)) == xs.map(ZOrder.interleave(7L, _)).sorted)
   }
 
+  test("rankBuckets: monotone, near-uniform occupancy on skewed data") {
+    val spark0 = spark
+    import spark0.implicits._
+    // heavily skewed: x^3 over 0..999, plus negatives — raw Morton on this
+    // would pack most rows into a few codes
+    val df = (0L until 2000L).map(i => (i, (i - 1000) * (i - 1000) * (i - 1000)))
+      .toDF("id", "skewed")
+    val bucketed = Sources.rankBuckets(df, "skewed", 16, "b")
+    val rows = bucketed.select("skewed", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // monotone in the input
+    assert(rows.map(_._2).sorted.toSeq == rows.map(_._2).toSeq)
+    // all buckets in range and occupancy within 2x of uniform
+    val counts = rows.groupBy(_._2).map(_._2.length)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 16))
+    assert(counts.max <= 2 * (2000 / 16), s"skewed occupancy: $counts")
+  }
+
   test("writeZOrdered narrows per-file ranges on BOTH columns vs round-robin") {
     val spark0 = spark
     import spark0.implicits._
