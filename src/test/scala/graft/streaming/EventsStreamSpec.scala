@@ -120,6 +120,36 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed file sink recovers exactly-once across a restart") {
+    val dir = stageDir()
+    val outDir = Files.createTempDirectory("graft-stream-sink").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    def start() = EventsStream.readEvents(spark, dir)
+      .select("event_id", "user_id", "event_type")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // batch 1 lands, then the query STOPS (a crash/deploy stand-in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val n = Sources.table(spark, "/root/testdata/sf0.001", "events").count()
+    assert(spark.read.parquet(outDir).count() == n)
+
+    // new data arrives while down; restart from the SAME checkpoint:
+    // batch 1 must not replay (exactly-once), batch 2 must land
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(dir, "batch2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 2 * n, "restart must append batch 2 exactly once")
+    // every event_id appears exactly twice (once per staged batch), never more
+    val dupCounts = out.groupBy("event_id").count()
+    assert(dupCounts.filter(col("count") =!= 2).count() == 0,
+      "replayed or lost rows after checkpoint recovery")
+  }
+
   test("session state accumulates across micro-batches") {
     val dir = stageDir()
     val sessions = EventsStream.sessionStats(
