@@ -458,6 +458,32 @@ object ParityQueries {
       .stripMargin.replace("\n", "")),
     headline = true)
 
+  /** Equi-width histogram — the distribution-profiling primitive behind
+    * every numeric dashboard: fixed [lo, hi) domain, `floor((x-lo)/w)`
+    * binning in exact double arithmetic (identical IEEE result in any
+    * engine — no width_bucket dialect differences), out-of-range values
+    * clamped into the edge bins. One partial-aggregated shuffle of ≤ nBins
+    * rows regardless of input size. */
+  val histogram = Q(
+    "q_a10_histogram",
+    "Equi-width 20-bin histogram of lineitem extendedprice",
+    (s, dir) => {
+      val lo = 900.0; val hi = 105000.0; val w = (hi - lo) / 20.0
+      val bin = least(greatest(
+        floor((col("l_extendedprice") - lo) / w), lit(0.0)), lit(19.0))
+      t(s, dir, "lineitem")
+        .groupBy(bin.cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("lo_seen"),
+          round(max(col("l_extendedprice")), 2).as("hi_seen"))
+    },
+    Some("""SELECT CAST(least(greatest(
+           |   floor((l_extendedprice - 900.0) / 5205.0), 0.0), 19.0) AS BIGINT) AS bin,
+           | count(*) AS n,
+           | round(min(l_extendedprice), 2) AS lo_seen,
+           | round(max(l_extendedprice), 2) AS hi_seen
+           | FROM lineitem GROUP BY 1""".stripMargin.replace("\n", "")))
+
   /** Ordered conversion funnel — the event-analytics staple: how far did
     * each user get through view → click → purchase, where each stage must
     * occur AT OR AFTER the previous stage's first occurrence (a plain
@@ -814,6 +840,7 @@ object ParityQueries {
     joinLeft, joinTwoKey, joinAnti, joinSemi, starJoin,
     aggCount, aggGroup, groupingSets, countDistinct, approxDistinct, distinctDim,
     percentiles, percentilesApprox, pivotCounts, cubeAgg, setOps, funnel,
+    histogram,
     timeDims, epochRoundtrip, caseFiscal,
     cteTopK, windowRank, windowLagLead, windowNtile, sessionize,
     saltedJoinParity, pricingSummary, shippingPriority, forecastRevenue,

@@ -25,7 +25,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q_a5_count_distinct", "q_tpch_q1_pricing",
     "q_j5_salted_join", "q_w_ntile", "q_x_edit_distance",
     "q_s_stream_dedup", "q_s_stream_window",
-    "q_a9_funnel", "q_tpch_q5_local_supplier", "q_tpch_q18_large_orders")
+    "q_a9_funnel", "q_tpch_q5_local_supplier", "q_tpch_q18_large_orders",
+    "q_a10_histogram")
 
   sparkCompatible.toSeq.sorted.foreach { name =>
     test(s"$name: spark.sql(oracle text) == DataFrame result") {
