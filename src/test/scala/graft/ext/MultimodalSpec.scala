@@ -108,6 +108,45 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AudioCodec decodes stereo and big-endian PCM16 (AIFF) correctly") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // stereo little-endian WAV: left channel at amplitude 0.5, right silent
+    val sr = 8000
+    val n = 4000
+    val stereoFmt = new AudioFormat(sr.toFloat, 16, 2, true, false)
+    val data = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val v = (0.5 * math.sin(2 * math.Pi * 440 * i / sr) * 32767).toInt
+      data(4 * i) = (v & 0xff).toByte
+      data(4 * i + 1) = ((v >> 8) & 0xff).toByte
+      // right channel bytes stay 0
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), stereoFmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val d = AudioCodec.decode(bos.toByteArray).get
+    assert(d.channels == 2 && d.nFrames == n)
+    assert(math.abs(d.rms(0) - 0.5 / math.sqrt(2.0)) < 0.02, s"left rms ${d.rms(0)}")
+    assert(d.rms(1) == 0f && d.peak(1) == 0f, "right channel must be silent")
+
+    // big-endian container (AIFF): same mono sine must decode identically
+    val beFmt = new AudioFormat(sr.toFloat, 16, 1, true, true)
+    val beData = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (0.5 * math.sin(2 * math.Pi * 440 * i / sr) * 32767).toInt
+      beData(2 * i) = ((v >> 8) & 0xff).toByte
+      beData(2 * i + 1) = (v & 0xff).toByte
+    }
+    val bos2 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(beData), beFmt, n.toLong),
+      AudioFileFormat.Type.AIFF, bos2)
+    val d2 = AudioCodec.decode(bos2.toByteArray).get
+    assert(d2.channels == 1 && d2.nFrames == n)
+    assert(math.abs(d2.rms(0) - 0.5 / math.sqrt(2.0)) < 0.02, s"aiff rms ${d2.rms(0)}")
+  }
+
   test("resizeImages really rescales: output PNG decodes to target dims") {
     val media = Multimodal.attachMedia(docs).filter("format = 'image/png'").limit(3)
     val out = Multimodal.resizeImages(media, 17, 11).collect()

@@ -81,4 +81,22 @@ class TextHashingSpec extends AnyFunSuite {
     assert(b1 >= 0 && b1 < (1 << 12))
     assert(b1 == TextHashing.hyperplaneBucket(v2, 12, 42L))
   }
+
+  test("repetitionStats matches a string-based brute force on random docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ffff", "gg", "hij")
+    for (_ <- 1 to 200) {
+      val nTok = rnd.nextInt(12) // includes 0 and < n edge cases
+      val toks = Vector.fill(nTok)(vocab(rnd.nextInt(vocab.length)))
+      val text = toks.mkString(" ")
+      val st = TextHashing.repetitionStats(u(text))
+      for (n <- 1 to 3) {
+        val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toVector
+        assert(st.getLong(2 * (n - 1)) == grams.length,
+          s"total $n-grams of '$text'")
+        assert(st.getLong(2 * (n - 1) + 1) == grams.distinct.length,
+          s"distinct $n-grams of '$text'")
+      }
+    }
+  }
 }
