@@ -27,12 +27,17 @@ class ExtensionsSpec extends AnyFunSuite {
           |  ngram_jaccard('a b c d', 'a b c d') AS j,
           |  cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cos,
           |  size(minhash_sig('x y z w')) AS k,
-          |  hyperplane_bucket(array(0.5F, 0.5F)) AS bkt""".stripMargin)
+          |  hyperplane_bucket(array(0.5F, 0.5F)) AS bkt,
+          |  array_jaccard(sorted_shingles('a b c d e'), sorted_shingles('a b c d e')) AS aj,
+          |  repetition_stats('x x x') AS rs""".stripMargin)
         .collect().head
       assert(row.getAs[Double]("j") == 1.0)
       assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-12)
       assert(row.getAs[Int]("k") == 128)
       assert(row.getAs[Int]("bkt") >= 0)
+      assert(row.getAs[Double]("aj") == 1.0)
+      // 'x x x': 3 words / 1 distinct, 2 bigrams / 1, 1 trigram / 1
+      assert(row.getSeq[Long](row.fieldIndex("rs")) == Seq(3L, 1L, 2L, 1L, 1L, 1L))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

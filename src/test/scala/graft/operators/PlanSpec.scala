@@ -64,6 +64,18 @@ class PlanSpec extends AnyFunSuite {
     assert(df.limit(5).collect().length == 5)
   }
 
+  test("round-4 expressions (repetition/zorder) stay inside WholeStageCodegen") {
+    import graft.functions.TextExprs._
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Sources.table(spark, sfDir, "documents")
+      .select(repetition_stats(col("text")).as("rs"),
+        zorder_key(col("doc_id"), col("n_chars")).as("z"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"codegen broken:\n$p")
+    assert(df.limit(5).collect().length == 5)
+  }
+
   test("ANN probe side broadcasts (corpus streams, no corpus shuffle)") {
     val df = graft.ext.Similarity.bruteForceTopK(
       graft.sources.Sources.table(spark, sfDir, "embeddings"), Seq(0L, 1L), 3)
