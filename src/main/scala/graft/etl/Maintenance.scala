@@ -34,7 +34,8 @@ object Maintenance {
     // lose partition pruning. Per-leaf compaction preserves the layout,
     // stays shuffle-free, and sizes files per partition.
     val partDirs = fs.listStatus(path).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     if (partDirs.nonEmpty) {
       val reports = partDirs.map(p =>
         compact(spark, p.getPath.toString, targetFileBytes))
@@ -47,8 +48,12 @@ object Maintenance {
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
 
-    val tmp = new Path(dir + "__compact_tmp")
-    val old = new Path(dir + "__compact_old")
+    // Stage under `_`-prefixed siblings: Spark/Hive partition discovery
+    // skips `_`/`.`-prefixed entries, so a concurrent reader mid-swap (or a
+    // crash that leaves them behind) never sees the staging copies as
+    // partitions — a `<leaf>__compact_tmp` sibling of `dt=...` WOULD be
+    // discovered (it contains '=') and silently duplicate rows.
+    val (tmp, old) = stagingPaths(path, "compact")
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // swap: dir -> old, tmp -> dir, drop old. Not transactional (a table
@@ -68,13 +73,34 @@ object Maintenance {
     CompactionReport(dataFiles.size.toLong, after.toLong, totalBytes)
   }
 
+  /** Swap staging dirs for `compact`/`mergeUpsert`: siblings of the target
+    * named `_<leaf>__<tag>_{tmp,old}`. The `_` prefix keeps them invisible
+    * to partition discovery AND excludes them from the recursive
+    * `partDirs` filter above, so a concurrent reader mid-swap never sees
+    * them and a rerun never compacts leftovers as data. Spark's hidden-path
+    * filter does NOT hide `_`-prefixed names that still contain '='
+    * (InMemoryFileIndex.shouldFilterOut), so the partition leaf's '=' is
+    * percent-encoded out of the staging name.
+    */
+  private[etl] def stagingPaths(path: Path, tag: String): (Path, Path) = {
+    val parent = Option(path.getParent).getOrElse(
+      throw new IllegalArgumentException(s"cannot stage swap for root path $path"))
+    val leaf = path.getName.replace("=", "%3D")
+    (new Path(parent, s"_${leaf}__${tag}_tmp"),
+      new Path(parent, s"_${leaf}__${tag}_old"))
+  }
+
   final case class UpsertReport(baseRows: Long, updateRows: Long,
                                 resultRows: Long)
 
   /** Keyed upsert (MERGE INTO analogue on plain parquet): base ∪ updates,
-    * keep the winning row per key — updates beat base; within each side the
-    * greatest `versionCol` wins (ties broken deterministically by the
-    * side tag). Rewrites through the same swap `compact` uses, so a
+    * keep the winning row per key — the greatest `versionCol` wins
+    * regardless of side (true versioned-MERGE semantics: a stale update
+    * can NOT clobber a newer base row); on equal versions the update
+    * beats the base (the `__src` tag is the tiebreak, not the primary
+    * order). Duplicate (key, version) pairs WITHIN one side have no
+    * defined winner — callers must not feed them (dedup updates first).
+    * Rewrites through the same swap `compact` uses, so a
     * mid-failure leaves the original table readable. This is the
     * full-rewrite form; at 100 TB restrict the rewrite by partitioning the
     * table and upserting per partition (writePartitionedIncremental), or
@@ -92,7 +118,7 @@ object Maintenance {
     val tagged = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__src").desc, col(versionCol).desc)
+      .orderBy(col(versionCol).desc, col("__src").desc)
     val winners = tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -101,8 +127,7 @@ object Maintenance {
 
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir + "__upsert_tmp")
-    val old = new Path(dir + "__upsert_old")
+    val (tmp, old) = stagingPaths(path, "upsert")
     winners.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(path, old))

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Range join (point-in-interval) — Spark turns a pure inequality join
@@ -29,12 +29,20 @@ object RangeJoin {
     * `maxBucket` caps in Dedup. Intervals covering more bins are DROPPED
     * (they match nothing); pick binSeconds near the typical interval
     * length so real intervals sit at a handful of bins, and raise the cap
-    * deliberately if genuinely-long intervals must join. */
+    * deliberately if genuinely-long intervals must join.
+    *
+    * Dropping data must never be silent: pass `dropObservation` and read
+    * `dropped_intervals` / `max_interval_bins` from it after the first
+    * action on the result — zero extra jobs (Spark's CollectMetrics rides
+    * the existing plan), works identically on a cluster (unlike an
+    * accumulator read mid-plan). `max_interval_bins` tells callers how far
+    * above the cap their data sits, i.e. what to raise it to. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointTs: String, startCol: String, endCol: String,
                       keys: Seq[String] = Nil,
                       binSeconds: Long = 3600L,
-                      maxBinsPerInterval: Long = 4096L): DataFrame = {
+                      maxBinsPerInterval: Long = 4096L,
+                      dropObservation: Option[Observation] = None): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
     require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val binUs = binSeconds * 1000000L
@@ -44,11 +52,18 @@ object RangeJoin {
       floor(unix_micros(col(pointTs)) / binUs))
     val firstBin = floor(unix_micros(col(startCol)) / binUs)
     val lastBin = floor((unix_micros(col(endCol)) - 1) / binUs)
-    val i = intervals
+    val valid = intervals
       // empty/inverted intervals match nothing (and Spark's sequence()
       // would otherwise run DESCENDING for them, fabricating bins)
       .filter(col(endCol) > col(startCol))
-      .filter(lastBin - firstBin < maxBinsPerInterval)
+      .withColumn("__nbins", lastBin - firstBin + lit(1L))
+    val observed = dropObservation.fold(valid)(o => valid.observe(o,
+      sum(when(col("__nbins") > maxBinsPerInterval, 1L).otherwise(0L))
+        .as("dropped_intervals"),
+      max(col("__nbins")).as("max_interval_bins")))
+    val i = observed
+      .filter(col("__nbins") <= maxBinsPerInterval)
+      .drop("__nbins")
       .withColumn("__bin", explode(sequence(firstBin, lastBin)))
     p.join(i, keys :+ "__bin")
       .filter(unix_micros(col(pointTs)) >= unix_micros(col(startCol)) &&

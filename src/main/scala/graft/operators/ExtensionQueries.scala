@@ -624,7 +624,7 @@ object ExtensionQueries {
         count_distinct(col("lang")).as("n_langs")),
     Some("""SELECT source, count(*) AS n_docs,
            | CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
-           | sum(n_chars) AS total_chars,
+           | CAST(sum(n_chars) AS BIGINT) AS total_chars,
            | count(DISTINCT lang) AS n_langs
            | FROM documents GROUP BY source"""
       .stripMargin.replace("\n", "")))

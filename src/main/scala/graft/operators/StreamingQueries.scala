@@ -14,24 +14,42 @@ object StreamingQueries {
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The file stream source needs a DIRECTORY; stage the fixture as a
-    * symlink (no copy) in a fresh temp dir. */
-  private def stageEvents(dir: String): String = {
+    * symlink (no copy) in a fresh temp dir. Callers must pair with
+    * `unstage` — bench reps reuse one JVM, so leaked dirs accumulate. */
+  private def stageEvents(dir: String): java.nio.file.Path = {
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-q")
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
-    stage.toString
+    stage
   }
 
-  /** Run a streaming frame to completion into a memory sink, return the
-    * sink table. */
+  private def unstage(stage: java.nio.file.Path): Unit = {
+    java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
+    java.nio.file.Files.deleteIfExists(stage)
+  }
+
+  /** Stage the fixture, run the streaming transform built on it, clean the
+    * staging dir once the query has drained (the file source only reads
+    * during the run; the returned frame is materialized off it). */
+  private def withStagedEvents(dir: String)(f: String => DataFrame): DataFrame = {
+    val stage = stageEvents(dir)
+    try f(stage.toString) finally unstage(stage)
+  }
+
+  /** Run a streaming frame to completion into a memory sink; materialize
+    * the result OFF the sink and drop the sink table, so repeated
+    * invocations in one JVM (bench reps) don't accumulate driver-held
+    * sink rows. */
   private def runToMemory(s: SparkSession, out: DataFrame, mode: String,
                           prefix: String): DataFrame = {
     val name = s"${prefix}_${nextId.incrementAndGet()}"
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    val result = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    result
   }
 
   /** Streaming exact dedup, batch-equivalence form: stream the events
@@ -44,8 +62,8 @@ object StreamingQueries {
   val streamDedup = Q(
     "q_s_stream_dedup",
     "Streaming dedup (dropDuplicatesWithinWatermark) key-set = batch DISTINCT",
-    (s, dir) => {
-      val src = graft.streaming.EventsStream.readEvents(s, stageEvents(dir))
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
       val out = graft.streaming.EventsStream
         .dedupStream(src, Seq("user_id", "event_type"), watermark = "365 days")
       runToMemory(s, out, "append", "graft_stream_dedup")
@@ -60,8 +78,8 @@ object StreamingQueries {
   val streamWindow = Q(
     "q_s_stream_window",
     "Streaming watermarked hourly windows = batch GROUP BY date_trunc",
-    (s, dir) => {
-      val src = graft.streaming.EventsStream.readEvents(s, stageEvents(dir))
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
       val out = graft.streaming.EventsStream.windowedCounts(src)
       runToMemory(s, out, "complete", "graft_stream_win")
         .select(col("window_start"), col("event_type"), col("n"),

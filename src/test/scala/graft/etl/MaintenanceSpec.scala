@@ -73,6 +73,42 @@ class MaintenanceSpec extends AnyFunSuite {
       3L -> ((1L, "c")), 4L -> ((2L, "d"))))
   }
 
+  test("mergeUpsert: stale update cannot clobber newer base; equal version → update wins") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-upsert-ver").toString + "/t"
+    Seq((1L, 5L, "base-new"), (2L, 5L, "base-tie"))
+      .toDF("id", "v", "payload").write.parquet(dir)
+    val updates = Seq((1L, 3L, "stale"), (2L, 5L, "upd-tie"))
+      .toDF("id", "v", "payload")
+    Maintenance.mergeUpsert(spark, dir, updates, "id", "v")
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out == Map(
+      1L -> ((5L, "base-new")), // version order beats side order
+      2L -> ((5L, "upd-tie")))) // side tag only breaks version ties
+  }
+
+  test("compact: leftover staging dirs are invisible to readers and reruns") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-compact-crash").toString + "/t"
+    val df = (0L until 300L)
+      .map(i => (i, s"2024-01-0${i % 2 + 1}", s"row_$i")).toDF("id", "dt", "v")
+    df.repartition(4).write.partitionBy("dt").parquet(dir)
+    // simulate a crash mid-swap: a staged copy of dt=2024-01-01 left
+    // behind, under the exact name compact would have used
+    val (tmpStage, _) = Maintenance.stagingPaths(
+      new org.apache.hadoop.fs.Path(dir + "/dt=2024-01-01"), "compact")
+    spark.read.parquet(dir + "/dt=2024-01-01").write.parquet(tmpStage.toString)
+    // partition discovery must NOT pick the leftover up as data
+    assert(spark.read.parquet(dir).count() == 300)
+    // and a rerun must not compact it as a partition either
+    val report = Maintenance.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(report.filesAfter == 2, "one file per real dt partition")
+    assert(spark.read.parquet(dir).count() == 300)
+  }
+
   test("readMergedParquet: schema evolution across file generations") {
     val spark0 = spark
     import spark0.implicits._

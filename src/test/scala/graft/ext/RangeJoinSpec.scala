@@ -63,12 +63,17 @@ class RangeJoinSpec extends AnyFunSuite {
       (1L, ts("2024-01-01 10:04:00"), ts("2024-01-01 10:06:00"), "sane"),
       (1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), "all_day")
     ).toDF("user_id", "w_start", "w_end", "tag")
+    val obs = new org.apache.spark.sql.Observation()
     val capped = RangeJoin.pointInInterval(points, intervals,
-        "ts", "w_start", "w_end", Seq("user_id"), binSeconds = 1L)
+        "ts", "w_start", "w_end", Seq("user_id"), binSeconds = 1L,
+        dropObservation = Some(obs))
       .select("event_id", "tag").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(capped == Set((1L, "sane")),
       "oversized interval must be dropped, sane one kept")
+    // the drop is observable, not silent: count + how far over the cap
+    assert(obs.get("dropped_intervals") == 1L)
+    assert(obs.get("max_interval_bins") == 86400L)
     // raising the cap deliberately restores the dropped interval's matches
     val uncapped = RangeJoin.pointInInterval(points, intervals,
         "ts", "w_start", "w_end", Seq("user_id"), binSeconds = 1L,
