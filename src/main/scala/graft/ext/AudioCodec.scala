@@ -6,8 +6,8 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
 
 /** Real, JDK-native audio codec (javax.sound.sampled — zero extra
   * dependencies, the same route ImageCodec takes for PNG): WAV/PCM16
-  * encode/decode plus per-channel amplitude statistics. With this, only
-  * VIDEO remains behind Multimodal.FakeCodec.
+  * encode/decode plus per-channel amplitude statistics. Video decodes for
+  * real too (VideoCodec) — the whole multimodal surface is genuine media.
   *
   * Executor-side and allocation-conscious: decode is called from
   * mapPartitions batches, one clip at a time.

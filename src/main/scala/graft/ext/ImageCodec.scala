@@ -6,9 +6,10 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 /** Real, JDK-native image codec (javax.imageio — zero extra dependencies):
-  * PNG encode/decode plus per-channel pixel statistics. This is the REAL
-  * half of the multimodal surface; audio/video decoding stays behind
-  * Multimodal.FakeCodec (no codec libraries in this environment).
+  * PNG encode/decode plus per-channel pixel statistics. Audio decodes via
+  * AudioCodec (javax.sound.sampled) and video via VideoCodec (MJPEG-AVI
+  * over the same javax.imageio JPEG path) — the whole multimodal surface
+  * is real.
   *
   * Everything here is executor-side and allocation-conscious: decode is
   * called from mapPartitions batches, one BufferedImage at a time.

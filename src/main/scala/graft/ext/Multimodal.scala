@@ -9,15 +9,16 @@ import org.apache.spark.sql.functions._
   * the JVM analogue of a pandas-batch UDF: per-partition setup cost is paid
   * once, rows stream through).
   *
-  * IMAGE decoding is REAL: image/png rows carry genuine PNG bytes and are
-  * decoded with javax.imageio (JDK-native — see ImageCodec); features are
-  * true width/height/channels + per-channel mean/std. AUDIO decoding is
-  * REAL too: audio/wav rows carry genuine PCM16 WAV bytes decoded with
-  * javax.sound.sampled (see AudioCodec); features are true sample-rate/
-  * channels/duration + per-channel RMS/peak. Only VIDEO stays STUBBED (no
-  * container/codec libraries in this environment): `FakeCodec` derives
-  * deterministic pseudo-features from the bytes. Swapping FakeCodec for a
-  * real video decoder changes no plan shape.
+  * ALL THREE modalities decode for REAL with JDK-native codecs:
+  * image/png rows carry genuine PNG bytes decoded with javax.imageio
+  * (ImageCodec → true width/height/channels + per-channel mean/std);
+  * audio/wav rows carry genuine PCM16 WAV bytes decoded with
+  * javax.sound.sampled (AudioCodec → true sample-rate/channels/duration +
+  * per-channel RMS/peak); video/avi rows carry genuine MJPEG-in-AVI bytes
+  * parsed + frame-decoded with VideoCodec (RIFF container walk +
+  * javax.imageio JPEG frames → true dims/fps/frame-count + luma/motion
+  * stats, and real frame sampling). `FakeCodec` survives only as the
+  * fallback for undecodable payloads, so every operator stays total.
   */
 object Multimodal {
 
@@ -30,12 +31,11 @@ object Multimodal {
   final case class Frame(doc_id: Long, frame_idx: Int, offset_ms: Long,
                          frame_hash: Long)
 
-  /** ==== STUB (video only) ==== deterministic stand-in for a real media
-    * codec. A real implementation decodes with a video library per
-    * partition; this derives stable pseudo-features purely from the bytes
-    * so tests and plans are reproducible. Images and audio do NOT use
-    * this — they decode for real via ImageCodec / AudioCodec (it remains
-    * only as their fallback for undecodable payloads). */
+  /** Fallback pseudo-codec for UNDECODABLE payloads (corrupt bytes, alien
+    * formats): derives stable pseudo-features purely from the bytes so the
+    * operators stay total and reproducible. The happy paths never touch
+    * this — image/audio/video all decode for real via
+    * ImageCodec/AudioCodec/VideoCodec. */
   object FakeCodec {
     def features(bytes: Array[Byte]): Array[Float] = {
       val base = TextHashing.hashBytes(bytes, 0, bytes.length)
@@ -52,10 +52,10 @@ object Multimodal {
   /** Attach a media column to the documents table. Image rows (doc_id%3==0)
     * carry a REAL deterministic PNG (pixels seeded from doc_id); audio rows
     * (doc_id%3==1) carry a REAL deterministic PCM16 WAV (a doc_id-seeded
-    * sine, 8 kHz); video rows carry the UTF-8 text as an opaque stand-in
-    * payload. All encoded executor-side per partition. Real pipelines read
-    * the bytes from object storage instead; everything downstream only
-    * sees (binary, metadata). */
+    * sine, 8 kHz); video rows carry a REAL deterministic MJPEG AVI
+    * (doc_id-seeded frames, 10 fps). All encoded executor-side per
+    * partition. Real pipelines read the bytes from object storage instead;
+    * everything downstream only sees (binary, metadata). */
   def attachMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -80,8 +80,15 @@ object Multimodal {
                 AudioCodec.encodeWav(n, sr, 100.0 + (id % 1000), 0.5),
                 "audio/wav", 0, 0, n.toLong * 1000L / sr)
             case _ =>
-              MediaRow(id, text.getBytes("UTF-8"), "video/mp4",
-                (id % 640 + 32).toInt, (id % 480 + 32).toInt, id % 90000)
+              // short real MJPEG AVI (3–8 frames, 16–31×12–23 px, 10 fps):
+              // cheap at corpus scale, real enough for container parse +
+              // frame decode + motion stats
+              val w = (id % 16 + 16).toInt
+              val h = (id % 12 + 12).toInt
+              val nf = (id % 6 + 3).toInt
+              val fps = 10
+              MediaRow(id, VideoCodec.encodeAvi(w, h, nf, fps, id),
+                "video/avi", w, h, nf * 1000L / fps)
           }
         }
       }.toDF()
@@ -93,7 +100,10 @@ object Multimodal {
     * Audio decodes for REAL (javax.sound.sampled): features =
     * [sampleRate, channels, nFrames, durationMs, rms_ch0, peak_ch0,
     *  rms_ch1, peak_ch1, 0…].
-    * Video (and undecodable image/audio payloads) falls back to FakeCodec.
+    * Video decodes for REAL (VideoCodec container parse + JPEG frames):
+    * features = [width, height, fps, nFrames, durationMs, meanLuma,
+    *  stdLuma, motion, 0…].
+    * Undecodable payloads fall back to FakeCodec so the operator is total.
     * Output rows: (doc_id, format, n_bytes, feat_dim, features). */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -127,6 +137,19 @@ object Multimodal {
                   f(5 + 2 * c) = d.peak(c)
                   c += 1
                 }
+                f
+              }.getOrElse(FakeCodec.features(r.media))
+            else if (r.format == "video/avi")
+              VideoCodec.stats(r.media).map { s =>
+                val f = new Array[Float](FeatureDim)
+                f(0) = s.info.width.toFloat
+                f(1) = s.info.height.toFloat
+                f(2) = s.info.fps.toFloat
+                f(3) = s.info.nFrames.toFloat
+                f(4) = s.info.durationMs.toFloat
+                f(5) = s.meanLuma
+                f(6) = s.stdLuma
+                f(7) = s.motion
                 f
               }.getOrElse(FakeCodec.features(r.media))
             else FakeCodec.features(r.media)
@@ -168,18 +191,34 @@ object Multimodal {
       }
   }
 
-  /** Frame sampling for video rows: n evenly-spaced frames per document.
-    * Real impl seeks the container; stub hashes (bytes, idx). */
+  /** Frame sampling for video rows — REAL: parse the AVI container, pick n
+    * evenly-spaced source frames, decode each JPEG, and hash its actual
+    * pixels; offset_ms comes from the stream's true fps. Emits exactly n
+    * rows per video (stable fan-out for planning); undecodable payloads
+    * fall back to FakeCodec so the operator stays total. */
   def sampleFrames(media: DataFrame, n: Int): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(col("format") === "video/mp4")
+    media.filter(col("format") === "video/avi")
       .select("doc_id", "media", "format", "width", "height", "duration_ms")
       .as[MediaRow]
       .flatMap { r =>
-        val step = math.max(1L, r.duration_ms / math.max(1, n))
-        (0 until n).map(i => Frame(r.doc_id, i, i * step,
-          FakeCodec.frameHash(r.media, i)))
+        VideoCodec.probe(r.media) match {
+          case Some(info) if info.nFrames > 0 =>
+            (0 until n).map { i =>
+              val src = (i.toLong * info.nFrames / math.max(1, n)).toInt
+              val offsetMs =
+                if (info.fps > 0) math.round(src * 1000.0 / info.fps) else 0L
+              val hash = VideoCodec.decodeFrame(r.media, src)
+                .map(VideoCodec.pixelHash)
+                .getOrElse(FakeCodec.frameHash(r.media, src))
+              Frame(r.doc_id, i, offsetMs, hash)
+            }
+          case _ =>
+            val step = math.max(1L, r.duration_ms / math.max(1, n))
+            (0 until n).map(i => Frame(r.doc_id, i, i * step,
+              FakeCodec.frameHash(r.media, i)))
+        }
       }
   }
 }

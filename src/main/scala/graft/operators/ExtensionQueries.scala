@@ -651,10 +651,11 @@ object ExtensionQueries {
   // -------------------------------------------------------- multimodal --
 
   /** Multimodal plumbing: attach binary media + metadata, batch
-    * feature-extract per partition (decode STUBBED — see Multimodal). */
+    * feature-extract per partition. All three modalities decode for REAL
+    * via JDK-native codecs (PNG/WAV/MJPEG-AVI — see Multimodal). */
   val multimodal = Q(
     "q_x_multimodal_features",
-    "Binary media column + per-partition feature extraction (stubbed codec)",
+    "Binary media column + per-partition feature extraction (real JDK codecs)",
     (s, dir) => {
       val media = Multimodal.attachMedia(Sources.table(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF()

@@ -16,7 +16,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(schema("media").dataType == org.apache.spark.sql.types.BinaryType)
     assert(schema("format").dataType == org.apache.spark.sql.types.StringType)
     val formats = media.select("format").distinct().collect().map(_.getString(0)).toSet
-    assert(formats == Set("image/png", "audio/wav", "video/mp4"))
+    assert(formats == Set("image/png", "audio/wav", "video/avi"))
   }
 
   test("extractFeatures: fixed-dim deterministic features, one row per doc") {
@@ -158,10 +158,61 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("sampleFrames: n frames per video row only") {
     val media = Multimodal.attachMedia(docs)
-    val nVideos = media.filter("format = 'video/mp4'").count()
+    val nVideos = media.filter("format = 'video/avi'").count()
     val frames = Multimodal.sampleFrames(media, 4)
     assert(frames.count() == nVideos * 4)
     val perDoc = frames.collect().groupBy(_.doc_id)
     assert(perDoc.values.forall(_.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3)))
+  }
+
+  test("video path is REAL: AVI bytes parse, features carry true dims/fps/motion") {
+    val media = Multimodal.attachMedia(docs)
+    val vids = media.filter("format = 'video/avi'").limit(5).collect()
+    assert(vids.nonEmpty)
+    vids.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("media")
+      // RIFF/AVI magic
+      assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I')
+      val id = r.getAs[Long]("doc_id")
+      val info = VideoCodec.probe(bytes).get
+      assert(info.width == r.getAs[Int]("width"))
+      assert(info.height == r.getAs[Int]("height"))
+      assert(info.nFrames == (id % 6 + 3))
+      assert(info.fps == 10.0)
+      assert(info.durationMs == r.getAs[Long]("duration_ms"))
+    }
+    val feats = Multimodal.extractFeatures(media)
+      .filter(_.format == "video/avi").collect()
+    assert(feats.nonEmpty)
+    val meta = media.filter("format = 'video/avi'").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    feats.foreach { f =>
+      val (w, h) = meta(f.doc_id)
+      assert(f.features(0) == w.toFloat && f.features(1) == h.toFloat)
+      assert(f.features(2) == 10.0f, "true fps from the stream header")
+      // pseudo-random frames: mid-range luma, nonzero spread, real motion
+      assert(f.features(5) > 0.3f && f.features(5) < 0.7f,
+        s"doc ${f.doc_id} meanLuma ${f.features(5)}")
+      assert(f.features(6) > 0.05f, s"doc ${f.doc_id} stdLuma ${f.features(6)}")
+      assert(f.features(7) > 0.05f,
+        s"doc ${f.doc_id} motion ${f.features(7)} — frames differ, so must motion")
+    }
+  }
+
+  test("sampleFrames hashes REAL decoded pixels: distinct across frames, stable across runs") {
+    val media = Multimodal.attachMedia(docs).filter("format = 'video/avi'").limit(3)
+    val f1 = Multimodal.sampleFrames(media, 3).collect()
+    val f2 = Multimodal.sampleFrames(media, 3).collect()
+    assert(f1.map(f => (f.doc_id, f.frame_idx) -> f.frame_hash).toMap ==
+      f2.map(f => (f.doc_id, f.frame_idx) -> f.frame_hash).toMap)
+    // different source frames → different pixel content → different hashes
+    f1.groupBy(_.doc_id).values.foreach { fs =>
+      assert(fs.map(_.frame_hash).distinct.length == fs.length,
+        s"frame hashes must differ within doc ${fs.head.doc_id}")
+    }
+    // offsets follow the true 10 fps timebase
+    f1.filter(_.frame_idx == 0).foreach(f => assert(f.offset_ms == 0L))
   }
 }
