@@ -16,6 +16,12 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode of
+  // an in-memory byte[] would otherwise create+delete a temp file. For
+  // thousands of tiny media per partition that file churn dominates the
+  // actual codec work — keep it all on-heap.
+  ImageIO.setUseCache(false)
+
   /** Decoded image summary: dimensions, channel count, and per-channel
     * mean/stddev in [0,1] — the classic cheap image-quality features. */
   final case class Decoded(width: Int, height: Int, channels: Int,

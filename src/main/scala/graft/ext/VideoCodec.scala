@@ -26,6 +26,10 @@ import javax.imageio.ImageIO
   */
 object VideoCodec {
 
+  // in-memory-only ImageIO streams (see ImageCodec): JPEG frame
+  // encode/decode must not churn temp files at corpus scale
+  ImageIO.setUseCache(false)
+
   /** Container-level metadata, readable without decoding any frame. */
   final case class Info(width: Int, height: Int, fps: Double, nFrames: Int) {
     def durationMs: Long =
