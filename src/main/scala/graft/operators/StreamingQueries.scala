@@ -89,5 +89,27 @@ object StreamingQueries {
            | count(*) AS n, round(sum(value), 2) AS sum_value
            | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", "")))
 
-  val all: Seq[Q] = Seq(streamDedup, streamWindow)
+  /** Stream-stream interval join under the driver gate: the streaming
+    * click→purchase attribution pairs must equal the batch self-join
+    * DuckDB computes. Inner joins emit exactly the matched pairs (no
+    * watermark-dependent row drops on a bounded in-order fixture), so the
+    * full stream-stream machinery — two watermarked sides, range-bounded
+    * buffered state — gets a hash-anchored check. */
+  val streamJoin = Q(
+    "q_s_stream_join",
+    "Stream-stream interval join (click→purchase) = batch self-join",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream
+        .clickToPurchaseJoin(src, windowHours = 24, watermark = "365 days")
+      runToMemory(s, out, "append", "graft_stream_join")
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+           | FROM events c JOIN events p ON c.user_id = p.user_id
+           |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+           |  AND date_trunc('microseconds', c.ts) <= date_trunc('microseconds', p.ts)
+           |  AND date_trunc('microseconds', c.ts) >= date_trunc('microseconds', p.ts) - INTERVAL 24 HOUR"""
+      .stripMargin.replace("\n", "")))
+
+  val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin)
 }

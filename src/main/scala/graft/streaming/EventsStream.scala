@@ -116,6 +116,34 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream interval join — click→purchase attribution: every
+    * (click, purchase) pair for one user where the click precedes the
+    * purchase by at most `windowHours`. Both sides carry watermarks and
+    * the join condition carries the event-time range, which is what lets
+    * Spark BOUND the join state: a buffered click can be evicted once the
+    * purchase-side watermark passes click_ts + window (state ∝ watermark
+    * horizon × arrival rate, NOT stream length). Inner join: emitted rows
+    * are exactly the batch join's — the oracle-checkable property. */
+  def clickToPurchaseJoin(events: DataFrame,
+                          windowHours: Int = 24,
+                          watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $windowHours HOURS"),
+      "inner")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Streaming exact dedup — the unbounded-corpus counterpart of
     * Dedup.exact: the FIRST row per key within the watermark horizon
     * survives; later duplicates drop, and per-key state evicts once the

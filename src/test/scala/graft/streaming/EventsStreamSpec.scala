@@ -73,6 +73,41 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally { qd.stop(); qa.stop() }
   }
 
+  test("stream-stream interval join matches batch self-join, runs symmetric hash join") {
+    val dir = stageDir()
+    val joined = EventsStream.clickToPurchaseJoin(
+      EventsStream.readEvents(spark, dir),
+      windowHours = 24, watermark = "365 days")
+    val q = joined.writeStream
+      .format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val e = Sources.table(spark, "/root/testdata/sf0.001", "events")
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      val batch = c.join(p, col("user_id") === col("pu") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch)
+      assert(got.nonEmpty)
+      // it must be the REAL stream-stream operator (bounded buffered state),
+      // not a batch collapse
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) { q.explain() }
+      val lastPlan = bos.toString
+      assert(lastPlan.contains("StreamingSymmetricHashJoin"),
+        s"expected StreamingSymmetricHashJoin in:\n$lastPlan")
+    } finally q.stop()
+  }
+
   test("event-time session windows match batch sessionization") {
     import org.apache.spark.sql.expressions.Window
     val dir = stageDir()
