@@ -31,9 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "quantize_int8" -> (xs => QuantizeInt8(xs.head)),
     "quantize_scale" -> (xs => QuantizeScale(xs.head)))
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    // whole-operator extension: plans graft.plans.AsofJoinNode into the
+    // co-partitioned streaming-merge AsofJoinExec
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }

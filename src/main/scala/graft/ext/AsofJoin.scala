@@ -1,8 +1,13 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftExprBridge
+
+import graft.plans.{AsofJoinNode, AsofJoinStrategy}
 
 /** As-of join — the time-series operator Spark's built-ins lack (pandas
   * `merge_asof`, kdb `aj`, DuckDB `ASOF JOIN`): for each left row, the
@@ -42,6 +47,54 @@ object AsofJoin {
               rightCols: Seq[String],
               toleranceSeconds: Option[Long] = None): DataFrame =
     merge(left, right, key, ts, rightCols, toleranceSeconds, forward = true)
+
+  /** Native as-of join — same semantics as [[backward]]/[[forward]], but
+    * through the first-class plan node (`graft.plans.AsofJoinNode` →
+    * `AsofJoinStrategy` → `AsofJoinExec`): a co-partitioned streaming
+    * merge with O(1) per-partition state instead of the union+window
+    * composition. Same two shuffles, but each side ships only its own
+    * columns (no null-padded union rows) and no window buffer.
+    *
+    * The planner strategy is registered via `GraftExtensions`
+    * (`injectPlannerStrategy`) for extension-built sessions; for any
+    * other session this call installs it idempotently through the public
+    * `experimental.extraStrategies` hook.
+    */
+  def native(left: DataFrame, right: DataFrame, key: String, ts: String,
+             rightCols: Seq[String],
+             toleranceSeconds: Option[Long] = None,
+             forward: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadClash = rightCols.filter(c => leftCols.contains(c))
+    require(payloadClash.isEmpty,
+      s"rightCols collide with left columns: ${payloadClash.mkString(",")} — alias them on the right side first")
+
+    val spark = left.sparkSession
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsofJoinStrategy) &&
+        !spark.sessionState.planner.strategies.contains(AsofJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
+
+    val lPlan = left.queryExecution.analyzed
+    // re-alias every right column: fresh expr ids, so a self-join (same
+    // source both sides) can never produce ambiguous references
+    val rAnalyzed = right.queryExecution.analyzed
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+    val rOut = rAliases.map(_.toAttribute)
+
+    def attr(plan: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+             name: String, side: String) =
+      plan.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"$side column not found: $name"))
+
+    val node = AsofJoinNode(lPlan, rPlan,
+      attr(lPlan.output, key, "left"), attr(rOut, key, "right"),
+      attr(lPlan.output, ts, "left"), attr(rOut, ts, "right"),
+      rightCols.map(c => attr(rOut, c, "right")),
+      forward, toleranceSeconds.map(_ * 1000000L))
+    GraftExprBridge.ofRows(spark, node)
+  }
 
   private def merge(left: DataFrame, right: DataFrame, key: String,
                     ts: String, rightCols: Seq[String],

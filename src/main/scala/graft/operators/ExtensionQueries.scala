@@ -359,6 +359,34 @@ object ExtensionQueries {
            | FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.ts >= q.ts"""
       .stripMargin.replace("\n", "")))
 
+  /** Same as-of semantics through the first-class plan node
+    * (`plans.AsofJoinNode` → `AsofJoinStrategy` → `AsofJoinExec`): the
+    * co-partitioned streaming-merge physical operator, against the same
+    * DuckDB ASOF LEFT JOIN oracle as `q_x_asof_join` — the two
+    * implementations are pinned equal by both the oracle and
+    * `plans.AsofJoinExecSpec`. */
+  val asofNative = Q(
+    "q_x_asof_native",
+    "Native-plan as-of join: latest purchase at-or-before each click",
+    (s, dir) => {
+      val e = Sources.table(s, dir, "events")
+      val probes = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("qv"))
+      graft.ext.AsofJoin.native(probes, quotes, "user_id", "ts", Seq("qv"))
+        .select(col("event_id"), col("user_id"),
+          round(col("qv"), 2).as("asof_value"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id,
+           |   date_trunc('microseconds', ts) AS ts, event_type, value FROM events),
+           | p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+           | q AS (SELECT user_id, ts, max(value) AS qv FROM e
+           |   WHERE event_type = 'purchase' GROUP BY 1, 2)
+           | SELECT p.event_id, p.user_id, round(q.qv, 2) AS asof_value
+           | FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.ts >= q.ts"""
+      .stripMargin.replace("\n", "")))
+
   /** Range join (RangeJoin.pointInInterval — binned equi-join shape, no
     * BroadcastNestedLoop): each click against the 10-minute windows opened
     * by the same user's purchases; per-click coverage report. Oracle =
@@ -668,7 +696,7 @@ object ExtensionQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupVerify, ngramJaccardTop1,
     editDistance, decontaminate, decontaminateBloom, resampleFfill, embNearDup,
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
-    rangeJoin, trainSplit,
+    asofNative, rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     chunkDocs, repetition, piiRedact, vocabTopK, corpusReport, jsonProps,
     multimodal)
