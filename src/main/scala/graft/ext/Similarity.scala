@@ -170,6 +170,16 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Cluster assignment (the k-means "predict" half): every vector to its
+    * single nearest centroid — map-only, centroids inside codegen, no
+    * shuffle until the caller aggregates. */
+  def assignCells(emb: DataFrame, centroids: Array[Array[Float]],
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol),
+      element_at(nearest_cells(col(vecCol), centroids, 1), 1)
+        .cast("long").as("cluster_id"))
+
   /** Group-wise top-k via the bounded-heap aggregate (TopKAgg): partial
     * aggregation ships at most k candidates per probe per map task into the
     * exchange — a window (row_number) would shuffle and sort the entire

@@ -169,6 +169,44 @@ object TextAnalysis {
           .as("chunk"))
   }
 
+  /** Cross-document duplicated-span signal — the exact-substring dedup
+    * statistic from the training-data dedup literature (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": repeated
+    * ≥k-token substrings across a corpus): per doc, how many of its
+    * k-token grams also occur in ANOTHER doc.
+    *
+    * Shape: explode-starts-then-slice grams (same idiom as [[chunk]]),
+    * one hash-agg marking grams seen in >1 distinct doc, one semi-ish
+    * aggregate join back, one per-doc rollup. No all-pairs anywhere; at
+    * 100 TB the string grams become 64-bit hashes (the `sorted_shingles`
+    * codegen machinery) — kept as strings here so the DuckDB oracle can
+    * rebuild the identical gram set.
+    *
+    * Output: (doc_id, n_grams, n_dup_grams, dup_ratio) for docs with ≥1
+    * gram (length ≥ k tokens).
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 5): DataFrame = {
+    require(k > 0, "gram length must be positive")
+    val toks = filter(split(col(textCol), " ", -1), t => t =!= lit(""))
+    val starts = when(size(toks) < k, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(toks) - k, lit(1)))
+    val grams = df.select(col(idCol).as("doc_id"), toks.as("__toks"),
+        explode(starts).as("s"))
+      .select(col("doc_id"),
+        array_join(slice(col("__toks"), col("s") + 1, lit(k)), " ").as("gram"))
+    // grams repeated WITHIN one doc count once toward df: distinct first
+    val dupGrams = grams.distinct()
+      .groupBy("gram").agg(count(lit(1)).as("gram_docs"))
+      .filter(col("gram_docs") > 1).select(col("gram"))
+    grams.join(dupGrams.withColumn("__dup", lit(1)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__dup")).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams") / col("n_grams"), 3).as("dup_ratio"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
     * (oracle-portable), plus winnowing fingerprints for overlap detection. */
   def contentFingerprint(text: Column): Column =

@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF document similarity over an inverted index — the classic
+  * sparse-vector complement to the dense-embedding ANN family in
+  * [[Similarity]] (the reference analytics surface has no text-similarity
+  * operator; this is part of the LLM-pipeline extension set).
+  *
+  * Shape, 100 TB story:
+  *  - one explode + hash-agg builds the postings (doc, term, tf);
+  *  - document frequency is a second hash-agg over the postings — no
+  *    driver state but one scalar `count()` job for N;
+  *  - cosine similarity between a bounded PROBE set and the corpus goes
+  *    through a postings self-join keyed on term (the inverted index):
+  *    only docs sharing ≥1 term ever pair, never all-pairs;
+  *  - ultra-common terms are dropped (`maxDfFraction`) BEFORE the join —
+  *    they carry ≈0 idf weight but dominate the join fan-out (a term in
+  *    half the corpus pairs every probe with half the corpus). This is
+  *    the standard stop-word prune, applied by df, not by list.
+  *
+  * Weights: w = tf · ln(N/df), L2-normalized per doc, so the postings
+  * dot product IS the cosine.
+  */
+object TfIdf {
+
+  /** Unit-normalized TF-IDF postings: (doc_id, term, u). */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               maxDfFraction: Double = 0.5): DataFrame = {
+    val n = docs.count() // one scalar job; the only driver-side value
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(math.max(1L, (n * maxDfFraction).toLong)))
+    val w = tf.join(dfreq, "term")
+      .withColumn("w", col("tf") * log(lit(n.toDouble) / col("df")))
+    val norm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    w.join(norm, "doc_id")
+      .select(col("doc_id"), col("term"), (col("w") / col("norm")).as("u"))
+  }
+
+  /** Top-1 most-similar corpus doc per probe doc, by TF-IDF cosine.
+    * Probes and corpus share the postings frame; ties break on the
+    * smaller neighbor id so the result is deterministic cross-engine. */
+  def topSimilar(unit: DataFrame, probeIds: Seq[Long]): DataFrame = {
+    val probes = unit.filter(col("doc_id").isin(probeIds: _*))
+      .select(col("doc_id").as("probe_id"), col("term"), col("u").as("ua"))
+    val corpus = unit
+      .select(col("doc_id").as("neighbor_id"), col("term"), col("u").as("ub"))
+    val sims = broadcast(probes).join(corpus, "term")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(sum(col("ua") * col("ub")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("cosine"), 2).as("cosine"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis, TfIdf}
 import graft.functions.TextExprs
 import graft.sources.Sources
 
@@ -692,6 +692,73 @@ object ExtensionQueries {
     },
     None)
 
+  /** TF-IDF cosine top-1 via inverted-index postings join (ext.TfIdf):
+    * sparse-vector similarity complementing the dense ANN family. DuckDB
+    * rebuilds the identical postings (same tokenize, same ln(N/df)
+    * weights, same L2 norm), so the top-1 hash-matches; ties break on
+    * neighbor_id in both engines. maxDfFraction=1.0 here because the
+    * synthetic corpus has a tiny vocabulary (every term is "common");
+    * the prune knob's behavior is spec-pinned in TfIdfSpec instead. */
+  val tfidfTop1 = Q(
+    "q_x_tfidf_top1",
+    "TF-IDF cosine top-1 neighbor per probe doc (inverted-index join)",
+    (s, dir) => {
+      val unit = TfIdf.postings(Sources.table(s, dir, "documents"),
+        "doc_id", "text", maxDfFraction = 1.0)
+      TfIdf.topSimilar(unit, (0L until 10L).toSeq)
+    },
+    Some("""WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+           | tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+           |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+           |   WHERE tok <> '' GROUP BY 1, 2),
+           | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           | w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / dfreq.df) AS w
+           |   FROM tf, dfreq, n WHERE tf.term = dfreq.term),
+           | norm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+           | u AS (SELECT w.doc_id, w.term, w.w / norm.nrm AS u FROM w JOIN norm USING (doc_id)),
+           | sims AS (SELECT a.doc_id AS probe_id, b.doc_id AS neighbor_id, sum(a.u*b.u) AS cosine
+           |   FROM u a JOIN u b ON a.term = b.term AND a.doc_id <> b.doc_id
+           |   WHERE a.doc_id < 10 GROUP BY 1, 2)
+           | SELECT probe_id, neighbor_id, round(cosine, 2) AS cosine
+           | FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+           |   ORDER BY cosine DESC, neighbor_id) AS rn FROM sims) WHERE rn = 1"""
+      .stripMargin.replace("\n", "")))
+
+  /** Cross-doc duplicated 5-gram spans (TextAnalysis.dupSpans) — the
+    * exact-substring dedup signal (Lee et al. 2022). DuckDB rebuilds the
+    * same gram set via list slicing over unnested start positions. */
+  val dupSpans = Q(
+    "q_x_dup_spans",
+    "Per-doc duplicated 5-gram span counts across the corpus",
+    (s, dir) => TextAnalysis.dupSpans(
+      Sources.table(s, dir, "documents"), "doc_id", "text", k = 5),
+    Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+           | s AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t),
+           | g AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram FROM s),
+           | dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+           |   GROUP BY gram HAVING count(*) > 1)
+           | SELECT g.doc_id, count(*) AS n_grams, count(d.gram) AS n_dup_grams,
+           |   round(count(d.gram)::DOUBLE / count(*), 3) AS dup_ratio
+           | FROM g LEFT JOIN dup d USING (gram) GROUP BY 1"""
+      .stripMargin.replace("\n", "")))
+
+  /** K-means over the embedding corpus: driver-trained centroids (bounded
+    * sample, deterministic init — Similarity.trainCentroids, shared with
+    * IVF), then a map-only codegen assignment and one hash-agg for the
+    * cluster profile. Engine-specific centroid values → rows-only; the
+    * clustering quality/determinism is spec-pinned (SimilaritySpec /
+    * ClusteringSpec). */
+  val kmeansSizes = Q(
+    "q_x_kmeans_sizes",
+    "K-means cluster profile: size and mean intra-cluster id per cell",
+    (s, dir) => {
+      val emb = Sources.table(s, dir, "embeddings")
+      val centroids = Similarity.trainCentroids(emb, k = 8, maxSample = 20000)
+      Similarity.assignCells(emb, centroids)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupVerify, ngramJaccardTop1,
     editDistance, decontaminate, decontaminateBloom, resampleFfill, embNearDup,
@@ -699,5 +766,5 @@ object ExtensionQueries {
     asofNative, rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     chunkDocs, repetition, piiRedact, vocabTopK, corpusReport, jsonProps,
-    multimodal)
+    multimodal, tfidfTop1, dupSpans, kmeansSizes)
 }

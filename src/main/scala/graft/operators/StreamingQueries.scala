@@ -111,5 +111,24 @@ object StreamingQueries {
            |  AND date_trunc('microseconds', c.ts) >= date_trunc('microseconds', p.ts) - INTERVAL 24 HOUR"""
       .stripMargin.replace("\n", "")))
 
-  val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin)
+  /** Stream-static enrichment under the driver gate: every streamed event
+    * picks up its customer's market segment from the static broadcast dim;
+    * result must hash-equal DuckDB's batch join. Stateless per-batch join
+    * — the plan must show BroadcastHashJoin, no shuffle of the stream. */
+  val streamEnrich = Q(
+    "q_s_stream_enrich",
+    "Stream-static broadcast enrichment = batch dim join",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val dim = graft.sources.Sources.table(s, dir, "customer")
+      val out = graft.streaming.EventsStream
+        .enrichStatic(src, dim, "user_id", "c_custkey", Seq("c_mktsegment"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+      runToMemory(s, out, "append", "graft_stream_enrich")
+    },
+    Some("""SELECT e.event_id, e.user_id, c.c_mktsegment
+           | FROM events e JOIN customer c ON e.user_id = c.c_custkey"""
+      .stripMargin.replace("\n", "")))
+
+  val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin, streamEnrich)
 }

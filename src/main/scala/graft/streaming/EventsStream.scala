@@ -44,6 +44,21 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * the (broadcast) static dimension — the canonical streaming-ETL
+    * enrich step. Stateless: no watermark, no join state; at 100 TB/day
+    * of stream the only sizing concern is the dim fitting in the
+    * broadcast, which is exactly when this beats shuffling the stream.
+    * The static side is re-read per micro-batch (so slowly-changing dims
+    * refresh on file change); only `dimKey` + `dimCols` ship. */
+  def enrichStatic(events: DataFrame, dim: DataFrame,
+                   eventKey: String, dimKey: String,
+                   dimCols: Seq[String]): DataFrame =
+    events.join(
+      broadcast(dim.select((dimKey +: dimCols).map(col): _*)),
+      col(eventKey) === col(dimKey), "inner")
+      .drop(dimKey)
+
   /** Event-time windowed aggregation with a watermark: count + sum(value)
     * per (window, event_type). Late data beyond `watermark` is dropped and
     * its state evicted — the property that keeps state bounded on an

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TfIdfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs = {
+    val spark0 = spark
+    import spark0.implicits._
+    Seq(
+      (0L, "apple banana cherry date"),
+      (1L, "apple banana cherry fig"),     // near-dup of 0
+      (2L, "xylophone zebra quartz jolt"), // disjoint vocabulary
+      (3L, "apple apple apple banana"),    // tf-skewed
+      (4L, "stop stop stop stop")          // would be pruned if common
+    ).toDF("doc_id", "text")
+  }
+
+  test("postings are unit-normalized and weights follow ln(N/df)") {
+    val unit = TfIdf.postings(docs, "doc_id", "text", maxDfFraction = 1.0)
+    val norms = unit.groupBy("doc_id").agg(sum(col("u") * col("u")).as("n2"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("n2")).toMap
+    norms.values.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-9))
+    // a term in every doc would have idf 0; here 'apple' is in 3 of 5
+    val apple = unit.filter(col("term") === "apple" && col("doc_id") === 0L)
+      .collect().head.getAs[Double]("u")
+    assert(apple > 0.0)
+  }
+
+  test("maxDfFraction prunes common terms before the join") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = Seq(
+      (0L, "common rare0"), (1L, "common rare1"), (2L, "common rare2"),
+      (3L, "common rare3")).toDF("doc_id", "text")
+    val pruned = TfIdf.postings(d, "doc_id", "text", maxDfFraction = 0.5)
+    assert(pruned.filter(col("term") === "common").count() == 0)
+    assert(pruned.filter(col("term").startsWith("rare")).count() == 4)
+    val kept = TfIdf.postings(d, "doc_id", "text", maxDfFraction = 1.0)
+    assert(kept.filter(col("term") === "common").count() == 4)
+  }
+
+  test("top-1 finds the planted near-duplicate, not the disjoint doc") {
+    val unit = TfIdf.postings(docs, "doc_id", "text", maxDfFraction = 1.0)
+    val top = TfIdf.topSimilar(unit, Seq(0L)).collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[Long]("neighbor_id") == 1L,
+      s"expected near-dup doc 1, got ${top.head}")
+    // idf makes each doc's unique term dominate its norm in a 5-doc
+    // corpus, so even a 3-of-4-token overlap lands well under 0.5
+    assert(top.head.getAs[Double]("cosine") > 0.2)
+  }
+
+  test("disjoint-vocabulary docs never pair (inverted index, not all-pairs)") {
+    val unit = TfIdf.postings(docs, "doc_id", "text", maxDfFraction = 1.0)
+    val probes = unit.filter(col("doc_id") === 2L)
+      .select(col("doc_id").as("probe_id"), col("term"), col("u").as("ua"))
+    val corpus = unit.select(col("doc_id").as("neighbor_id"), col("term"),
+      col("u").as("ub"))
+    val pairs = probes.join(corpus, "term")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+    assert(pairs.count() == 0)
+  }
+}

@@ -108,6 +108,33 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment matches batch join, plans a broadcast join") {
+    val dir = stageDir()
+    val dim = Sources.table(spark, "/root/testdata/sf0.001", "customer")
+    val out = EventsStream.enrichStatic(
+      EventsStream.readEvents(spark, dir), dim,
+      "user_id", "c_custkey", Seq("c_mktsegment"))
+      .select(col("event_id"), col("c_mktsegment"))
+    val q = out.writeStream
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = Sources.table(spark, "/root/testdata/sf0.001", "events")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("c_mktsegment"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == batch && got.nonEmpty)
+      // the stream side must NOT shuffle: dim broadcasts into each batch
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) { q.explain() }
+      val plan = bos.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected BroadcastHashJoin in:\n$plan")
+    } finally q.stop()
+  }
+
   test("event-time session windows match batch sessionization") {
     import org.apache.spark.sql.expressions.Window
     val dir = stageDir()
