@@ -195,14 +195,22 @@ object TextAnalysis {
         explode(starts).as("s"))
       .select(col("doc_id"),
         array_join(slice(col("__toks"), col("s") + 1, lit(k)), " ").as("gram"))
-    // grams repeated WITHIN one doc count once toward df: distinct first
-    val dupGrams = grams.distinct()
-      .groupBy("gram").agg(count(lit(1)).as("gram_docs"))
-      .filter(col("gram_docs") > 1).select(col("gram"))
-    grams.join(dupGrams.withColumn("__dup", lit(1)), Seq("gram"), "left")
+    // aggregate-first: collapse to (doc, gram, multiplicity) before any
+    // gram-keyed movement (map-side combine shrinks the exploded stream),
+    // then ONE gram-partitioned window marks each gram's doc count —
+    // grams repeated WITHIN one doc count once toward it — and a final
+    // per-doc rollup sums multiplicities. The naive form (raw gram
+    // stream distinct'd, grouped, and joined back to itself) shuffles
+    // the exploded grams twice and recomputes the explode both times.
+    val perDocGram = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    perDocGram
+      .withColumn("gram_docs", count(lit(1)).over(byGram))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        count(col("__dup")).as("n_dup_grams"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        coalesce(sum(when(col("gram_docs") > 1, col("cnt"))), lit(0L))
+          .as("n_dup_grams"))
       .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
         round(col("n_dup_grams") / col("n_grams"), 3).as("dup_ratio"))
   }

@@ -40,8 +40,13 @@ object TfIdf {
     val w = tf.join(dfreq, "term")
       .withColumn("w", col("tf") * log(lit(n.toDouble) / col("df")))
     val norm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    // materialize: the postings feed BOTH sides of the similarity
+    // self-join (probe + corpus), and w itself is referenced twice here —
+    // without a barrier Catalyst re-derives the full explode+agg chain
+    // per reference (~5 corpus scans in the top-1 plan)
     w.join(norm, "doc_id")
       .select(col("doc_id"), col("term"), (col("w") / col("norm")).as("u"))
+      .localCheckpoint(true)
   }
 
   /** Top-1 most-similar corpus doc per probe doc, by TF-IDF cosine.

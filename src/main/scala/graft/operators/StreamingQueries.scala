@@ -37,20 +37,36 @@ object StreamingQueries {
     try f(stage.toString) finally unstage(stage)
   }
 
+  /** Stateful streaming ops allocate one state store PER shuffle partition
+    * per operator side — at the bench's bounded fixture, 32-way state means
+    * 100+ checkpoint files per micro-batch of pure fixed overhead. Scope
+    * the session down to 8 while the stream runs (restored in finally).
+    * Safe here because the driver contract runs queries SEQUENTIALLY
+    * (Verify foreach / Bench reps); this is not a per-reader conf mutation
+    * under concurrent execution. On a real cluster you'd size
+    * spark.sql.shuffle.partitions to the state volume instead. */
+  private def withStatePartitions[A](s: SparkSession, n: String)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Run a streaming frame to completion into a memory sink; materialize
     * the result OFF the sink and drop the sink table, so repeated
     * invocations in one JVM (bench reps) don't accumulate driver-held
     * sink rows. */
   private def runToMemory(s: SparkSession, out: DataFrame, mode: String,
-                          prefix: String): DataFrame = {
-    val name = s"${prefix}_${nextId.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
-    val result = s.table(name).localCheckpoint(true)
-    s.catalog.dropTempView(name)
-    result
-  }
+                          prefix: String): DataFrame =
+    withStatePartitions(s, "8") {
+      val name = s"${prefix}_${nextId.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+      val result = s.table(name).localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      result
+    }
 
   /** Streaming exact dedup, batch-equivalence form: stream the events
     * parquet as a micro-batch source, dedup on (user_id, event_type)
