@@ -187,6 +187,87 @@ object AnalyticsQueries {
            | ORDER BY n DESC, w1, w2 LIMIT 20"""
       .stripMargin.replace("\n", "")))
 
+  /** RANGE window frame over event time — "trailing 1 hour per user",
+    * the time-based sibling of q_w_moving_avg's ROWS frame. The frame is
+    * defined by ORDER-KEY VALUE, not row position, so equal-ts peers and
+    * gaps behave identically in both engines (Spark takes the key range
+    * on unix micros; DuckDB on the timestamp interval — same set). Sum
+    * runs over integer milli-units: frame re-scan vs segment-tree
+    * accumulation makes float sums not bit-stable (q_w_moving_avg note).
+    * One shuffle + sort per user — the frame scan is the semantics. */
+  val rangeFrame = Q(
+    "q_w_range_frame",
+    "RANGE frame: trailing-1h per-user event count and milli-value sum",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("trailing_n"),
+        sum(floor(col("value") * 1000).cast("long")).over(w)
+          .as("trailing_milli"))
+    },
+    Some("""SELECT event_id, user_id,
+           | CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+           | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS trailing_milli
+           | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+      .stripMargin.replace("\n", "")))
+
+  /** UNPIVOT (Dataset.unpivot / melt) — wide→long reshaping, the inverse
+    * of q_p9_pivot. Map-only after the feeding aggregate (each input row
+    * fans to one row per value column, no shuffle); oracle is the
+    * portable UNION ALL expansion. */
+  val unpivotMetrics = Q(
+    "q_p10_unpivot",
+    "UNPIVOT per-returnflag lineitem metrics into (metric, value) rows",
+    (s, dir) => {
+      val agg = t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice")).cast("double").as("sum_price"),
+        count(lit(1)).cast("double").as("n_items"))
+      agg.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_items")),
+          "metric", "value")
+        .select(col("l_returnflag"), col("metric"),
+          round(col("value"), 2).as("value"))
+    },
+    Some("""WITH a AS (SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+           |   sum(l_extendedprice) AS sum_price, count(*)::DOUBLE AS n_items
+           |   FROM lineitem GROUP BY 1)
+           | SELECT l_returnflag, 'sum_qty' AS metric, round(sum_qty, 2) AS value FROM a
+           | UNION ALL SELECT l_returnflag, 'sum_price', round(sum_price, 2) FROM a
+           | UNION ALL SELECT l_returnflag, 'n_items', round(n_items, 2) FROM a"""
+      .stripMargin.replace("\n", "")))
+
+  /** session_window — Spark's built-in gap-session operator (the same
+    * one Structured Streaming uses for streaming sessions), pinned
+    * against a gaps-and-islands oracle. Boundary semantics: a gap of
+    * EXACTLY the 30-min window starts a NEW session (the event falls on
+    * the half-open window end), hence `>=` in the oracle — one place
+    * this differs from q_w_sessionize's strict-`>` islands. */
+  val sessionWindowAgg = Q(
+    "q_w_session_window",
+    "session_window(30 min): per-user session start + event count",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"), col("n")),
+    Some("""WITH g AS (SELECT user_id, ts,
+           | CASE WHEN lag(ts) OVER w IS NULL
+           |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS ns
+           | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           | s AS (SELECT user_id, ts, sum(ns) OVER
+           |   (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+           | SELECT user_id, date_trunc('microseconds', min(ts)) AS session_start,
+           |   count(*) AS n FROM s GROUP BY user_id, sid"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
-    movingAvg, cohortRetention, collocations)
+    movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
+    sessionWindowAgg)
 }
