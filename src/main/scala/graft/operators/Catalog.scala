@@ -27,8 +27,8 @@ final case class Q(
   * and the LLM-pipeline extension operators. */
 object Catalog {
   lazy val all: Seq[Q] =
-    ParityQueries.all ++ AnalyticsQueries.all ++ ExtensionQueries.all ++
-      StreamingQueries.all
+    ParityQueries.all ++ TpchQueries.all ++ AnalyticsQueries.all ++
+      ExtensionQueries.all ++ StreamingQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

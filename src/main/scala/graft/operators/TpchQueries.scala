@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+/** Second wave of TPC-H-shaped headline queries (Q4/Q10/Q12/Q14/Q16/Q19/Q22
+  * analogues), adapted to the driver testdata's column subset (no
+  * l_commitdate/l_shipmode/p_container/c_phone — each query keeps its
+  * classic PLAN SHAPE with stand-in columns).
+  *
+  * Like the first wave in [[ParityQueries]], every query is written for the
+  * 1000-executor shape: selective predicates push into the parquet scan,
+  * dimension tables broadcast, aggregation happens before joins where the
+  * semantics allow, and the only wide exchanges are fact-to-fact spines.
+  */
+object TpchQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  private def ts(v: String) = lit(java.sql.Timestamp.valueOf(v))
+
+  /** TPC-H Q4 shape — "order priority checking": an EXISTS semi-join whose
+    * correlated predicate is a NON-EQUI comparison across the two tables
+    * (classically l_commitdate < l_receiptdate; here l_shipdate >
+    * o_orderdate, i.e. "shipped after it was ordered"). The quarter filter
+    * pushes to the orders scan; the semi-join dedups lineitem matches
+    * without materializing them. */
+  val orderPriority = Q(
+    "q_tpch_q4_priority",
+    "TPC-H Q4-style order-priority check (EXISTS with non-equi correlation)",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-04-01 00:00:00"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l,
+          o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+           | FROM orders
+           | WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |   AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+           |   AND EXISTS (SELECT 1 FROM lineitem
+           |     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+           | GROUP BY o_orderpriority""".stripMargin.replace("\n", "")))
+
+  /** TPC-H Q10 shape — "returned item reporting": one quarter of orders,
+    * returned lineitems only, revenue per customer, top 20. The fact spine
+    * (lineitem⋈orders) shuffles once on orderkey; customer and nation ride
+    * in as broadcasts; the top-k is TakeOrderedAndProject, never a global
+    * sort. */
+  val returnedItems = Q(
+    "q_tpch_q10_returns",
+    "TPC-H Q10-style returned-item revenue per customer (top 20)",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1997-07-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-10-01 00:00:00"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           | FROM lineitem
+           | JOIN orders ON l_orderkey = o_orderkey
+           | JOIN customer ON o_custkey = c_custkey
+           | JOIN nation ON c_nationkey = n_nationkey
+           | WHERE l_returnflag = 'R'
+           |   AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+           |   AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+           | GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
+           | ORDER BY revenue DESC, c_custkey LIMIT 20"""
+      .stripMargin.replace("\n", "")),
+    headline = true)
+
+  /** TPC-H Q12 shape — "shipping modes and order priority": CASE-inside-SUM
+    * aggregation over the lineitem⋈orders join (l_returnflag stands in for
+    * l_shipmode as the group key). The year filter pushes to the lineitem
+    * scan; the CASE branches fold into the partial aggregate, so the
+    * exchange carries two longs per group. */
+  val shipmodePriority = Q(
+    "q_tpch_q12_shipmode",
+    "TPC-H Q12-style priority counts per group (CASE-in-aggregate)",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1998-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1999-01-01 00:00:00"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+    },
+    Some("""SELECT l_returnflag,
+           | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+           |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+           | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           | WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+           |   AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+           | GROUP BY l_returnflag""".stripMargin.replace("\n", "")))
+
+  /** TPC-H Q14 shape — "promotion effect": conditional-revenue ratio over
+    * one month of lineitem joined to a broadcast part dim. Both component
+    * sums are emitted rounded, and the percentage is derived FROM the
+    * rounded sums so both engines divide identical 2-dp values (a ratio of
+    * raw doubles could straddle a rounding boundary across engines). */
+  val promoEffect = Q(
+    "q_tpch_q14_promo",
+    "TPC-H Q14-style promotion revenue share (conditional aggregate ratio)",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1998-03-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-04-01 00:00:00"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)), 2)
+            .as("promo_revenue"),
+          round(sum(rev), 2).as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 2)
+            .as("promo_pct"))
+    },
+    Some("""WITH a AS (SELECT
+           |   round(sum(CASE WHEN p_type = 'PROMO'
+           |     THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+           |     AS promo_revenue,
+           |   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+           | FROM lineitem JOIN part ON l_partkey = p_partkey
+           | WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+           |   AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00')
+           | SELECT promo_revenue, total_revenue,
+           |   round(100.0 * promo_revenue / total_revenue, 2) AS promo_pct
+           | FROM a""".stripMargin.replace("\n", "")))
+
+  /** TPC-H Q16 shape — "parts/supplier relationship": the partsupp table
+    * doesn't exist in the testdata, so it is DERIVED as the distinct
+    * (l_partkey, l_suppkey) pairs actually observed in lineitem — an
+    * aggregate-before-join that collapses the fact table to the pair set
+    * BEFORE touching the part dim. Exclusion predicates (NOT =, NOT IN)
+    * ride the broadcast part join; COUNT(DISTINCT suppkey) per
+    * (brand, type, size) is the final exchange. */
+  val supplierRelationship = Q(
+    "q_tpch_q16_supplier_cnt",
+    "TPC-H Q16-style supplier counts per part attribute (derived partsupp)",
+    (s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#4" &&
+          col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    Some("""SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           | count(DISTINCT l_suppkey) AS supplier_cnt
+           | FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+           | JOIN part ON l_partkey = p_partkey
+           | WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+           |   AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+           | GROUP BY p_brand, p_type, p_size"""
+      .stripMargin.replace("\n", "")))
+
+  /** TPC-H Q19 shape — "discounted revenue": a DISJUNCTION of conjunctive
+    * brand/size/quantity groups over lineitem⋈part. The per-table halves of
+    * each OR-branch (p_size lower bound, l_quantity envelope) are pushable;
+    * Catalyst extracts the common `p_size >= 1` and the quantity envelope
+    * to the scans and evaluates the cross-table residual post-join. The
+    * classic test that OR-of-AND predicates don't force a cartesian or kill
+    * pushdown. */
+  val discountedRevenue = Q(
+    "q_tpch_q19_disjunct",
+    "TPC-H Q19-style disjunctive brand/size/quantity revenue",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val cond =
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#16" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    },
+    Some("""SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           | FROM lineitem JOIN part ON l_partkey = p_partkey
+           | WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 5
+           |     AND l_quantity BETWEEN 1 AND 11)
+           |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 10
+           |     AND l_quantity BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 15
+           |     AND l_quantity BETWEEN 20 AND 30)"""
+      .stripMargin.replace("\n", "")),
+    headline = true)
+
+  /** TPC-H Q22 shape — "global sales opportunity": an uncorrelated scalar
+    * subquery (average positive balance) feeding a filter, an anti-join
+    * against orders ("customers who never ordered"), grouped by a substring
+    * key (the last-two digits of c_name stand in for the phone country
+    * code). The uncorrelated average plans as a ScalarSubquery — evaluated
+    * once and injected as a literal, NOT a 1-row nested-loop join; the NOT
+    * EXISTS rewrites to a shuffled anti-join. "Idle" is scoped to the data's
+    * final year (every testdata customer has SOME order — the unscoped
+    * anti-join would be vacuously empty and prove nothing). */
+  val salesOpportunity = Q(
+    "q_tpch_q22_idle",
+    "TPC-H Q22-style idle high-balance customers (scalar avg + anti-join)",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q22_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q22_orders")
+      s.sql("""SELECT substring(c_name, 17, 2) AS cntry,
+              |   count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+              | FROM q22_customer
+              | WHERE c_acctbal > (SELECT avg(c_acctbal) FROM q22_customer
+              |     WHERE c_acctbal > 0.0)
+              |   AND NOT EXISTS (SELECT 1 FROM q22_orders
+              |     WHERE o_custkey = c_custkey
+              |     AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+              | GROUP BY substring(c_name, 17, 2)""".stripMargin)
+    },
+    Some("""SELECT substring(c_name, 17, 2) AS cntry,
+           | count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+           | FROM customer
+           | WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+           |   WHERE c_acctbal > 0.0)
+           |   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           |     AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+           | GROUP BY substring(c_name, 17, 2)"""
+      .stripMargin.replace("\n", "")))
+
+  val all: Seq[Q] = Seq(
+    orderPriority, returnedItems, shipmodePriority, promoEffect,
+    supplierRelationship, discountedRevenue, salesOpportunity)
+}
