@@ -26,7 +26,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q_j5_salted_join", "q_w_ntile", "q_x_edit_distance",
     "q_s_stream_dedup", "q_s_stream_window",
     "q_a9_funnel", "q_tpch_q5_local_supplier", "q_tpch_q18_large_orders",
-    "q_a10_histogram")
+    "q_a10_histogram",
+    "q_tpch_q4_priority", "q_tpch_q10_returns", "q_tpch_q12_shipmode",
+    "q_tpch_q14_promo", "q_tpch_q16_supplier_cnt", "q_tpch_q19_disjunct",
+    "q_tpch_q22_idle")
 
   sparkCompatible.toSeq.sorted.foreach { name =>
     test(s"$name: spark.sql(oracle text) == DataFrame result") {
