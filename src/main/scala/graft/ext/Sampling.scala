@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sampling and split assignment for training-data pipelines.
@@ -45,4 +46,82 @@ object Sampling {
   def stratified(df: DataFrame, strataCol: String,
                  rates: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, rates, seed)
+
+  /** Integer shard (0 .. 16^hexDigits-1) from the leading hex digits of
+    * md5(id). Same portability story as [[md5Bucket]]; wider digit counts
+    * give more shards for bigger corpora. */
+  def md5Shard(id: Column, hexDigits: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, hexDigits), 16, 10).cast("int")
+
+  /** Deterministic GLOBAL shuffle position for every row — the "shuffle the
+    * corpus once, reproducibly" step before training-data serialization.
+    *
+    * A naive `row_number() OVER (ORDER BY md5(id))` is a single-partition
+    * window — the whole corpus funnels through one task. Instead the rank
+    * is computed hierarchically, the way it scales to 100 TB:
+    *  1. shard every row by the md5 prefix (uniform by construction);
+    *  2. rank WITHIN each shard (parallel window, one shuffle);
+    *  3. offset each shard by the running total of preceding shard counts
+    *     (a ≤`16^hexDigits`-row aggregate — broadcast back).
+    * The result is exactly the global md5-order rank, with no global sort
+    * and no single-partition stage on the corpus.
+    *
+    * Output adds `shard`, `shard_rank` (1-based within shard) and `pos`
+    * (1-based global). */
+  def shufflePositions(df: DataFrame, idCol: String,
+                       hexDigits: Int = 2): DataFrame = {
+    val key = md5(col(idCol).cast("string"))
+    val sharded = df
+      .withColumn("__shuffle_key", key)
+      .withColumn("shard", md5Shard(col(idCol), hexDigits).cast("long"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__shuffle_key"), col(idCol))
+    val ranked = sharded
+      .withColumn("shard_rank", row_number().over(w).cast("long"))
+    val offsets = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("shard"),
+        coalesce(sum(col("__n")).over(
+            Window.orderBy(col("shard"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__offset"))
+    ranked.join(broadcast(offsets), Seq("shard"))
+      .withColumn("pos", col("__offset") + col("shard_rank"))
+      .drop("__shuffle_key", "__offset")
+  }
+
+  /** Deterministic per-domain quota: keep the `quota` docs with the lowest
+    * md5 rank inside each domain — the "cap any one source at N documents"
+    * balancing step. Exact and portable; the per-domain window means the
+    * largest domain bounds the sort partition, so use this when domain
+    * sizes are bounded (or pre-shard giant domains) — for unbounded skew
+    * see [[domainRateCap]]. Adds `quota_rank` and `kept` (0/1). */
+  def domainQuota(df: DataFrame, idCol: String, domainCol: String,
+                  quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("quota_rank", row_number().over(w).cast("long"))
+      .withColumn("kept",
+        when(col("quota_rank") <= quota, 1L).otherwise(0L))
+  }
+
+  /** Skew-proof approximate quota: compute per-domain counts (a tiny
+    * aggregate), derive a keep-rate `min(1, quota/n)` per domain, and keep
+    * rows whose 4-hex md5 prefix falls under the rate — i.e.
+    * [[deterministicSample]] with a per-domain rate. No per-domain sort, no
+    * giant window partitions: a domain with 10^10 rows costs the same two
+    * map passes as one with 10^2. Kept counts are binomial around the
+    * quota rather than exact — the standard trade at corpus scale. */
+  def domainRateCap(df: DataFrame, idCol: String, domainCol: String,
+                    quota: Int): DataFrame = {
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__dn"))
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.join(broadcast(counts), Seq(domainCol))
+      .withColumn("kept",
+        when(h < least(lit(1.0), lit(quota.toDouble) / col("__dn"))
+          * 65536.0, 1L).otherwise(0L))
+      .drop("__dn")
+  }
 }

@@ -28,7 +28,7 @@ final case class Q(
 object Catalog {
   lazy val all: Seq[Q] =
     ParityQueries.all ++ TpchQueries.all ++ AnalyticsQueries.all ++
-      ExtensionQueries.all ++ StreamingQueries.all
+      ExtensionQueries.all ++ PipelineQueries.all ++ StreamingQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

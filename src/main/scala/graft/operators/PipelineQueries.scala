@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Packing, Sampling}
+import graft.sources.Sources
+
+/** Training-data layout operators — the steps between a curated corpus and
+  * serialized training shards: reproducible global shuffle, per-domain
+  * balancing, and fixed-budget sequence packing. All three are exact,
+  * engine-portable (md5-keyed) computations with DuckDB oracles; all three
+  * avoid any global sort or unbounded window partition (see the Scaladoc on
+  * [[graft.ext.Sampling.shufflePositions]] / [[graft.ext.Packing]]).
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  /** DuckDB-side value of one hex digit of an md5 string (no conv()). */
+  private def hexDigitSql(expr: String, pos: Int): String =
+    s"(strpos('0123456789abcdef', substring($expr, $pos, 1)) - 1)"
+
+  private val md5Doc = "md5(CAST(doc_id AS VARCHAR))"
+
+  /** Reproducible corpus shuffle: every doc gets its global md5-order
+    * position, computed hierarchically (shard rank + shard offsets) so no
+    * stage sees more than corpus/256 rows. */
+  val corpusShuffle = Q(
+    "q_x_corpus_shuffle",
+    "Deterministic global shuffle positions (sharded hierarchical rank)",
+    (s, dir) => Sampling.shufflePositions(t(s, dir, "documents"), "doc_id", 2)
+      .select(col("doc_id"), col("shard"), col("shard_rank"), col("pos")),
+    Some(s"""WITH s AS (SELECT doc_id,
+           |   $md5Doc AS k,
+           |   CAST(16 * ${hexDigitSql(md5Doc, 1)}
+           |      + ${hexDigitSql(md5Doc, 2)} AS BIGINT) AS shard
+           |   FROM documents),
+           | rk AS (SELECT doc_id, shard,
+           |   CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+           |     AS BIGINT) AS shard_rank FROM s),
+           | off AS (SELECT shard, CAST(coalesce(sum(n) OVER (ORDER BY shard
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |     AS BIGINT) AS o
+           |   FROM (SELECT shard, count(*) AS n FROM s GROUP BY shard))
+           | SELECT rk.doc_id, rk.shard, rk.shard_rank,
+           |   rk.shard_rank + off.o AS pos
+           | FROM rk JOIN off USING (shard)"""
+      .stripMargin.replace("\n", "")))
+
+  /** Domain balancing: cap every source at 15 docs, chosen by md5 rank —
+    * exact-quota flavor (the skew-proof hash-threshold flavor is
+    * [[graft.ext.Sampling.domainRateCap]], spec-pinned). */
+  val domainBalance = Q(
+    "q_x_domain_balance",
+    "Per-source quota: keep 15 lowest-md5-rank docs per source",
+    (s, dir) => Sampling.domainQuota(t(s, dir, "documents"),
+        "doc_id", "source", quota = 15)
+      .select(col("doc_id"), col("source"), col("quota_rank"), col("kept")),
+    Some(s"""SELECT doc_id, source,
+           | CAST(row_number() OVER (PARTITION BY source
+           |   ORDER BY $md5Doc, doc_id) AS BIGINT) AS quota_rank,
+           | CAST(CASE WHEN row_number() OVER (PARTITION BY source
+           |   ORDER BY $md5Doc, doc_id) <= 15 THEN 1 ELSE 0 END AS BIGINT)
+           |   AS kept
+           | FROM documents""".stripMargin.replace("\n", "")))
+
+  /** Concat-and-chunk sequence packing: 512-token training sequences per
+    * md5 shard; a doc knows which sequence it starts in and whether it
+    * straddles into the next. */
+  val seqPack = Q(
+    "q_x_seq_pack",
+    "Sequence packing: 512-token concat-and-chunk layout per shard",
+    (s, dir) => Packing.packSequences(t(s, dir, "documents"), "doc_id",
+      size(split(col("text"), " ", -1)), budget = 512),
+    Some(s"""WITH d AS (SELECT doc_id, $md5Doc AS k,
+           |   CAST(${hexDigitSql(md5Doc, 1)} AS BIGINT) AS shard,
+           |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           |   FROM documents),
+           | c AS (SELECT doc_id, shard, n_tok,
+           |   sum(n_tok) OVER (PARTITION BY shard ORDER BY k, doc_id
+           |     ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+           | SELECT doc_id, shard, n_tok,
+           |   CAST(floor((cum - n_tok) * 1.0 / 512) AS BIGINT) AS seq,
+           |   CAST(CASE WHEN floor((cum - 1) * 1.0 / 512) >
+           |     floor((cum - n_tok) * 1.0 / 512) THEN 1 ELSE 0 END AS BIGINT)
+           |     AS straddles
+           | FROM c""".stripMargin.replace("\n", "")))
+
+  val all: Seq[Q] = Seq(corpusShuffle, domainBalance, seqPack)
+}

@@ -42,6 +42,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.deterministicSample(df, "id", 1.0).count() == 8000)
   }
 
+  test("shufflePositions: exact global md5 rank, no gaps, layout-independent") {
+    val df = ids(3000)
+    val out = Sampling.shufflePositions(df, "id")
+      .collect().map(r => (r.getLong(1), r.getAs[Long]("pos"))).toMap
+    // positions are a permutation of 1..n
+    assert(out.values.toSeq.sorted == (1L to 3000L))
+    // hierarchical rank == the naive global rank
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val naive = (0L until 3000L)
+      .sortBy(id => (md5Hex(id.toString), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(out == naive)
+    val re = Sampling.shufflePositions(df.repartition(17), "id")
+      .collect().map(r => (r.getLong(1), r.getAs[Long]("pos"))).toMap
+    assert(re == out)
+  }
+
+  test("domainQuota exact; domainRateCap approximate, nested, skew-proof") {
+    val spark0 = spark
+    import spark0.implicits._
+    // skewed domains: 'big' 3000 rows, 'small' 40 rows
+    val df = ((0 until 3000).map(i => (i.toLong, "big")) ++
+      (3000 until 3040).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val exact = Sampling.domainQuota(df, "id", "src", quota = 100)
+      .filter(col("kept") === 1L)
+      .groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("big" -> 100L, "small" -> 40L)) // cap binds only where exceeded
+    val approx = Sampling.domainRateCap(df, "id", "src", quota = 100)
+      .filter(col("kept") === 1L)
+      .groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx("small") == 40L)            // rate 1.0 keeps everything
+    assert(math.abs(approx("big") - 100L) < 60) // binomial around the quota
+  }
+
   test("stratified: per-stratum rates honored approximately") {
     val spark0 = spark
     import spark0.implicits._
