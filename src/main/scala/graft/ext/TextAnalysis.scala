@@ -188,13 +188,15 @@ object TextAnalysis {
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                k: Int = 5): DataFrame = {
     require(k > 0, "gram length must be positive")
-    val toks = filter(split(col(textCol), " ", -1), t => t =!= lit(""))
-    val starts = when(size(toks) < k, array().cast("array<int>"))
-      .otherwise(sequence(lit(0), size(toks) - k, lit(1)))
-    val grams = df.select(col(idCol).as("doc_id"), toks.as("__toks"),
-        explode(starts).as("s"))
-      .select(col("doc_id"),
-        array_join(slice(col("__toks"), col("s") + 1, lit(k)), " ").as("gram"))
+    // one codegen pass builds the per-doc multiset of 64-bit gram hashes
+    // (identical tokenization to the string form — single-space split,
+    // empties dropped), so the Generate emits an 8-byte long per position
+    // instead of a row carrying the whole token array + a k-token string,
+    // and the gram-keyed exchange shuffles longs. Two distinct grams alias
+    // only on a 64-bit collision — immaterial to the count semantics.
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextExprs.gram_hashes(col(textCol), k))
+        .as("gram"))
     // aggregate-first: collapse to (doc, gram, multiplicity) before any
     // gram-keyed movement (map-side combine shrinks the exploded stream),
     // then ONE gram-partitioned window marks each gram's doc count —

@@ -164,6 +164,37 @@ object TextHashing {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** ALL word-n-gram hashes in document order — the MULTISET form
+    * (duplicates kept), with ZERO grams for documents shorter than n tokens
+    * (positions 1..nTok-n+1; contrast [[shingleHashes]]' max(1, …) floor
+    * used by the set-signature family). The exact-substring dup-span unit:
+    * exploding these 8-byte longs replaces exploding string grams, so the
+    * Generate output and the gram shuffle carry a long per position instead
+    * of a k-token string (two distinct grams alias only on a 64-bit
+    * collision — ~n²/2⁶⁵ for n distinct grams, negligible vs the count
+    * semantics it feeds). */
+  def gramHashArray(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes)
+    val nTok = offs.length / 2
+    if (nTok < n) return new GenericArrayData(Array.empty[Long])
+    val tokHash = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      tokHash(i) = hashBytes(bytes, offs(2 * i), offs(2 * i + 1)); i += 1
+    }
+    val out = new Array[Long](nTok - n + 1)
+    var s = 0
+    while (s < out.length) {
+      var h = 0x27d4eb2f165667c5L
+      var j = 0
+      while (j < n) { h = mix64(h ^ tokHash(s + j)); j += 1 }
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct shingle hashes, sorted — precompute once per document so
     * pairwise Jaccard is a sort-merge over longs (no re-shingling, no
     * per-pair hash-set allocation). */

@@ -63,6 +63,21 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Multiset of word-n-gram hashes in document order (zero for docs with
+    * fewer than n tokens) — the dup-span unit; see
+    * [[graft.ext.TextHashing.gramHashArray]]. */
+  case class GramHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      TextHashing.gramHashArray(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.ext.TextHashing.gramHashArray($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): GramHashes =
+      copy(child = newChild)
+  }
+
   case class SortedShingles(child: Expression, n: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -245,6 +260,8 @@ object TextExprs {
     col(NgramJaccard(e(a), e(b), n))
   def sorted_shingles(c: Column, n: Int = 3): Column =
     col(SortedShingles(e(c), n))
+  def gram_hashes(c: Column, n: Int = 5): Column =
+    col(GramHashes(e(c), n))
   def repetition_stats(c: Column): Column = col(RepetitionStats(e(c)))
   def bloom_contains(c: Column,
                      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
