@@ -124,6 +124,25 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Point estimate against a trained count-min sketch (the frequency
+    * analogue of [[BloomContains]]): the 64 KB counter array ships into
+    * generated code as a reference object, so estimation is map-only —
+    * no join against a frequency table. */
+  case class CountMinEstimate(child: Expression, sketch: Array[Long],
+                              depth: Int, width: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      CountMinAgg.estimate(sketch, input.asInstanceOf[Long], depth, width)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cmSketch", sketch, "long[]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.CountMinAgg.estimate($ref, $c, $depth, $width)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): CountMinEstimate =
+      copy(child = newChild)
+  }
+
   case class RepetitionStats(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
@@ -263,6 +282,9 @@ object TextExprs {
   def gram_hashes(c: Column, n: Int = 5): Column =
     col(GramHashes(e(c), n))
   def repetition_stats(c: Column): Column = col(RepetitionStats(e(c)))
+  def countmin_estimate(c: Column, sketch: Array[Long],
+                        depth: Int, width: Int): Column =
+    col(CountMinEstimate(e(c), sketch, depth, width))
   def bloom_contains(c: Column,
                      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     col(BloomContains(e(c), bloom))

@@ -634,6 +634,40 @@ object ExtensionQueries {
            | ORDER BY n DESC, token LIMIT 50"""
       .stripMargin.replace("\n", "")))
 
+  /** Count-min frequency sketch vs exact counts — the fixed-memory
+    * frequency path for when the vocabulary itself doesn't fit (the
+    * frequency analogue of the HLL/Bloom rows): ONE 64 KB sketch
+    * aggregates map-side over the token stream (the exchange carries
+    * |partitions| sketches, not tokens), comes back to the driver
+    * (bounded, like the IVF centroids), and estimation is a map-only
+    * codegen expression over the exact top-50 probes. Sketch estimates
+    * are engine-specific → rows-only; the ε-bound and the
+    * never-undercount invariant are spec-pinned (CountMinSpec). */
+  val vocabCmSketch = Q(
+    "q_x_vocab_cm_sketch",
+    "Count-min sketch estimates vs exact counts for the top-50 tokens",
+    (s, dir) => {
+      import graft.functions.{CountMinAgg, TextExprs}
+      val depth = 4; val width = 2048
+      val toks = Sources.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .filter(col("token") =!= "")
+        .select(col("token"), xxhash64(col("token")).as("h"))
+      val cm = org.apache.spark.sql.functions.udaf(
+        new CountMinAgg(depth, width),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val sketch = toks.select(cm(col("h")).as("sk"))
+        .head().getAs[scala.collection.Seq[Long]]("sk").toArray
+      toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+        .select(col("token"), col("n"),
+          TextExprs.countmin_estimate(xxhash64(col("token")), sketch,
+            depth, width).as("est_n"))
+    },
+    None)
+
   /** Per-source corpus report — the "corpus dashboard" aggregate every
     * curation run logs: doc counts, token/char totals, language spread per
     * source. Exact integer sums (order-independent) keep it oracle-able. */
@@ -765,6 +799,7 @@ object ExtensionQueries {
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     asofNative, rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
-    chunkDocs, repetition, piiRedact, vocabTopK, corpusReport, jsonProps,
+    chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
+    corpusReport, jsonProps,
     multimodal, tfidfTop1, dupSpans, kmeansSizes)
 }
