@@ -780,8 +780,8 @@ object ExtensionQueries {
     * sample, deterministic init — Similarity.trainCentroids, shared with
     * IVF), then a map-only codegen assignment and one hash-agg for the
     * cluster profile. Engine-specific centroid values → rows-only; the
-    * clustering quality/determinism is spec-pinned (SimilaritySpec /
-    * ClusteringSpec). */
+    * clustering quality/determinism is spec-pinned (SimilaritySpec:
+    * planted-cluster purity + layout-independent assignment). */
   val kmeansSizes = Q(
     "q_x_kmeans_sizes",
     "K-means cluster profile: size and mean intra-cluster id per cell",

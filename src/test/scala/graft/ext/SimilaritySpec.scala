@@ -70,6 +70,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("k-means planted clusters: pure cells, deterministic across layouts") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 4 well-separated axis clusters in 8-d, 50 points each, tiny jitter
+    val pts = (0 until 200).map { i =>
+      val c = i % 4
+      val v = Array.fill(8)(0.001f * ((i * 7 + 3) % 11))
+      v(c * 2) = 1.0f
+      (i.toLong, v.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val centroids = Similarity.trainCentroids(df, k = 4, iters = 15)
+    val assign = Similarity.assignCells(df, centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted cluster lands WHOLLY in one cell, 4 distinct cells
+    val cells = (0 until 4).map { c =>
+      val ids = (0 until 200).filter(_ % 4 == c).map(_.toLong)
+      val cellIds = ids.map(assign).distinct
+      assert(cellIds.size == 1, s"cluster $c split across cells $cellIds")
+      cellIds.head
+    }
+    assert(cells.distinct.size == 4, s"clusters merged: $cells")
+    // assignment is layout-independent (same centroids, shuffled input)
+    val re = Similarity.assignCells(df.repartition(13), centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == assign)
+  }
+
   test("ANN output shape: (vec_id, rank, neighbor_id, cos), ranks 1..k") {
     val out = Similarity.bruteForceTopK(emb, Seq(1L, 2L), 3)
     assert(out.columns.toSeq == Seq("vec_id", "rank", "neighbor_id", "cos"))
