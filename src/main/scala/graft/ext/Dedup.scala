@@ -107,6 +107,65 @@ object Dedup {
     } finally cand.unpersist(blocking = false)
   }
 
+  /** The corpus-side artifact for INCREMENTAL dedup: every doc's LSH band
+    * memberships, `(id, band, bh)`. Computed once per corpus and persisted
+    * (at scale: written bucketed on (band, bh) so the incremental join
+    * below is co-located with zero index-side shuffle). */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                numHashes: Int = 128, bands: Int = 32,
+                shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      posexplode(band_hashes(
+        minhash_sig(col(textCol), numHashes, shingleN), bands))
+        .as(Seq("band", "bh")))
+
+  /** Incremental near-dup: match a batch of NEW documents against an
+    * EXISTING corpus via its precomputed [[bandIndex]] — the "dedup
+    * tonight's crawl against the full corpus" operation. The corpus is
+    * never re-sketched and never re-clustered: its only involvement is
+    *  1. ONE equi-join of the (small) new batch's band memberships against
+    *     the index on the precomputed (band, bh) key, and
+    *  2. a verify pass shingling ONLY the corpus docs that landed in some
+    *     candidate pair (semi-join-pruned, same discipline as [[minhash]]).
+    * Sketch params must match the ones the index was built with.
+    *
+    * Returns verified matches `(new_id, corpus_id, jac)`; new docs absent
+    * from the result are novel. `maxMatchesPerDoc` caps boilerplate blowup
+    * (a new doc bucket-colliding with thousands of corpus docs) before the
+    * verify join. */
+  def incrementalMatch(newDocs: DataFrame, corpus: DataFrame,
+                       index: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 128, bands: Int = 32,
+                       shingleN: Int = 3, threshold: Double = 0.7,
+                       maxMatchesPerDoc: Int = 256): DataFrame = {
+    val newBands = bandIndex(newDocs, idCol, textCol, numHashes, bands,
+      shingleN).withColumnRenamed("id", "new_id")
+    val cand0 = newBands
+      .join(index.withColumnRenamed("id", "corpus_id"), Seq("band", "bh"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val capped = cand0.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxMatchesPerDoc)
+      .select(col("new_id"))
+    val cand = cand0.join(capped, Seq("new_id"), "left_semi")
+      .persist()
+    try {
+      val newSh = newDocs.select(col(idCol).as("new_id"),
+        sorted_shingles(col(textCol), shingleN).as("sh_new"))
+      val corpusSh = corpus
+        .join(cand.select(col("corpus_id").as(idCol)).distinct(),
+          Seq(idCol), "left_semi")
+        .select(col(idCol).as("corpus_id"),
+          sorted_shingles(col(textCol), shingleN).as("sh_old"))
+      cand.join(newSh, Seq("new_id"))
+        .join(corpusSh, Seq("corpus_id"))
+        .withColumn("jac",
+          round(array_jaccard(col("sh_new"), col("sh_old")), 3))
+        .filter(col("jac") >= threshold)
+        .select(col("new_id"), col("corpus_id"), col("jac"))
+    } finally cand.unpersist(blocking = false)
+  }
+
   /** SimHash near-dup clustering: 64-bit sketch (map-only), candidates =
     * pairs sharing any of 4 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at
     * least one chunk equal), verified by exact hamming distance. */

@@ -634,6 +634,24 @@ object ExtensionQueries {
            | ORDER BY n DESC, token LIMIT 50"""
       .stripMargin.replace("\n", "")))
 
+  /** Incremental dedup under the driver gate: the corpus (doc_id % 5 != 0)
+    * is indexed once; the "new batch" (doc_id % 5 == 0) matches against it
+    * without re-sketching or re-clustering the corpus. LSH buckets are
+    * engine-specific → rows-only; the held-out-cluster recall/novelty
+    * semantics are spec-pinned (DedupSpec.incrementalMatch). */
+  val dedupIncremental = Q(
+    "q_x_dedup_incremental",
+    "Incremental near-dup: new batch vs precomputed corpus band index",
+    (s, dir) => {
+      val docs = Sources.table(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      val index = Dedup.bandIndex(corpus, "doc_id", "text")
+      Dedup.incrementalMatch(newDocs, corpus, index, "doc_id", "text",
+        threshold = 0.7)
+    },
+    None)
+
   /** Count-min frequency sketch vs exact counts — the fixed-memory
     * frequency path for when the vocabulary itself doesn't fit (the
     * frequency analogue of the HLL/Bloom rows): ONE 64 KB sketch
@@ -794,7 +812,8 @@ object ExtensionQueries {
     None)
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupVerify, ngramJaccardTop1,
+    dedupExact, dedupMinhash, dedupSimhash, dedupVerify, dedupIncremental,
+    ngramJaccardTop1,
     editDistance, decontaminate, decontaminateBloom, resampleFfill, embNearDup,
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     asofNative, rangeJoin, trainSplit,

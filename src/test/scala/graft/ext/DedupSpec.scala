@@ -45,6 +45,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == 1L)
   }
 
+  test("incrementalMatch: held-out near-dups rematch their cluster; novel docs don't") {
+    import org.apache.spark.sql.functions.col
+    // hold out one member of each planted cluster plus a known-novel doc
+    val newIds = Set(12L, 50L, 1L)
+    val corpus = docs.filter(!col("doc_id").isin(newIds.toSeq: _*))
+    val newDocs = docs.filter(col("doc_id").isin(newIds.toSeq: _*))
+    val index = Dedup.bandIndex(corpus, "doc_id", "text")
+    val matches = Dedup.incrementalMatch(newDocs, corpus, index,
+        "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byNew = matches.groupBy(_._1)
+    // 12 belongs to planted cluster {8,12,120,360}; 50 to {0,50,82}
+    assert(byNew.contains(12L), "held-out 12 found no corpus match")
+    assert(byNew(12L).map(_._2).toSet.subsetOf(Set(8L, 120L, 360L)))
+    assert(byNew.contains(50L), "held-out 50 found no corpus match")
+    assert(byNew(50L).map(_._2).toSet.subsetOf(Set(0L, 82L)))
+    // novel doc matches nothing; all emitted jaccards honor the threshold
+    assert(!byNew.contains(1L))
+    assert(matches.forall(_._3 >= 0.7))
+  }
+
   test("minhash: precision — clustered pairs really have high Jaccard") {
     val out = Dedup.minhash(docs, "doc_id", "text", threshold = 0.7)
     val clustered = out.filter("doc_id != cluster_id").collect()
