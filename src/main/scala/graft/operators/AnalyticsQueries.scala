@@ -267,7 +267,42 @@ object AnalyticsQueries {
            |   count(*) AS n FROM s GROUP BY user_id, sid"""
       .stripMargin.replace("\n", "")))
 
+  /** ROLLUP — the hierarchical subtotal flavor of the grouping-set family
+    * (CUBE and raw GROUPING SETS are `q_a8_cube` / `q_a3_grouping_sets`):
+    * (status, priority) → (status) → (). Same single-pass expand+agg
+    * physical shape as CUBE with fewer grouping combinations. */
+  val rollupAgg = Q(
+    "q_a8b_rollup",
+    "ROLLUP over (orderstatus, orderpriority): hierarchical subtotals",
+    (s, dir) => t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("revenue")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           | round(sum(o_totalprice), 2) AS revenue
+           | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+      .stripMargin.replace("\n", "")))
+
+  /** Arg-extremum aggregates — min_by/max_by (DuckDB arg_min/arg_max):
+    * "which row attains the extreme", without a join-back or a window.
+    * Ordered by the UNIQUE event_id so ties can't make the winner
+    * engine-dependent; one hash-agg, map-side partial. */
+  val argExtremum = Q(
+    "q_a11_argmax",
+    "min_by/max_by per event_type: first/last user by event_id + value max",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        min_by(col("user_id"), col("event_id")).as("first_user"),
+        max_by(col("user_id"), col("event_id")).as("last_user"),
+        round(max(col("value")), 2).as("max_value")),
+    Some("""SELECT event_type,
+           | arg_min(user_id, event_id) AS first_user,
+           | arg_max(user_id, event_id) AS last_user,
+           | round(max(value), 2) AS max_value
+           | FROM events GROUP BY event_type""".stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
-    sessionWindowAgg)
+    sessionWindowAgg, rollupAgg, argExtremum)
 }

@@ -29,7 +29,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q_a10_histogram",
     "q_tpch_q4_priority", "q_tpch_q10_returns", "q_tpch_q12_shipmode",
     "q_tpch_q14_promo", "q_tpch_q16_supplier_cnt", "q_tpch_q19_disjunct",
-    "q_tpch_q22_idle")
+    "q_tpch_q22_idle", "q_a8b_rollup")
 
   sparkCompatible.toSeq.sorted.foreach { name =>
     test(s"$name: spark.sql(oracle text) == DataFrame result") {
