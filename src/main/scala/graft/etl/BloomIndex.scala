@@ -45,6 +45,18 @@ object BloomIndex {
   def build(spark: SparkSession, dir: String, keyCol: String,
             expectedPerFile: Long = 1L << 20,
             numBits: Long = 1L << 23): Unit = {
+    // partition-discovery tables are rejected: readPointLookup scans part
+    // files DIRECTLY, which would silently drop hive-style partition
+    // columns from the schema. Index flat (clustered) layouts only —
+    // writeZOrdered / writeBucketed / repartitionByRange outputs.
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitionDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(partitionDirs.isEmpty,
+      s"BloomIndex.build: $dir has hive partition dirs " +
+        s"(${partitionDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "index flat clustered tables only")
     val bloomAgg = GraftExprBridge.column(
       new BloomFilterAggregate(
         GraftExprBridge.expression(xxhash64(col(keyCol))),

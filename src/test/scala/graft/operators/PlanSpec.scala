@@ -116,4 +116,40 @@ class PlanSpec extends AnyFunSuite {
       s"probes not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("Q19 disjunction: per-table OR-halves push to both scans") {
+    val p = plan("q_tpch_q19_disjunct")
+    // the quantity envelope (OR of the three between-ranges) reaches the
+    // lineitem scan; the size/brand disjunction reaches the part scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or("),
+      s"lineitem OR-envelope not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(p_size,1)"),
+      s"part size bound not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+  }
+
+  test("Q10 top-k is TakeOrderedAndProject over broadcast dims") {
+    val p = plan("q_tpch_q10_returns")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-20:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer/nation not broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed:\n$p")
+  }
+
+  test("Q4 non-equi EXISTS plans as a semi-join, date filter pushed") {
+    val p = plan("q_tpch_q4_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS not a semi-join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"order date filter not pushed:\n$p")
+  }
+
+  test("Q16 derived partsupp: distinct pairs BEFORE the part join") {
+    val p = plan("q_tpch_q16_supplier_cnt")
+    // the (l_partkey, l_suppkey) distinct must sit below the join with part
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, s"part dim not broadcast:\n$p")
+    assert(p.contains("HashAggregate"), s"no distinct aggregate:\n$p")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      s"lineitem scan not pruned to the pair columns:\n$p")
+  }
 }
