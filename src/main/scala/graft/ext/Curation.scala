@@ -93,4 +93,22 @@ object Curation {
       .select(col(idCol), col("chunk_idx"), col("chunk"), col("split"))
     Result(split, Report(input, n1, n2, n3, split.count(), n2b))
   }
+
+  /** Final layout pass over the curated chunk frame ([[Result.chunks]]):
+    * concat-and-chunk sequence packing PER (split, shard) — the step that
+    * turns curated chunks into serializable training sequences. Every
+    * window partition is split-local and shard-bounded (corpus/|shards|),
+    * and the whole pass is one shuffle; writing the result partitioned by
+    * (split, shard) ordered by (seq) yields the training shard files.
+    * Chunk identity is (doc, chunk_idx) — deterministic, so the layout is
+    * reproducible run-to-run like the split assignment itself. */
+  def layout(chunks: DataFrame, idCol: String = "doc_id",
+             budget: Int = 512, hexDigits: Int = 1): DataFrame = {
+    val withId = chunks.withColumn("__chunk_id",
+      concat_ws("#", col(idCol), col("chunk_idx")))
+    Packing.packSequences(withId, "__chunk_id",
+        size(split(col("chunk"), " ", -1)), budget, hexDigits,
+        extraPartitionCols = Seq("split"))
+      .withColumnRenamed("__chunk_id", "chunk_id")
+  }
 }

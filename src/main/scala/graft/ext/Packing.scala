@@ -29,21 +29,25 @@ object Packing {
     * Output: id, shard, n_tok, seq (0-based within shard), straddles (0/1).
     */
   def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
-                    budget: Int, hexDigits: Int = 1): DataFrame = {
+                    budget: Int, hexDigits: Int = 1,
+                    extraPartitionCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget $budget must be positive")
     val key = md5(col(idCol).cast("string"))
-    val w = Window.partitionBy(col("shard"))
+    val extra = extraPartitionCols.map(col)
+    val w = Window.partitionBy(extra :+ col("shard"): _*)
       .orderBy(col("__pack_key"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), tokenCount.cast("long").as("n_tok"),
+    df.select(col(idCol) +: extra ++: Seq(
+        tokenCount.cast("long").as("n_tok"),
         key.as("__pack_key"),
-        Sampling.md5Shard(col(idCol), hexDigits).cast("long").as("shard"))
+        Sampling.md5Shard(col(idCol), hexDigits).cast("long").as("shard")): _*)
       .withColumn("__cum", sum(col("n_tok")).over(w))
-      .select(col(idCol), col("shard"), col("n_tok"),
+      .select(col(idCol) +: extra ++: Seq(
+        col("shard"), col("n_tok"),
         floor((col("__cum") - col("n_tok")) * 1.0 / budget).cast("long")
           .as("seq"),
         when(floor((col("__cum") - 1) * 1.0 / budget) >
             floor((col("__cum") - col("n_tok")) * 1.0 / budget), 1L)
-          .otherwise(0L).as("straddles"))
+          .otherwise(0L).as("straddles")): _*)
   }
 }

@@ -48,6 +48,32 @@ class CurationSpec extends AnyFunSuite {
       .report.afterDecontamination.isEmpty)
   }
 
+  test("layout: every chunk packed once, seqs contiguous per (split, shard), deterministic") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val docs = Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(100)
+    val r = Curation.run(docs, minQualityBp = 0L)
+    val packed = r.chunks.transform(c => Curation.layout(c, budget = 64))
+    assert(packed.count() == r.chunks.count()) // bijective over chunks
+    assert(packed.columns.toSeq ==
+      Seq("chunk_id", "split", "shard", "n_tok", "seq", "straddles"))
+    // per (split, shard): sequences start at 0 and are contiguous
+    val groups = packed.groupBy(col("split"), col("shard"))
+      .agg(org.apache.spark.sql.functions.min(col("seq")).as("lo"),
+        org.apache.spark.sql.functions.max(col("seq")).as("hi"),
+        countDistinct(col("seq")).as("n"))
+      .collect()
+    groups.foreach { g =>
+      assert(g.getAs[Long]("lo") == 0L)
+      assert(g.getAs[Long]("n") == g.getAs[Long]("hi") + 1,
+        s"gap in seq ids: $g")
+    }
+    // reproducible under repartition
+    val again = Curation.layout(r.chunks.repartition(11), budget = 64)
+      .collect().map(_.toSeq).toSet
+    assert(again == packed.collect().map(_.toSeq).toSet)
+  }
+
   test("planted PII never reaches a chunk") {
     val spark0 = spark
     import spark0.implicits._
