@@ -36,6 +36,14 @@ object CurationMain {
     r.chunks.groupBy("split").count().orderBy("split").collect()
       .foreach(row => println(
         f"[curation]   split=${row.getString(0)}%-6s ${row.getLong(1)}%d chunks"))
+    // final layout: per-(split, shard) 512-token training sequences
+    val packed = Curation.layout(r.chunks)
+    packed.groupBy("split").agg(
+        org.apache.spark.sql.functions.countDistinct("shard", "seq").as("n_seqs"),
+        org.apache.spark.sql.functions.sum("n_tok").as("n_tokens"))
+      .orderBy("split").collect()
+      .foreach(row => println(
+        f"[curation]   layout ${row.getString(0)}%-6s ${row.getLong(1)}%d seqs, ${row.getLong(2)}%d tokens"))
     spark.stop()
   }
 }
