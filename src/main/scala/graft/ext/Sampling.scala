@@ -105,6 +105,28 @@ object Sampling {
         when(col("quota_rank") <= quota, 1L).otherwise(0L))
   }
 
+  /** Mixture upsampling — the per-source epoch weighting step of a
+    * pretraining data recipe: a doc with weight w is replicated
+    * floor(w) times plus one more when its md5 fraction falls under
+    * frac(w), so a source weighted 2.5 contributes each doc 2–3 times
+    * (expected 2.5 epochs) and one weighted 0.75 keeps 75% of docs once.
+    * Deterministic per doc (same portability as [[deterministicSplit]]),
+    * map-only + a bounded ≤⌈w⌉-wide explode: zero shuffles at 100 TB.
+    * Output: one row per (doc, copy_idx ∈ 1..n_copies). */
+  def mixtureUpsample(df: DataFrame, idCol: String,
+                      weight: Column): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+    val n = (floor(weight) +
+      when(u < weight - floor(weight), 1.0).otherwise(0.0)).cast("long")
+    df.withColumn("n_copies", n)
+      .filter(col("n_copies") > 0)
+      // n_copies >= 1 here, so sequence() is ascending by construction
+      // (Spark's sequence(1, 0) would yield the DESCENDING [1, 0])
+      .withColumn("copy_idx",
+        explode(sequence(lit(1L), col("n_copies"))))
+  }
+
   /** Skew-proof approximate quota: compute per-domain counts (a tiny
     * aggregate), derive a keep-rate `min(1, quota/n)` per domain, and keep
     * rows whose 4-hex md5 prefix falls under the rate — i.e.

@@ -88,5 +88,31 @@ object PipelineQueries {
            |     AS straddles
            | FROM c""".stripMargin.replace("\n", "")))
 
-  val all: Seq[Q] = Seq(corpusShuffle, domainBalance, seqPack)
+  /** Mixture upsampling: high-value sources (src0/src1) weighted 2.5
+    * epochs, everything else 0.75 — each doc deterministically replicated
+    * floor(w) or ⌈w⌉ times by its md5 fraction. */
+  val mixtureEpochs = Q(
+    "q_x_mixture_epochs",
+    "Mixture upsampling: per-source epoch weights → deterministic copies",
+    (s, dir) => {
+      val w = when(col("source").isin("src0", "src1"), 2.5).otherwise(0.75)
+      Sampling.mixtureUpsample(t(s, dir, "documents"), "doc_id", w)
+        .select(col("doc_id"), col("source"), col("n_copies"),
+          col("copy_idx"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source,
+           |   CASE WHEN source IN ('src0','src1') THEN 2.5 ELSE 0.75 END AS w,
+           |   (4096 * ${hexDigitSql(md5Doc, 1)}
+           |    + 256 * ${hexDigitSql(md5Doc, 2)}
+           |    + 16 * ${hexDigitSql(md5Doc, 3)}
+           |    + ${hexDigitSql(md5Doc, 4)}) / 65536.0 AS u
+           |   FROM documents),
+           | c AS (SELECT doc_id, source,
+           |   CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END
+           |     AS BIGINT) AS n_copies FROM d)
+           | SELECT doc_id, source, n_copies,
+           |   CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+           | FROM c WHERE n_copies > 0""".stripMargin.replace("\n", "")))
+
+  val all: Seq[Q] = Seq(corpusShuffle, domainBalance, seqPack, mixtureEpochs)
 }

@@ -80,6 +80,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(approx("big") - 100L) < 60) // binomial around the quota
   }
 
+  test("mixtureUpsample: copies in {floor(w), ceil(w)}, expected total ~ w*n") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = ((0 until 2000).map(i => (i.toLong, "hi")) ++
+      (2000 until 4000).map(i => (i.toLong, "lo"))).toDF("id", "src")
+    val w = when(col("src") === "hi", 2.5).otherwise(0.75)
+    val out = Sampling.mixtureUpsample(df, "id", w)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val byId = out.groupBy(_._1)
+    // copy counts land on floor/ceil of the weight; copy_idx is 1..n
+    byId.foreach { case (_, rows) =>
+      val n = rows.head._3
+      assert(rows.length == n)
+      assert(rows.map(_._4).sorted.toSeq == (1L to n))
+      if (rows.head._2 == "hi") assert(n == 2L || n == 3L)
+      else assert(n == 1L)
+    }
+    // expected totals: hi 2000*2.5 = 5000, lo 2000*0.75 = 1500
+    val hiTotal = out.count(_._2 == "hi")
+    val loTotal = out.count(_._2 == "lo")
+    assert(math.abs(hiTotal - 5000) < 200, s"hi total $hiTotal")
+    assert(math.abs(loTotal - 1500) < 200, s"lo total $loTotal")
+    // dropped lo docs (n_copies = 0) appear nowhere
+    assert(byId.size < 4000)
+  }
+
   test("stratified: per-stratum rates honored approximately") {
     val spark0 = spark
     import spark0.implicits._
