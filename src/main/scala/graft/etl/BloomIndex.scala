@@ -83,7 +83,12 @@ object BloomIndex {
     val entries = spark.read.parquet(sidecarPath(dir, keyCol))
       .select(col("file"), col("bloom"))
       .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
-    val h = spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    // xxhash64 is TYPE-sensitive: probe with the table column's exact type
+    // (an INT key probed as a Long literal would hash differently and
+    // silently prune every file)
+    val keyType = spark.read.parquet(dir).schema(keyCol).dataType
+    val h = spark.range(1).select(xxhash64(lit(value).cast(keyType)))
+      .head().getLong(0)
     val files = entries.collect {
       case (file, bytes) if BloomFilter
         .readFrom(new java.io.ByteArrayInputStream(bytes))

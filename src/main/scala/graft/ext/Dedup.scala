@@ -143,11 +143,16 @@ object Dedup {
     val cand0 = newBands
       .join(index.withColumnRenamed("id", "corpus_id"), Seq("band", "bh"))
       .select(col("new_id"), col("corpus_id")).distinct()
-    val capped = cand0.groupBy(col("new_id"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxMatchesPerDoc)
-      .select(col("new_id"))
-    val cand = cand0.join(capped, Seq("new_id"), "left_semi")
+    // cap candidates PER DOC, keeping the lowest corpus_ids (deterministic)
+    // — a boilerplate doc colliding with thousands of corpus buckets still
+    // reports its first `maxMatchesPerDoc` matches rather than silently
+    // vanishing from the result as "novel"
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_id")).orderBy(col("corpus_id"))
+    val cand = cand0
+      .withColumn("__rn", row_number().over(byDoc))
+      .filter(col("__rn") <= maxMatchesPerDoc)
+      .drop("__rn")
       .persist()
     try {
       val newSh = newDocs.select(col(idCol).as("new_id"),

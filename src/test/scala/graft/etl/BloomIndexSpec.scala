@@ -41,6 +41,20 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(want.nonEmpty, "probe key should exist in sf0.01 orders")
   }
 
+  test("INT key column probed with a Long value still hashes correctly") {
+    val dir = Files.createTempDirectory("graft-bloom-int").toString
+    Sources.table(spark, "/root/testdata/sf0.01", "part")
+      .repartitionByRange(4, col("p_size")) // p_size is INT
+      .write.mode("overwrite").parquet(dir)
+    BloomIndex.build(spark, dir, "p_size",
+      expectedPerFile = 1000, numBits = 1L << 18)
+    // probe passed as a Scala Long — must cast to the column's INT type
+    // before hashing, or every file would be (wrongly) pruned
+    val (rows, stats) = BloomIndex.readPointLookup(spark, dir, "p_size", 5L)
+    assert(rows.count() > 0, s"typed-probe lookup found nothing: $stats")
+    assert(stats.scannedFiles >= 1)
+  }
+
   test("absent key: every file pruned (within fpp), empty result") {
     val dir = writeClustered()
     BloomIndex.build(spark, dir, "o_custkey",
