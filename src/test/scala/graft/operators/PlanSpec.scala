@@ -117,6 +117,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("shuffle positions: corpus window is shard-partitioned, offsets broadcast") {
+    val p = plan("q_x_corpus_shuffle")
+    // the corpus-sized window must partition by shard (never a global
+    // single-partition window); the ≤256-row offset table rides a broadcast
+    assert(p.contains("hashpartitioning(shard"),
+      s"corpus window not shard-partitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"offsets not broadcast:\n$p")
+  }
+
   test("Q19 disjunction: per-table OR-halves push to both scans") {
     val p = plan("q_tpch_q19_disjunct")
     // the quantity envelope (OR of the three between-ranges) reaches the
