@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "cosine_sim" -> (xs => CosineSim(xs(0), xs(1))),
     "winnow_sig" -> (xs => WinnowSig(xs.head, 9, 12)),
     "sorted_shingles" -> (xs => SortedShingles(xs.head, 3)),
+    "gram_hashes" -> (xs => GramHashes(xs.head, 5)),
     "array_jaccard" -> (xs => ArrayJaccard(xs(0), xs(1))),
     "repetition_stats" -> (xs => RepetitionStats(xs.head)),
     "hyperplane_bucket" -> (xs => HyperplaneBucket(xs.head, 16, 42L)),

@@ -317,6 +317,8 @@ object TextExprs {
       xs => WinnowSig(xs.head, 9, 12), "internal")
     reg.createOrReplaceTempFunction("sorted_shingles",
       xs => SortedShingles(xs.head, 3), "internal")
+    reg.createOrReplaceTempFunction("gram_hashes",
+      xs => GramHashes(xs.head, 5), "internal")
     reg.createOrReplaceTempFunction("array_jaccard",
       xs => ArrayJaccard(xs(0), xs(1)), "internal")
     reg.createOrReplaceTempFunction("repetition_stats",
