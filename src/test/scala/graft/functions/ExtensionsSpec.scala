@@ -29,6 +29,7 @@ class ExtensionsSpec extends AnyFunSuite {
           |  size(minhash_sig('x y z w')) AS k,
           |  hyperplane_bucket(array(0.5F, 0.5F)) AS bkt,
           |  array_jaccard(sorted_shingles('a b c d e'), sorted_shingles('a b c d e')) AS aj,
+          |  size(gram_hashes('a b c d e f')) AS ng,
           |  repetition_stats('x x x') AS rs""".stripMargin)
         .collect().head
       assert(row.getAs[Double]("j") == 1.0)
@@ -36,6 +37,7 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getAs[Int]("k") == 128)
       assert(row.getAs[Int]("bkt") >= 0)
       assert(row.getAs[Double]("aj") == 1.0)
+      assert(row.getAs[Int]("ng") == 2) // 6 tokens, 5-grams at positions 1..2
       // 'x x x': 3 words / 1 distinct, 2 bigrams / 1, 1 trigram / 1
       assert(row.getSeq[Long](row.fieldIndex("rs")) == Seq(3L, 1L, 2L, 1L, 1L, 1L))
     } finally {
