@@ -111,4 +111,28 @@ object Curation {
         extraPartitionCols = Seq("split"))
       .withColumnRenamed("__chunk_id", "chunk_id")
   }
+
+  /** Serialize the packed layout as training shards: one parquet file per
+    * (split, shard), rows in (seq, chunk_id) order — the file set a
+    * sequential trainer consumes directly. `repartition(split, shard)`
+    * makes each task own exactly one shard directory (one output file),
+    * and `sortWithinPartitions` fixes the in-file row order (parquet
+    * preserves it). One shuffle + one sorted write; no driver involvement
+    * regardless of corpus size. */
+  def writeShards(chunks: DataFrame, dir: String, idCol: String = "doc_id",
+                  budget: Int = 512, hexDigits: Int = 1): Unit = {
+    val packed = layout(chunks, idCol, budget, hexDigits)
+    val text = chunks.select(
+      concat_ws("#", col(idCol), col("chunk_idx")).as("chunk_id"),
+      col("chunk"))
+    packed.join(text, Seq("chunk_id"))
+      .repartition(col("split"), col("shard"))
+      // the dynamic-partition writer requires ordering by the partition
+      // columns and inserts its own (non-stable) sort when unsatisfied —
+      // leading with (split, shard) keeps OUR (seq) order the one written
+      .sortWithinPartitions(col("split"), col("shard"),
+        col("seq"), col("chunk_id"))
+      .write.partitionBy("split", "shard")
+      .mode("overwrite").parquet(dir)
+  }
 }

@@ -74,6 +74,33 @@ class CurationSpec extends AnyFunSuite {
     assert(again == packed.collect().map(_.toSeq).toSet)
   }
 
+  test("writeShards: one file per (split, shard), rows in seq order") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val docs = Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(100)
+    val r = Curation.run(docs, minQualityBp = 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Curation.writeShards(r.chunks, dir, budget = 64)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == r.chunks.count())
+    // exactly one data file per (split, shard) partition dir
+    val filesPerShard = back
+      .select(col("split"), col("shard"), input_file_name().as("f"))
+      .distinct().groupBy(col("split"), col("shard")).count()
+      .collect()
+    assert(filesPerShard.nonEmpty)
+    filesPerShard.foreach(row => assert(row.getLong(2) == 1L, s"$row"))
+    // within one shard file, rows come back in packed-sequence order
+    val one = filesPerShard.head
+    // partition discovery infers `shard` back as INT — access untyped
+    val rows = spark.read.parquet(
+        s"$dir/split=${one.get(0)}/shard=${one.get(1)}")
+      .select(col("seq"), col("chunk_id")).collect()
+      .map(r0 => (r0.getLong(0), r0.getString(1)))
+    assert(rows.sameElements(rows.sortBy(identity)), "shard file not ordered")
+  }
+
   test("planted PII never reaches a chunk") {
     val spark0 = spark
     import spark0.implicits._
