@@ -87,6 +87,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.count() == 1 && bad.collect().head.isNullAt(0))
   }
 
+  test("events JSON: corrupt lines survive as null rows, good lines parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badjson")
+    java.nio.file.Files.writeString(dir.resolve("events.json"),
+      """{"artist":"A","auth":"Logged In","page":"NextSong","ts":1541105830796,"userId":"44","sessionId":1,"song":"S","length":1.0,"firstName":"f","lastName":"l","gender":"F","level":"paid","location":"x","method":"PUT","status":200,"itemInSession":0,"registration":1.0,"userAgent":"ua"}
+        |this line is not json at all {{{
+        |{"artist":"B","auth":"Logged In","page":"NextSong","ts":1541106000000,"userId":"","sessionId":2,"song":"T","length":2.0,"firstName":"g","lastName":"m","gender":"M","level":"free","location":"y","method":"PUT","status":200,"itemInSession":1,"registration":2.0,"userAgent":"ub"}
+        |""".stripMargin.linesIterator.map(_.trim).mkString("\n"))
+    val df = Sources.readEventsJson(spark, dir.toString)
+    val rows = df.collect()
+    // PERMISSIVE: the corrupt line becomes an all-null row, never a crash
+    assert(rows.length == 3)
+    assert(rows.count(r => r.isNullAt(r.fieldIndex("page"))) == 1)
+    // good rows parse; '' userId coerces to NULL (COPY-style)
+    val good = rows.filter(r => !r.isNullAt(r.fieldIndex("page")))
+    assert(good.map(_.getAs[String]("artist")).toSet == Set("A", "B"))
+    assert(good.count(r => r.isNullAt(r.fieldIndex("userId"))) == 1)
+  }
+
   test("ORC round-trip preserves schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val src = Sources.table(spark, "/root/testdata/sf0.001", "supplier")
