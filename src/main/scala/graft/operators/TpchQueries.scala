@@ -270,7 +270,114 @@ object TpchQueries {
            | GROUP BY substring(c_name, 17, 2)"""
       .stripMargin.replace("\n", "")))
 
+  /** TPC-H Q13 shape — "customer distribution": the double aggregation
+    * (count orders per customer, then count customers per order-count),
+    * with a LEFT join so zero-order customers land in the c_count=0
+    * bucket. The first aggregate shrinks orders to |customers| rows before
+    * the second (tiny) regroup — no row explosion anywhere. */
+  val customerDistribution = Q(
+    "q_tpch_q13_custdist",
+    "TPC-H Q13-style customer order-count distribution (double aggregation)",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val perCust = t(s, dir, "customer").select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+           |   SELECT c_custkey, count(o_orderkey) AS c_count
+           |   FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |     AND o_orderpriority <> '1-URGENT'
+           |   GROUP BY c_custkey) pc
+           | GROUP BY c_count""".stripMargin.replace("\n", "")))
+
+  /** TPC-H Q17 shape — "small-quantity-order revenue": per-part average
+    * quantity joined BACK against the same lineitem scan, keeping rows
+    * under 20% of their part's average. The per-part aggregate is tiny
+    * (|parts| rows) and joins broadcast; the classic
+    * aggregate-then-rejoin-the-fact pattern. */
+  val smallQuantityRevenue = Q(
+    "q_tpch_q17_small_qty",
+    "TPC-H Q17-style small-quantity revenue (per-part avg joined back)",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val brandParts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#4")
+        .select(col("p_partkey"))
+      val avgQty = l.join(broadcast(brandParts),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      l.join(broadcast(avgQty.withColumnRenamed("l_partkey", "ap_partkey")),
+          col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+    Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+           | FROM lineitem,
+           |   (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+           |    FROM lineitem JOIN part ON l_partkey = p_partkey
+           |    WHERE p_brand = 'Brand#4' GROUP BY l_partkey) ap
+           | WHERE l_partkey = ap_partkey
+           |   AND l_quantity < 0.2 * avg_qty"""
+      .stripMargin.replace("\n", "")))
+
+  /** TPC-H Q7 shape — "volume shipping" between two nations: the
+    * symmetric pair predicate ((FR→DE) OR (DE→FR)) rides the two
+    * broadcast nation joins; revenue groups by (supp nation, cust nation,
+    * ship year). Nation names come from the testdata's generated set. */
+  val volumeShipping = Q(
+    "q_tpch_q7_volume",
+    "TPC-H Q7-style two-nation shipping volume by year",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      val pairCond =
+        (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter(pairCond)
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           | CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           | FROM lineitem
+           | JOIN orders ON l_orderkey = o_orderkey
+           | JOIN supplier ON l_suppkey = s_suppkey
+           | JOIN customer ON o_custkey = c_custkey
+           | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           | WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+           |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+           | GROUP BY n1.n_name, n2.n_name, extract(year FROM l_shipdate)"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(
     orderPriority, returnedItems, shipmodePriority, promoEffect,
-    supplierRelationship, discountedRevenue, salesOpportunity)
+    supplierRelationship, discountedRevenue, salesOpportunity,
+    customerDistribution, smallQuantityRevenue, volumeShipping)
 }
