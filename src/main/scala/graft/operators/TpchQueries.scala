@@ -376,8 +376,63 @@ object TpchQueries {
            | GROUP BY n1.n_name, n2.n_name, extract(year FROM l_shipdate)"""
       .stripMargin.replace("\n", "")))
 
+  /** TPC-H Q21 shape — "suppliers who kept orders waiting": the double
+    * correlated subquery on one fact table. A supplier's late line (here
+    * "late" = shipped >90 days after the order date) counts only when the
+    * order HAS another supplier (EXISTS, → semi-join on orderkey with a
+    * suppkey≠ residual) and has NO OTHER late supplier (NOT EXISTS, →
+    * anti-join, same keys + the late predicate). Both probes are
+    * orderkey-equi joins — the ≠ rides as a residual condition, never a
+    * cartesian. */
+  val waitingSuppliers = Q(
+    "q_tpch_q21_waiting",
+    "TPC-H Q21-style lone-late-supplier count (EXISTS + NOT EXISTS, one fact)",
+    (s, dir) => {
+      val lateCutoffDays = 90
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val withLate = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $lateCutoffDays DAYS"))
+      val l1 = withLate.filter(col("late"))
+        .select(col("l_orderkey").as("k"), col("l_suppkey").as("sk"))
+      val l2 = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+      val l3 = withLate.filter(col("late"))
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
+      l1.join(l2, col("k") === col("k2") && col("sk") =!= col("sk2"),
+          "left_semi")
+        .join(l3, col("k") === col("k3") && col("sk") =!= col("sk3"),
+          "left_anti")
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(countDistinct(col("k")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    },
+    Some("""SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+           | FROM lineitem l1
+           | JOIN orders ON l1.l_orderkey = o_orderkey
+           | JOIN supplier ON l1.l_suppkey = s_suppkey
+           | WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+           |   AND EXISTS (SELECT 1 FROM lineitem l2
+           |     WHERE l2.l_orderkey = l1.l_orderkey
+           |       AND l2.l_suppkey <> l1.l_suppkey)
+           |   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |     JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+           |     WHERE l3.l_orderkey = l1.l_orderkey
+           |       AND l3.l_suppkey <> l1.l_suppkey
+           |       AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+           | GROUP BY s_name
+           | ORDER BY numwait DESC, s_name LIMIT 20"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(
     orderPriority, returnedItems, shipmodePriority, promoEffect,
     supplierRelationship, discountedRevenue, salesOpportunity,
-    customerDistribution, smallQuantityRevenue, volumeShipping)
+    customerDistribution, smallQuantityRevenue, volumeShipping,
+    waitingSuppliers)
 }

@@ -30,7 +30,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q_tpch_q4_priority", "q_tpch_q10_returns", "q_tpch_q12_shipmode",
     "q_tpch_q14_promo", "q_tpch_q16_supplier_cnt", "q_tpch_q19_disjunct",
     "q_tpch_q22_idle", "q_a8b_rollup",
-    "q_tpch_q13_custdist", "q_tpch_q17_small_qty", "q_tpch_q7_volume")
+    "q_tpch_q13_custdist", "q_tpch_q17_small_qty", "q_tpch_q7_volume",
+    "q_tpch_q21_waiting")
 
   sparkCompatible.toSeq.sorted.foreach { name =>
     test(s"$name: spark.sql(oracle text) == DataFrame result") {
