@@ -162,4 +162,54 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
       s"lineitem scan not pruned to the pair columns:\n$p")
   }
+
+  test("Q15 top supplier: 1-row max broadcasts back, no global window") {
+    val p = plan("q_tpch_q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"max frame not broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"global-partition window instead of broadcast max:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"),
+      s"quarter filter not pushed:\n$p")
+  }
+
+  test("Q8 market share: date+type filters pushed, dims broadcast") {
+    val p = plan("q_tpch_q8_market_share")
+    assert(p.contains("EqualTo(p_type,STANDARD)"),
+      s"part type filter not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"order date window not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a dim fell back to a shuffle join at this scale:\n$p")
+  }
+
+  test("Q9 profit: p_name contains-filter pushed, integer-cents aggregate") {
+    val p = plan("q_tpch_q9_profit")
+    assert(p.contains("StringContains(p_name,widget)"),
+      s"name filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+  }
+
+  test("Q11 important parts: threshold is a scalar subquery, not a join") {
+    val p = plan("q_tpch_q11_important_parts")
+    assert(p.contains("scalar-subquery") || p.contains("Subquery"),
+      s"threshold did not plan as a scalar subquery:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"threshold degenerated to a nested-loop join:\n$p")
+  }
+
+  test("Q2 min-cost supplier: lineitem scan pruned to the pair columns") {
+    val p = plan("q_tpch_q2_min_cost_supplier")
+    assert(p.contains(
+      "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint,l_quantity:double,l_extendedprice:double>"),
+      s"derived-partsupp scan reads more than the 4 needed columns:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-100:\n$p")
+  }
+
+  test("Q20 part promotion: qualifying suppliers SEMI-join (emitted once)") {
+    val p = plan("q_tpch_q20_part_promotion")
+    assert(p.contains("LeftSemi"), s"supplier dedup not a semi-join:\n$p")
+    assert(p.contains("StringStartsWith(p_name,red)"),
+      s"name prefix filter not pushed:\n$p")
+  }
 }
