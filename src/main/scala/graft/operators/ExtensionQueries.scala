@@ -811,6 +811,35 @@ object ExtensionQueries {
     },
     None)
 
+  /** Salted-hash pseudonymization — the privacy companion to PII
+    * redaction: raw user ids leave the dataset, but the mapping is STABLE
+    * (same user → same token), so joins/groupBys/retention analyses still
+    * work on the anonymized output. sha256 over a versioned salt; rotating
+    * the salt re-keys the corpus. Map-only hash + one count exchange; the
+    * oracle runs the identical digest in DuckDB (both emit lowercase
+    * hex), proving cross-engine mapping stability, not just row counts. */
+  val pseudonymize = Q(
+    "q_x_pseudonymize",
+    "Stable salted-hash user pseudonymization + per-token event counts",
+    (s, dir) => {
+      val salt = "graft-pepper-v1"
+      Sources.table(s, dir, "events")
+        .select(sha2(concat_ws(":", lit(salt),
+          col("user_id").cast("string")), 256).as("pseudo_uid"),
+          col("event_type"))
+        .groupBy(col("pseudo_uid"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("pseudo_uid"), col("event_type"))
+        .limit(50)
+    },
+    Some("""SELECT lower(sha256('graft-pepper-v1' || ':' ||
+           |   CAST(user_id AS VARCHAR))) AS pseudo_uid,
+           |   event_type, count(*) AS n_events
+           | FROM events
+           | GROUP BY 1, 2
+           | ORDER BY n_events DESC, pseudo_uid, event_type LIMIT 50"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupVerify, dedupIncremental,
     ngramJaccardTop1,
@@ -820,5 +849,5 @@ object ExtensionQueries {
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     corpusReport, jsonProps,
-    multimodal, tfidfTop1, dupSpans, kmeansSizes)
+    multimodal, tfidfTop1, dupSpans, kmeansSizes, pseudonymize)
 }
