@@ -143,6 +143,23 @@ object TextAnalysis {
     Seq(redacted.as("redacted"), nPii.as("n_pii"))
   }
 
+  /** Normalization chain — the canonical cleanup pass before tokenization:
+    * control characters → space, whitespace runs collapsed to one space,
+    * trimmed, casefolded. Map-only chained codegen built-ins (no UDF).
+    * Stage order matters for cross-engine portability: the control-strip
+    * runs FIRST so the later `\s+` collapse only ever sees plain spaces
+    * (Java's `\s` and RE2's `\s` disagree on `\x0B`, but both match the
+    * space the first stage substitutes). Returns (norm_text, n_chars_norm,
+    * changed). */
+  def normalizeColumns(text: Column): Seq[Column] = {
+    val stripped = regexp_replace(text, "[\\x00-\\x1F\\x7F]", " ")
+    val collapsed = regexp_replace(stripped, "\\s+", " ")
+    val norm = lower(trim(collapsed))
+    Seq(norm.as("norm_text"),
+      length(norm).cast("long").as("n_chars_norm"),
+      (norm =!= text).as("changed"))
+  }
+
   /** Document chunking — split each document into overlapping
     * `windowTokens`-token windows every `strideTokens` tokens (stride <
     * window ⇒ overlap), the canonical context-window preprocessing for

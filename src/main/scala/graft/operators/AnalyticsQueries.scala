@@ -302,7 +302,35 @@ object AnalyticsQueries {
            | round(max(value), 2) AS max_value
            | FROM events GROUP BY event_type""".stripMargin.replace("\n", "")))
 
+  /** Event-type transition matrix — per-user Markov bigram counts, the
+    * session-flow companion to q_a9_funnel (which checks one fixed path;
+    * this emits ALL observed type→type steps). One (user_id; ts, event_id)
+    * shuffle+sort feeds the lag; the aggregate collapses to
+    * |event_types|² rows, so the output is tiny at any scale and the
+    * window sort is the cost — the same exchange q_w_lag_lead already
+    * pays. Deterministic: the order key includes the unique event_id. */
+  val eventTransitions = Q(
+    "q_x_event_transitions",
+    "Markov transitions: per-user ordered event_type bigram counts",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH s AS (SELECT user_id, event_type,
+           |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           |   FROM events)
+           | SELECT prev_type, event_type, count(*) AS n FROM s
+           | WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
-    sessionWindowAgg, rollupAgg, argExtremum)
+    sessionWindowAgg, rollupAgg, argExtremum, eventTransitions)
 }

@@ -613,6 +613,62 @@ object ExtensionQueries {
            |   + len(regexp_extract_all(t3, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_pii
            | FROM s4""".stripMargin.replace("\n", "")))
 
+  /** Text normalization — the cleanup pass that fronts every tokenizer:
+    * control-strip, whitespace-collapse, trim, casefold (see
+    * [[TextAnalysis.normalizeColumns]] for the portability-ordered
+    * stages). Map-only chained regexp_replace — codegen'd, no UDF, no
+    * shuffle; at 100 TB this is pure scan-bound throughput. */
+  val textNormalize = Q(
+    "q_x_normalize",
+    "Text normalization: control-strip, whitespace-collapse, casefold",
+    (s, dir) => Sources.table(s, dir, "documents")
+      .select(col("doc_id") +: TextAnalysis.normalizeColumns(col("text")): _*),
+    Some("""WITH n AS (SELECT doc_id, text,
+           |  lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_text
+           |  FROM documents)
+           | SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+           |  (norm_text <> text) AS changed FROM n"""
+      .stripMargin.replace("\n", "")))
+
+  /** Unigram-LM document scoring — the cheapest perplexity-style quality
+    * signal: score each document by its tokens' log-probability under the
+    * corpus's OWN unigram distribution (self-trained MLE; every scored
+    * token has count ≥ 1 by construction, so no smoothing is needed).
+    * Cross-engine determinism: each token's ln p floors to integer
+    * milli-nats BEFORE aggregation, so the per-doc figure is an exact
+    * long SUM — order-independent, unlike a float mean. Two passes over
+    * the token stream (train, then score) are inherent to self-training;
+    * the freq table is vocab-sized, so the score join stays broadcastable
+    * at any corpus scale (AQE picks broadcast when it fits — no hint, so
+    * a 10M-entry real-corpus vocab degrades to a shuffle join instead of
+    * a driver OOM). */
+  val unigramLogprob = Q(
+    "q_x_unigram_logprob",
+    "Unigram LM scoring: per-doc milli-nat logprob sum under corpus freqs",
+    (s, dir) => {
+      val toks = Sources.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " ", -1), t => t =!= lit("")))
+            .as("token"))
+      val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val tot = freq.agg(sum(col("n")).as("t"))
+      toks.join(freq, "token").crossJoin(tot)
+        .select(col("doc_id"),
+          floor(log(col("n").cast("double") / col("t")) * 1000)
+            .cast("long").as("milli"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("milli")).as("milli_nats"),
+          count(lit(1)).as("n_toks"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),
+           | freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+           | tot AS (SELECT count(*) AS t FROM toks)
+           | SELECT doc_id,
+           |  CAST(sum(CAST(floor(ln(n::DOUBLE / t) * 1000) AS BIGINT)) AS BIGINT) AS milli_nats,
+           |  count(*) AS n_toks
+           | FROM toks JOIN freq USING (token) CROSS JOIN tot
+           | GROUP BY doc_id""".stripMargin.replace("\n", "")))
+
   /** Corpus vocabulary — the canonical distributed word-count shape every
     * tokenizer-training / vocab-analysis pipeline runs: explode tokens,
     * partial-count map-side (the exploded token stream never reaches the
@@ -847,6 +903,7 @@ object ExtensionQueries {
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     asofNative, rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
+    textNormalize, unigramLogprob,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     corpusReport, jsonProps,
     multimodal, tfidfTop1, dupSpans, kmeansSizes, pseudonymize)
