@@ -634,10 +634,14 @@ object TpchQueries {
     * per (part, supplier) pair — deterministic, same construction both
     * engines), region-scoped via the supplier's nation, and a part keeps a
     * supplier only when its cost equals the per-part MIN across the
-    * region. The per-part min is an aggregate of the derived pair frame
-    * joined back by (partkey, exact cost) — the standard decorrelation
-    * Catalyst itself would emit, written explicitly so the pair frame is
-    * computed once. Ordered output with a tie-proof key suffix. */
+    * region. The per-part min is a WINDOW min over the derived pair frame
+    * — not an aggregate-and-rejoin, which would reference the frame twice
+    * and (absent AQE stage reuse) re-run the whole lineitem aggregation;
+    * the window form scans lineitem exactly once and pays one extra
+    * partkey exchange over the already-collapsed pair set. The part
+    * filter joins BEFORE the window: it drops whole parts, never
+    * suppliers within a kept part, so the per-part min is unchanged.
+    * Ordered output with a tie-proof key suffix. */
   val minCostSupplier = Q(
     "q_tpch_q2_min_cost_supplier",
     "TPC-H Q2-style minimum-cost supplier per part (correlated min)",
@@ -656,14 +660,14 @@ object TpchQueries {
         .agg(min(col("l_extendedprice") / col("l_quantity"))
           .as("ps_supplycost"))
         .join(eu, col("l_suppkey") === col("s_suppkey"))
-      val minCost = ps.groupBy(col("l_partkey").as("m_partkey"))
-        .agg(min(col("ps_supplycost")).as("min_cost"))
+      val perPart = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
       ps.join(broadcast(t(s, dir, "part")
             .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
             .select(col("p_partkey"), col("p_name"))),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(minCost), col("l_partkey") === col("m_partkey") &&
-          col("ps_supplycost") === col("min_cost"))
+        .withColumn("min_cost", min(col("ps_supplycost")).over(perPart))
+        .filter(col("ps_supplycost") === col("min_cost"))
         .select(col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
           round(col("s_acctbal"), 2).as("s_acctbal"),
           round(col("ps_supplycost"), 2).as("supplycost"))
