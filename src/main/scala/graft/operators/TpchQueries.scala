@@ -296,26 +296,27 @@ object TpchQueries {
            |   GROUP BY c_custkey) pc
            | GROUP BY c_count""".stripMargin.replace("\n", "")))
 
-  /** TPC-H Q17 shape — "small-quantity-order revenue": per-part average
-    * quantity joined BACK against the same lineitem scan, keeping rows
-    * under 20% of their part's average. The per-part aggregate is tiny
-    * (|parts| rows) and joins broadcast; the classic
-    * aggregate-then-rejoin-the-fact pattern. */
+  /** TPC-H Q17 shape — "small-quantity-order revenue": rows kept when
+    * under 20% of their part's average quantity. The per-part average is
+    * a WINDOW avg over the brand-filtered fact rows — not an
+    * aggregate-and-rejoin, which would scan lineitem twice and broadcast
+    * a per-part aggregate whose cardinality scales with |part| (a driver
+    * OOM at real scale). The brand join drops whole parts, never rows
+    * within a kept part, so the window sees every lineitem row of each
+    * surviving part — identical semantics to the correlated form. */
   val smallQuantityRevenue = Q(
     "q_tpch_q17_small_qty",
-    "TPC-H Q17-style small-quantity revenue (per-part avg joined back)",
+    "TPC-H Q17-style small-quantity revenue (per-part window avg)",
     (s, dir) => {
       val l = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       val brandParts = t(s, dir, "part")
         .filter(col("p_brand") === "Brand#4")
         .select(col("p_partkey"))
-      val avgQty = l.join(broadcast(brandParts),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_partkey"))
-        .agg(avg(col("l_quantity")).as("avg_qty"))
-      l.join(broadcast(avgQty.withColumnRenamed("l_partkey", "ap_partkey")),
-          col("l_partkey") === col("ap_partkey"))
+      val perPart = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
+      l.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .withColumn("avg_qty", avg(col("l_quantity")).over(perPart))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     },
@@ -700,7 +701,8 @@ object TpchQueries {
   /** TPC-H Q20 shape — "potential part promotion": the nested-IN chain.
     * Per-(part, supplier) shipped quantity over one year for name-matched
     * parts; a pair qualifies when its quantity exceeds a fraction of the
-    * per-part MAX (availqty stand-in: aggregate-then-rejoin, broadcast);
+    * per-part MAX (availqty stand-in: a WINDOW max over the pair frame —
+    * one pass, no re-reference, no per-part-aggregate broadcast);
     * qualifying suppliers then SEMI-join into the region-scoped supplier
     * list — suppliers are emitted once no matter how many parts qualify
     * them, and the fact table is scanned exactly once. */
@@ -716,11 +718,10 @@ object TpchQueries {
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity")).as("qty"))
-      val pmax = pq.groupBy(col("l_partkey").as("m_partkey"))
-        .agg(max(col("qty")).as("maxq"))
       val qualifying = pq
-        .join(broadcast(pmax), col("l_partkey") === col("m_partkey") &&
-          col("qty") > lit(0.6) * col("maxq"))
+        .withColumn("maxq", max(col("qty")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))))
+        .filter(col("qty") > lit(0.6) * col("maxq"))
         .select(col("l_suppkey"))
       t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")
