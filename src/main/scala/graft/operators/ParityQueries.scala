@@ -89,8 +89,10 @@ object ParityQueries {
       .stripMargin.replace("\n", "")))
 
   /** J1 two-key join variant (the reference joins on artist AND song title):
-    * events against a derived per-(user,type) dim on both keys. The dim is
-    * tiny relative to the fact → broadcast it explicitly. */
+    * events against a derived per-(user,type) dim on both keys. The dim's
+    * cardinality scales with |users| (derived FROM the fact), so no
+    * explicit broadcast hint — AQE converts to broadcast at runtime while
+    * it fits and falls back to a shuffle join at scale. */
   val joinTwoKey = Q(
     "q_j1_join_two_key",
     "J1 two-key equi-join against a derived dim (artist+title analogue)",
@@ -98,7 +100,7 @@ object ParityQueries {
       val e = t(s, dir, "events")
       val d = e.groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n_ev"))
-      e.join(broadcast(d), Seq("user_id", "event_type"), "left")
+      e.join(d, Seq("user_id", "event_type"), "left")
         .select(col("event_id"), col("user_id"), col("event_type"), col("n_ev"))
     },
     Some("""WITH d AS (SELECT user_id, event_type, count(*) AS n_ev FROM events GROUP BY 1, 2)
