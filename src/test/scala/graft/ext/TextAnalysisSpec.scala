@@ -82,6 +82,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(reps("one two") == ((0.0, 0.0, 0.0))) // too short for 3-grams
   }
 
+  test("normalizeColumns: control-strip, collapse, trim, casefold, changed flag") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq(
+      "  Hello\tWorld\u0001!  ",   // tab + control char + padding + case
+      "already normal",             // untouched → changed = false
+      "A  B\n\nC",                  // internal runs collapse
+      ""                            // empty stays empty
+    ).toDF("text")
+      .select(TextAnalysis.normalizeColumns(col("text")): _*)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows(0) == (("hello world !", 13L, true)))
+    assert(rows(1) == (("already normal", 14L, false)))
+    assert(rows(2) == (("a b c", 5L, true)))
+    assert(rows(3) == (("", 0L, false)))
+  }
+
   test("langId boundary: stopword-free text falls back to first profile") {
     val spark0 = spark
     import spark0.implicits._
