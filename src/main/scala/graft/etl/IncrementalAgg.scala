@@ -1,0 +1,98 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance — the materialized-view refresh
+  * pattern: keep a PARTIAL-STATE table (count/sum/min/max per key), fold
+  * each new batch in by merging partials, and derive the non-algebraic
+  * figures (avg) only at read time. A refresh costs |batch| + |keys|,
+  * never the accumulated fact history — the difference between an
+  * incremental MV and a nightly full recompute at 100 TB.
+  *
+  * The reference recomputes its dims/fact from full staging on every run
+  * (`etl.py` truncate-and-reload shape); this is the capability that
+  * replaces that full reload once the fact stops fitting a nightly scan.
+  *
+  * Partials are algebraic: count and sum merge by SUM, min/max by
+  * MIN/MAX; avg finalizes as sum/count. Non-algebraic aggregates need a
+  * mergeable sketch instead — HLL for distinct (q_a6), KLL/GK for
+  * percentiles (q_a7b), count-min for frequencies (q_x_vocab_cm_sketch).
+  *
+  * State schema: key columns, `__n` (long row count), and per measure m:
+  * `sum_m` (double), `min_m`, `max_m` (native type). Merging is
+  * associative and commutative, so batches may arrive in any order and
+  * partial states may themselves be merged (map-side combine applies all
+  * the way up).
+  */
+object IncrementalAgg {
+
+  private val N = "__n"
+
+  private def measuresOf(state: DataFrame): Seq[String] =
+    state.columns.toSeq.collect { case c if c.startsWith("sum_") => c.stripPrefix("sum_") }
+
+  /** Collapse one batch to per-key partials. */
+  def partials(batch: DataFrame, keys: Seq[String],
+               measures: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && measures.nonEmpty, "keys and measures required")
+    val aggs: Seq[Column] =
+      count(lit(1)).as(N) +: measures.flatMap(m => Seq(
+        sum(col(m).cast("double")).as(s"sum_$m"),
+        min(col(m)).as(s"min_$m"),
+        max(col(m)).as(s"max_$m")))
+    batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two partial states (associative + commutative). */
+  def merge(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(state.columns.sorted.sameElements(delta.columns.sorted),
+      s"state schema mismatch: ${state.columns.mkString(",")} vs ${delta.columns.mkString(",")}")
+    val ms = measuresOf(state)
+    val aggs: Seq[Column] =
+      sum(col(N)).as(N) +: ms.flatMap(m => Seq(
+        sum(col(s"sum_$m")).as(s"sum_$m"),
+        min(col(s"min_$m")).as(s"min_$m"),
+        max(col(s"max_$m")).as(s"max_$m")))
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read-time view: per-key count, sum, min, max, avg per measure. */
+  def finalize(state: DataFrame, keys: Seq[String]): DataFrame = {
+    val ms = measuresOf(state)
+    val cols: Seq[Column] =
+      keys.map(col) ++ (col(N).as("n_rows") +: ms.flatMap(m => Seq(
+        col(s"sum_$m"), col(s"min_$m"), col(s"max_$m"),
+        (col(s"sum_$m") / col(N)).as(s"avg_$m"))))
+    state.select(cols: _*)
+  }
+
+  /** Fold a batch into the on-disk state at `stateDir` (bootstraps on
+    * first call). Rewrites through the same `_`-staged swap the other
+    * maintenance jobs use, so a mid-failure leaves the previous state
+    * readable; the rewrite is |keys|-sized, not history-sized. */
+  def refresh(spark: SparkSession, stateDir: String, batch: DataFrame,
+              keys: Seq[String], measures: Seq[String]): Unit = {
+    val path = new Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delta = partials(batch, keys, measures)
+    if (!fs.exists(path)) {
+      delta.write.mode(SaveMode.ErrorIfExists).parquet(stateDir)
+      return
+    }
+    val merged = merge(spark.read.parquet(stateDir), delta, keys)
+      .localCheckpoint(true) // materialize BEFORE the swap moves the dir
+    val (tmp, old) = Maintenance.stagingPaths(path, "incragg")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"refresh: could not move $stateDir aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back
+      throw new java.io.IOException(s"refresh: could not promote $tmp")
+    }
+    fs.delete(old, true)
+  }
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.etl.IncrementalAgg
 import graft.ext.{Packing, Sampling}
 import graft.sources.Sources
 
@@ -114,5 +115,40 @@ object PipelineQueries {
            |   CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
            | FROM c WHERE n_copies > 0""".stripMargin.replace("\n", "")))
 
-  val all: Seq[Q] = Seq(corpusShuffle, domainBalance, seqPack, mixtureEpochs)
+  /** Incremental-MV parity, PARITY-CHECKED like q_j5_salted_join: the
+    * batch-split partial-merge-finalize path ([[IncrementalAgg]]) must
+    * reproduce the direct one-shot aggregate exactly. Events split into
+    * two "arrival batches" (event_id mod 2 — arbitrary, disjoint,
+    * covering); each collapses to per-type partials, the partials merge,
+    * and finalize derives avg. The oracle runs the UNsplit GROUP BY, so
+    * the hash match proves the merge algebra is semantics-preserving —
+    * not just that the code runs. Sums round(2): partial-merged double
+    * addition is reassociated vs the oracle's single pass. */
+  val incrementalAgg = Q(
+    "q_x_incremental_agg",
+    "Incremental partial-state aggregate == direct GROUP BY (parity)",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val keys = Seq("event_type")
+      val b1 = IncrementalAgg.partials(
+        e.filter(col("event_id") % 2 === 0), keys, Seq("value"))
+      val b2 = IncrementalAgg.partials(
+        e.filter(col("event_id") % 2 =!= 0), keys, Seq("value"))
+      IncrementalAgg.finalize(IncrementalAgg.merge(b1, b2, keys), keys)
+        .select(col("event_type"), col("n_rows"),
+          round(col("sum_value"), 2).as("sum_value"),
+          round(col("min_value"), 6).as("min_value"),
+          round(col("max_value"), 6).as("max_value"),
+          round(col("avg_value"), 6).as("avg_value"))
+    },
+    Some("""SELECT event_type, count(*) AS n_rows,
+           | round(sum(value), 2) AS sum_value,
+           | round(min(value), 6) AS min_value,
+           | round(max(value), 6) AS max_value,
+           | round(sum(value) / count(*), 6) AS avg_value
+           | FROM events GROUP BY event_type"""
+      .stripMargin.replace("\n", "")))
+
+  val all: Seq[Q] = Seq(corpusShuffle, domainBalance, seqPack, mixtureEpochs,
+    incrementalAgg)
 }
