@@ -146,5 +146,45 @@ object StreamingQueries {
            | FROM events e JOIN customer c ON e.user_id = c.c_custkey"""
       .stripMargin.replace("\n", "")))
 
-  val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin, streamEnrich)
+  /** Stateful session windows (flatMapGroupsWithState) under the driver
+    * gate: the streamed gap-sessions must equal the batch gaps-and-islands
+    * computation under the EXACT emission contract EventsStreamSpec pins —
+    * a session emits when a successor event closes it (any non-last
+    * session per user), or when the event-time timeout fires for an idle
+    * tail (end + gap strictly below the final watermark = max event time
+    * − 1 min). Timestamps are ms-grained on the stream side (state keeps
+    * epoch millis), so the oracle truncates to milliseconds. This is the
+    * one streaming operator family with CUSTOM state logic, so the driver
+    * check covers the state machine itself, not a built-in. */
+  val streamSession = Q(
+    "q_s_stream_session",
+    "Stateful streaming gap-sessions = batch islands (emission-pinned)",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream
+        .sessionWindows(src, gapMinutes = 30).toDF()
+      runToMemory(s, out, "append", "graft_stream_sess")
+        .select(col("user_id"), col("start"), col("end"),
+          col("n_events").cast("long").as("n_events"))
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id,
+           | CASE WHEN lag(ts) OVER w IS NULL
+           |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+           | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           | si AS (SELECT user_id, ts, sum(ns) OVER
+           |   (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+           | sess AS (SELECT user_id, sid,
+           |   date_trunc('milliseconds', min(ts)) AS "start",
+           |   date_trunc('milliseconds', max(ts)) AS "end",
+           |   count(*) AS n_events,
+           |   max(sid) OVER (PARTITION BY user_id) AS max_sid
+           |   FROM si GROUP BY user_id, sid),
+           | m AS (SELECT epoch_ms(max(ts)) - 60000 AS wm FROM events)
+           | SELECT user_id, "start", "end", n_events
+           | FROM sess CROSS JOIN m
+           | WHERE sid < max_sid OR epoch_ms("end") + 1800000 < wm"""
+      .stripMargin.replace("\n", "")))
+
+  val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin, streamEnrich,
+    streamSession)
 }
