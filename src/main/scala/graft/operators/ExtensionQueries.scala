@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis, TfIdf}
+import graft.ext.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis, TfIdf}
 import graft.functions.TextExprs
 import graft.sources.Sources
 
@@ -669,6 +669,31 @@ object ExtensionQueries {
            | FROM toks JOIN freq USING (token) CROSS JOIN tot
            | GROUP BY doc_id""".stripMargin.replace("\n", "")))
 
+  /** BPE pair statistics — round 0 of tokenizer induction ([[Bpe]]): the
+    * weighted adjacent-character-pair counts the first merge argmaxes
+    * over. The corpus collapses to the distinct-word frequency table
+    * FIRST (the classic BPE scale trick — merge rounds never rescan the
+    * corpus), pairs explode map-side off vocab-sized input, and the
+    * top-50 rides TakeOrderedAndProject. The iterative merge loop itself
+    * is spec-pinned (BpeSpec hand-checks the merge order); this anchors
+    * its round-0 statistics cross-engine. */
+  val bpePairs = Q(
+    "q_x_bpe_pairs",
+    "BPE round-0: top-50 weighted adjacent char pairs over the vocab",
+    (s, dir) => Bpe.pairCounts(
+        Bpe.wordCounts(Sources.table(s, dir, "documents"), "text"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(50),
+    Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+           |   FROM documents),
+           | wc AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+           | p AS (SELECT substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b, n
+           |   FROM wc, UNNEST(generate_series(1, length(word) - 1)) AS u(i)
+           |   WHERE length(word) >= 2)
+           | SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt FROM p GROUP BY a, b
+           | ORDER BY cnt DESC, a, b LIMIT 50"""
+      .stripMargin.replace("\n", "")))
+
   /** Corpus vocabulary — the canonical distributed word-count shape every
     * tokenizer-training / vocab-analysis pipeline runs: explode tokens,
     * partial-count map-side (the exploded token stream never reaches the
@@ -903,7 +928,7 @@ object ExtensionQueries {
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     asofNative, rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
-    textNormalize, unigramLogprob,
+    textNormalize, unigramLogprob, bpePairs,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     corpusReport, jsonProps,
     multimodal, tfidfTop1, dupSpans, kmeansSizes, pseudonymize)

@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def words(pairs: (String, Long)*) = {
+    val spark0 = spark
+    import spark0.implicits._
+    pairs.toSeq.toDF("word", "n")
+  }
+
+  test("learnMerges: the classic low/lower/newest/widest corpus") {
+    // Sennrich-style example. Weighted vocab:
+    //   low:5  lower:2  newest:6  widest:3
+    // round 1: pair counts — (e,s):9 (w,e):8* (s,t):9 (l,o):7 (o,w):7 ...
+    //   (e,s) 9 from newest+widest; (s,t) 9; tiebreak (cnt desc, a, b):
+    //   e < s so (e,s) wins round 1 → "es"
+    // round 2: (es,t) 9 vs (l,o) 7 ... → "est"
+    // round 3: (l,o) 7 wins (vs (o,w) 7 — l < o) → "lo"
+    val vocab = words("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val (merges, syms) = Bpe.learnMerges(vocab, 3)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o")))
+    val out = syms.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(out("low") == List("lo", "w"))
+    assert(out("lower") == List("lo", "w", "e", "r"))
+    assert(out("newest") == List("n", "e", "w", "est"))
+    assert(out("widest") == List("w", "i", "d", "est"))
+  }
+
+  test("mergeStep semantics: non-overlapping left-to-right (a,a) on aaa") {
+    val vocab = words("aaa" -> 10L)
+    val (merges, syms) = Bpe.learnMerges(vocab, 1)
+    assert(merges == Seq(("a", "a")))
+    assert(syms.collect().head.getSeq[String](1).toList == List("aa", "a"))
+  }
+
+  test("learnMerges stops early below minCount") {
+    val vocab = words("ab" -> 1L, "cd" -> 1L)
+    val (merges, _) = Bpe.learnMerges(vocab, 5, minCount = 2)
+    assert(merges.isEmpty)
+  }
+
+  test("applyMerges tokenizes with learned order; piece counts conserve") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vocab = words("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val (merges, _) = Bpe.learnMerges(vocab, 3)
+    val docs = Seq((1L, "low lower"), (2L, "newest")).toDF("doc_id", "text")
+    val out = Bpe.applyMerges(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getSeq[String](3).toList, r.getLong(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._4).toList == List(List("lo", "w"), List("lo", "w", "e", "r")))
+    assert(out.forall(r => r._4.map(_.length).sum == r._3.length))
+    assert(out.forall(r => r._5 == r._4.length))
+  }
+}
