@@ -650,9 +650,15 @@ object ExtensionQueries {
         .select(col("doc_id"),
           explode(filter(split(col("text"), " ", -1), t => t =!= lit("")))
             .as("token"))
+      // total token count as a GLOBAL window over the vocab-sized freq
+      // frame: one single-partition pass over |vocab| rows — NOT a third
+      // tokenization of the corpus (freq.agg would re-derive the whole
+      // explode+agg subtree as a separate branch)
       val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      val tot = freq.agg(sum(col("n")).as("t"))
-      toks.join(freq, "token").crossJoin(tot)
+        .withColumn("t", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+      toks.join(freq, "token")
         .select(col("doc_id"),
           floor(log(col("n").cast("double") / col("t")) * 1000)
             .cast("long").as("milli"))
