@@ -31,7 +31,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "q_tpch_q14_promo", "q_tpch_q16_supplier_cnt", "q_tpch_q19_disjunct",
     "q_tpch_q22_idle", "q_a8b_rollup",
     "q_tpch_q13_custdist", "q_tpch_q17_small_qty", "q_tpch_q7_volume",
-    "q_tpch_q21_waiting")
+    "q_tpch_q21_waiting",
+    "q_x_event_transitions", "q_x_incremental_agg")
 
   sparkCompatible.toSeq.sorted.foreach { name =>
     test(s"$name: spark.sql(oracle text) == DataFrame result") {
