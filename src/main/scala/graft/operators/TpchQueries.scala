@@ -387,30 +387,36 @@ object TpchQueries {
     * cartesian. */
   val waitingSuppliers = Q(
     "q_tpch_q21_waiting",
-    "TPC-H Q21-style lone-late-supplier count (EXISTS + NOT EXISTS, one fact)",
+    "TPC-H Q21-style lone-late-supplier count (per-order window counts)",
     (s, dir) => {
+      // The EXISTS/NOT EXISTS pair decorrelates to per-order supplier
+      // counts: a late row qualifies iff its order has >= 2 distinct
+      // suppliers (EXISTS another supplier) and exactly 1 distinct LATE
+      // supplier (NOT EXISTS another late one — necessarily this row's).
+      // One lineitem⋈orders pass + one orderkey window replaces the
+      // semi+anti joins over two more fact references; the collect_set
+      // window state is bounded by lines-per-order (≤7 in TPC-H data).
       val lateCutoffDays = 90
       val l = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
-      val withLate = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      val perOrder = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") +
             expr(s"INTERVAL $lateCutoffDays DAYS"))
-      val l1 = withLate.filter(col("late"))
-        .select(col("l_orderkey").as("k"), col("l_suppkey").as("sk"))
-      val l2 = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
-      val l3 = withLate.filter(col("late"))
-        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
-      l1.join(l2, col("k") === col("k2") && col("sk") =!= col("sk2"),
-          "left_semi")
-        .join(l3, col("k") === col("k3") && col("sk") =!= col("sk3"),
-          "left_anti")
+        .withColumn("n_supp",
+          size(collect_set(col("l_suppkey")).over(perOrder)))
+        .withColumn("n_late_supp",
+          size(collect_set(when(col("late"), col("l_suppkey")))
+            .over(perOrder)))
+        .filter(col("late") && col("n_supp") > 1 && col("n_late_supp") === 1)
         .join(broadcast(t(s, dir, "supplier")
             .select(col("s_suppkey"), col("s_name"))),
-          col("sk") === col("s_suppkey"))
+          col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(countDistinct(col("k")).as("numwait"))
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(20)
     },
