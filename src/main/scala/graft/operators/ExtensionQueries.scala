@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis, TfIdf}
+import graft.ext.{Bpe, Dedup, FuzzyJoin, Multimodal, Similarity, TextAnalysis, TfIdf}
 import graft.functions.TextExprs
 import graft.sources.Sources
 
@@ -675,6 +675,27 @@ object ExtensionQueries {
            | FROM toks JOIN freq USING (token) CROSS JOIN tot
            | GROUP BY doc_id""".stripMargin.replace("\n", "")))
 
+  /** Fuzzy self-join ([[FuzzyJoin]]): blocked Levenshtein pairs over the
+    * part-name domain — entity-resolution matching as a JOIN (the
+    * existing q_x_edit_distance is probe-pair scoring). Distinct-first
+    * (value domain, 64 names at sf0.01, stays |domain|-sized at any row
+    * scale), first-token blocks bound the quadratic verify, and the
+    * deterministic blocking is what lets DuckDB rebuild the identical
+    * candidate set for the hash check. */
+  val fuzzyJoin = Q(
+    "q_x_fuzzy_join",
+    "Blocked Levenshtein fuzzy self-join over distinct part names",
+    (s, dir) => FuzzyJoin.selfJoin(
+        Sources.table(s, dir, "part"), "p_name", maxDist = 3)
+      .orderBy(col("a"), col("b")),
+    Some("""WITH v AS (SELECT DISTINCT p_name AS a,
+           |   string_split(p_name, ' ')[1] AS block FROM part
+           |   WHERE p_name IS NOT NULL)
+           | SELECT v.a, w.a AS b, CAST(levenshtein(v.a, w.a) AS BIGINT) AS dist
+           | FROM v JOIN v w USING (block)
+           | WHERE v.a < w.a AND levenshtein(v.a, w.a) <= 3
+           | ORDER BY v.a, w.a""".stripMargin.replace("\n", "")))
+
   /** BPE pair statistics — round 0 of tokenizer induction ([[Bpe]]): the
     * weighted adjacent-character-pair counts the first merge argmaxes
     * over. The corpus collapses to the distinct-word frequency table
@@ -934,7 +955,7 @@ object ExtensionQueries {
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     asofNative, rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
-    textNormalize, unigramLogprob, bpePairs,
+    textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     corpusReport, jsonProps,
     multimodal, tfidfTop1, dupSpans, kmeansSizes, pseudonymize)
