@@ -40,5 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans graft.plans.AsofJoinNode into the
     // co-partitioned streaming-merge AsofJoinExec
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // optimizer extension: cheap length-difference guard ahead of bounded
+    // levenshtein predicates (see EditDistancePrefilter soundness notes)
+    e.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
   }
 }

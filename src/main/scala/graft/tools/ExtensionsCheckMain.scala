@@ -50,9 +50,24 @@ object ExtensionsCheckMain {
         (2L, 10L, None)) &&
       spark.experimental.extraStrategies.isEmpty &&
       asof.queryExecution.executedPlan.toString.contains("AsofJoin")
+    // optimizer-rule injection: a bounded levenshtein predicate over a
+    // parquet source (a local relation would constant-fold the filter
+    // away) must pick up the length-difference guard
+    // (EditDistancePrefilter), placed BEFORE the levenshtein conjunct
+    val fuzzy = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .filter("levenshtein(p_name, reverse(p_name)) <= 2")
+    val optimized = fuzzy.queryExecution.optimizedPlan.toString
+    val ruleOk = optimized.contains("abs((length(") &&
+      optimized.indexOf("abs((length(") < optimized.indexOf("levenshtein") &&
+      fuzzy.count() >= 0 // executes under the rewritten plan
+
     spark.stop()
     if (!asofOk) {
       System.err.println(s"[ext-check] FAIL: injected AsofJoinStrategy path, got $got")
+      sys.exit(1)
+    }
+    if (!ruleOk) {
+      System.err.println(s"[ext-check] FAIL: EditDistancePrefilter not applied:\n$optimized")
       sys.exit(1)
     }
     if (ok) {
