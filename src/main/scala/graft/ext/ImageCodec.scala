@@ -83,6 +83,69 @@ object ImageCodec {
     Decoded(w, h, img.getColorModel.getNumComponents, mean, std)
   }
 
+  /** Exact area-averaged luma grid (gw × gh cells): every source pixel
+    * contributes to exactly one cell, so the grid — and every hash built
+    * on it — is deterministic and robust to rescaling (cell means change
+    * little when the same content is resampled; a Graphics2D bilinear
+    * shrink would sample sparsely and wreck that stability on busy
+    * images). Luma = ITU-R BT.601 integer weights. */
+  private def lumaGrid(img: BufferedImage, gw: Int, gh: Int): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = new Array[Double](gw * gh)
+    val cnt = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(gh - 1, y * gh / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(gw - 1, x * gw / w)
+        val rgb = img.getRGB(x, y)
+        val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000.0
+        val i = gy * gw + gx
+        sum(i) += luma
+        cnt(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(gw * gh)(i => if (cnt(i) == 0) 0.0 else sum(i) / cnt(i))
+  }
+
+  /** 64-bit average hash (aHash): 8×8 luma grid, bit set where the cell
+    * exceeds the grid mean. Identical images → identical hash; a resized
+    * or re-encoded copy stays within a few bits (region means survive
+    * resampling) — the standard cheap image near-dup key. None when the
+    * bytes aren't a decodable image. */
+  def aHash(bytes: Array[Byte]): Option[Long] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      val g = lumaGrid(img, 8, 8)
+      val mean = g.sum / 64.0
+      var bits = 0L
+      var i = 0
+      while (i < 64) { if (g(i) > mean) bits |= (1L << i); i += 1 }
+      bits
+    } catch { case _: Exception => None }
+
+  /** 64-bit difference hash (dHash): 9×8 luma grid, bit set where a cell
+    * is brighter than its right neighbor — captures gradients, robust to
+    * global brightness shifts (which flip aHash bits near the mean). */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      val g = lumaGrid(img, 9, 8)
+      var bits = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (g(gy * 9 + gx) > g(gy * 9 + gx + 1)) bits |= (1L << (gy * 8 + gx))
+          gx += 1
+        }
+        gy += 1
+      }
+      bits
+    } catch { case _: Exception => None }
+
   /** Real resize: decode → Graphics2D bilinear scale → PNG re-encode.
     * None when the input isn't decodable. */
   def resizePng(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =

@@ -191,6 +191,40 @@ object Multimodal {
       }
   }
 
+  final case class ImageHashRow(doc_id: Long, ahash: Long, dhash: Long,
+                                resized_hamming: Int)
+
+  /** Perceptual image hashes for near-dup detection — REAL decode path:
+    * 64-bit aHash (8×8 area-averaged luma vs grid mean) + dHash (9×8
+    * horizontal gradients), per image row. `resized_hamming` re-encodes
+    * each image at 2× via the real resize path and reports the aHash
+    * hamming drift — the per-row proof of the property that makes these
+    * hashes dedup keys (a rescaled copy hashes within a few bits, so
+    * exact-bucket or chunk-LSH grouping on the hash finds resized/
+    * re-encoded duplicates). Map-only, executor-side; undecodable
+    * payloads fall back to a byte-hash so the operator stays total. */
+  def imageHashes(media: DataFrame): Dataset[ImageHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("format") === "image/png")
+      .select("doc_id", "media", "format", "width", "height", "duration_ms")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          def fallback = TextHashing.mix64(
+            TextHashing.hashBytes(r.media, 0, r.media.length))
+          val a = ImageCodec.aHash(r.media).getOrElse(fallback)
+          val d = ImageCodec.dHash(r.media).getOrElse(fallback)
+          val drift = ImageCodec
+            .resizePng(r.media, r.width * 2, r.height * 2)
+            .flatMap(ImageCodec.aHash)
+            .map(a2 => java.lang.Long.bitCount(a ^ a2))
+            .getOrElse(64)
+          ImageHashRow(r.doc_id, a, d, drift)
+        }
+      }
+  }
+
   /** Frame sampling for video rows — REAL: parse the AVI container, pick n
     * evenly-spaced source frames, decode each JPEG, and hash its actual
     * pixels; offset_ms comes from the stream's true fps. Emits exactly n

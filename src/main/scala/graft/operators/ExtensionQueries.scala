@@ -852,6 +852,22 @@ object ExtensionQueries {
     },
     None)
 
+  /** Perceptual image hashing — the image-dedup key extraction stage:
+    * real PNG decode → 8×8 area-averaged aHash + 9×8 gradient dHash per
+    * image, plus the per-row hamming drift of a real 2× resize
+    * round-trip (the scale-invariance that makes the hash a near-dup
+    * key). Hashes depend on the JVM codec path → rows-only; the
+    * invariance bound and dedup behavior are spec-pinned
+    * (MultimodalSpec). */
+  val imagePhash = Q(
+    "q_x_image_phash",
+    "Perceptual image hashes (aHash/dHash) + resize-invariance drift",
+    (s, dir) => Multimodal.imageHashes(
+        Multimodal.attachMedia(Sources.table(s, dir, "documents"))).toDF()
+      .select(col("doc_id"), col("ahash"), col("dhash"),
+        col("resized_hamming").cast("long").as("resized_hamming")),
+    None)
+
   /** TF-IDF cosine top-1 via inverted-index postings join (ext.TfIdf):
     * sparse-vector similarity complementing the dense ANN family. DuckDB
     * rebuilds the identical postings (same tokenize, same ln(N/df)
@@ -958,5 +974,5 @@ object ExtensionQueries {
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     corpusReport, jsonProps,
-    multimodal, tfidfTop1, dupSpans, kmeansSizes, pseudonymize)
+    multimodal, imagePhash, tfidfTop1, dupSpans, kmeansSizes, pseudonymize)
 }

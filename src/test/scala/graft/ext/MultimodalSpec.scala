@@ -201,6 +201,44 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptual hashes: identity, discrimination, resize invariance, dedup key") {
+    // identity: same bytes → same hash
+    val png = ImageCodec.encodePng(32, 24, seed = 7L)
+    assert(ImageCodec.aHash(png) == ImageCodec.aHash(png.clone()))
+    assert(ImageCodec.dHash(png) == ImageCodec.dHash(png.clone()))
+    // resize invariance on STRUCTURED content: a gradient image rescaled
+    // 2x keeps region means, so the hash drifts at most a few bits
+    val grad = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val v = x * 255 / 63
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val resized = ImageCodec.resizePng(grad, 128, 96).get
+    val drift = java.lang.Long.bitCount(
+      ImageCodec.aHash(grad).get ^ ImageCodec.aHash(resized).get)
+    assert(drift <= 6, s"gradient aHash drifted $drift bits under 2x resize")
+    // discrimination: different images → different hashes
+    val other = ImageCodec.encodePng(32, 24, seed = 8L)
+    assert(ImageCodec.aHash(png) != ImageCodec.aHash(other))
+    // dataset op: total, deterministic, one row per image row
+    val media = Multimodal.attachMedia(docs)
+    val h1 = Multimodal.imageHashes(media).collect()
+    val h2 = Multimodal.imageHashes(media).collect()
+    assert(h1.length == media.filter("format = 'image/png'").count())
+    assert(h1.map(r => r.doc_id -> (r.ahash, r.dhash)).toMap ==
+      h2.map(r => r.doc_id -> (r.ahash, r.dhash)).toMap)
+    assert(h1.forall(r => r.resized_hamming >= 0 && r.resized_hamming <= 64))
+    // dedup key behavior: exact duplicates (same seed) bucket together
+    val dup = ImageCodec.encodePng(32, 24, seed = 7L)
+    assert(ImageCodec.aHash(dup) == ImageCodec.aHash(png))
+  }
+
   test("sampleFrames hashes REAL decoded pixels: distinct across frames, stable across runs") {
     val media = Multimodal.attachMedia(docs).filter("format = 'video/avi'").limit(3)
     val f1 = Multimodal.sampleFrames(media, 3).collect()
