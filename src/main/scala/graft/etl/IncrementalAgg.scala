@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions._
   * percentiles (q_a7b), count-min for frequencies (q_x_vocab_cm_sketch).
   *
   * State schema: key columns, `__n` (long row count), and per measure m:
-  * `sum_m` (double), `min_m`, `max_m` (native type). Merging is
-  * associative and commutative, so batches may arrive in any order and
-  * partial states may themselves be merged (map-side combine applies all
-  * the way up).
+  * `cnt_m` (non-null count — the avg denominator, so NULL measure values
+  * dilute nothing, matching SQL avg), `sum_m` (double), `min_m`, `max_m`
+  * (native type). Merging is associative and commutative, so batches may
+  * arrive in any order and partial states may themselves be merged
+  * (map-side combine applies all the way up). Measure columns must not
+  * themselves be named `sum_*` (the state schema infers measures from
+  * that prefix).
   */
 object IncrementalAgg {
 
@@ -39,6 +42,7 @@ object IncrementalAgg {
     require(keys.nonEmpty && measures.nonEmpty, "keys and measures required")
     val aggs: Seq[Column] =
       count(lit(1)).as(N) +: measures.flatMap(m => Seq(
+        count(col(m)).as(s"cnt_$m"),
         sum(col(m).cast("double")).as(s"sum_$m"),
         min(col(m)).as(s"min_$m"),
         max(col(m)).as(s"max_$m")))
@@ -52,6 +56,7 @@ object IncrementalAgg {
     val ms = measuresOf(state)
     val aggs: Seq[Column] =
       sum(col(N)).as(N) +: ms.flatMap(m => Seq(
+        sum(col(s"cnt_$m")).as(s"cnt_$m"),
         sum(col(s"sum_$m")).as(s"sum_$m"),
         min(col(s"min_$m")).as(s"min_$m"),
         max(col(s"max_$m")).as(s"max_$m")))
@@ -59,13 +64,14 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Read-time view: per-key count, sum, min, max, avg per measure. */
+  /** Read-time view: per-key count, sum, min, max, avg per measure
+    * (avg over NON-NULL values, matching SQL avg semantics). */
   def finalize(state: DataFrame, keys: Seq[String]): DataFrame = {
     val ms = measuresOf(state)
     val cols: Seq[Column] =
       keys.map(col) ++ (col(N).as("n_rows") +: ms.flatMap(m => Seq(
         col(s"sum_$m"), col(s"min_$m"), col(s"max_$m"),
-        (col(s"sum_$m") / col(N)).as(s"avg_$m"))))
+        (col(s"sum_$m") / col(s"cnt_$m")).as(s"avg_$m"))))
     state.select(cols: _*)
   }
 

@@ -40,6 +40,18 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(rows(IncrementalAgg.merge(p2, p1, Seq("k"))).sameElements(rows(direct)))
   }
 
+  test("NULL measure values: avg uses the non-null count (SQL semantics)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(("a", Some(2.0)), ("a", None), ("a", Some(4.0)))
+      .toDF("k", "v")
+    val out = IncrementalAgg.finalize(
+        IncrementalAgg.partials(df, Seq("k"), Seq("v")), Seq("k"))
+      .collect().head
+    assert(out.getAs[Long]("n_rows") == 3L)   // rows counted
+    assert(out.getAs[Double]("avg_v") == 3.0) // (2+4)/2, not /3
+  }
+
   test("refresh: bootstrap, fold two batches, survive and equal recompute") {
     val dir = java.nio.file.Files.createTempDirectory("incragg").toString + "/state"
     val b1 = fixture.limit(3)
