@@ -21,6 +21,21 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("red widget", "red wodget", 1L)))
   }
 
+  test("maxBlock cap drops degenerate blocks observably, keeps the rest") {
+    val spark0 = spark
+    import spark0.implicits._
+    // block "x" holds 4 values (over the cap of 3); block "y" holds 2
+    val df = Seq("x aaa", "x aab", "x aba", "x zzz", "y mmm", "y mmn")
+      .toDF("name")
+    val obs = org.apache.spark.sql.Observation()
+    val out = FuzzyJoin.selfJoin(df, "name", maxDist = 2, maxBlock = 3,
+        dropObservation = Some(obs))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("y mmm", "y mmn"))) // x-block fully dropped
+    assert(obs.get("dropped_values") == 4L)
+    assert(obs.get("max_block_size") == 4L)
+  }
+
   test("pairs are canonical (a < b) and distance-bounded") {
     val spark0 = spark
     import spark0.implicits._
