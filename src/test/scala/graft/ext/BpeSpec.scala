@@ -47,6 +47,31 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.isEmpty)
   }
 
+  test("property: random corpora — pieces always concat back to the word") {
+    import org.scalacheck.{Gen, rng}
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, rng.Seed(seed))
+    // tiny alphabet forces heavy pair collisions → deep merge chains
+    val wordGen = Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val corpusGen = Gen.listOfN(30, Gen.zip(wordGen, Gen.choose(1L, 9L)))
+    for (seed <- 1L to 3L) {
+      val corpus = sample(corpusGen, seed)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val vocab = words(corpus: _*)
+      val (merges, syms) = Bpe.learnMerges(vocab, 10)
+      val out = syms.collect()
+        .map(r => (r.getString(0), r.getSeq[String](1).toList))
+      // lossless at every merge depth: pieces concat to the word, no
+      // empty pieces, counts conserved
+      out.foreach { case (word, pieces) =>
+        assert(pieces.mkString == word, s"seed $seed: $pieces != $word")
+        assert(pieces.forall(_.nonEmpty))
+      }
+      // merges are distinct pairs (no pair learned twice)
+      assert(merges.distinct.length == merges.length, s"seed $seed: $merges")
+    }
+  }
+
   test("applyMerges tokenizes with learned order; piece counts conserve") {
     val spark0 = spark
     import spark0.implicits._
