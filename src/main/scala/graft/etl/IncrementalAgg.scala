@@ -88,8 +88,9 @@ object IncrementalAgg {
       delta.write.mode(SaveMode.ErrorIfExists).parquet(stateDir)
       return
     }
+    // no checkpoint needed: the tmp write below fully materializes the
+    // merge while stateDir is still intact; the renames only run after
     val merged = merge(spark.read.parquet(stateDir), delta, keys)
-      .localCheckpoint(true) // materialize BEFORE the swap moves the dir
     val (tmp, old) = Maintenance.stagingPaths(path, "incragg")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)

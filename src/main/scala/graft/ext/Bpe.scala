@@ -116,7 +116,11 @@ object Bpe {
     val sym = merges.foldLeft(charSymbols(col("word"))) {
       case (c, (a, b)) => mergeStep(c, a, b)
     }
+    // materialize the k-deep fold ONCE, derive the count off the column —
+    // two copies of the HOF chain in one projection would each pay the
+    // full O(k·|word|) fold (no subexpression elimination across lambdas)
     pieces.select(col(idCol), col("word_pos"), col("word"),
-      sym.as("pieces"), size(sym).cast("long").as("n_pieces"))
+        sym.as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
   }
 }

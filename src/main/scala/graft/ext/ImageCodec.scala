@@ -112,39 +112,64 @@ object ImageCodec {
     Array.tabulate(gw * gh)(i => if (cnt(i) == 0) 0.0 else sum(i) / cnt(i))
   }
 
-  /** 64-bit average hash (aHash): 8×8 luma grid, bit set where the cell
-    * exceeds the grid mean. Identical images → identical hash; a resized
-    * or re-encoded copy stays within a few bits (region means survive
-    * resampling) — the standard cheap image near-dup key. None when the
-    * bytes aren't a decodable image. */
-  def aHash(bytes: Array[Byte]): Option[Long] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
-      val g = lumaGrid(img, 8, 8)
-      val mean = g.sum / 64.0
-      var bits = 0L
-      var i = 0
-      while (i < 64) { if (g(i) > mean) bits |= (1L << i); i += 1 }
-      bits
-    } catch { case _: Exception => None }
+  /** Decode to a BufferedImage for multi-hash callers — ImageIO PNG
+    * decode dominates the hashing stage, so hash both grids (and any
+    * resize) off ONE decode instead of re-reading the bytes per hash. */
+  def readImage(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
 
-  /** 64-bit difference hash (dHash): 9×8 luma grid, bit set where a cell
-    * is brighter than its right neighbor — captures gradients, robust to
-    * global brightness shifts (which flip aHash bits near the mean). */
-  def dHash(bytes: Array[Byte]): Option[Long] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
-      val g = lumaGrid(img, 9, 8)
-      var bits = 0L
-      var gy = 0
-      while (gy < 8) {
-        var gx = 0
-        while (gx < 8) {
-          if (g(gy * 9 + gx) > g(gy * 9 + gx + 1)) bits |= (1L << (gy * 8 + gx))
-          gx += 1
-        }
-        gy += 1
+  /** In-memory bilinear resize of an already-decoded image (no PNG
+    * round-trip — PNG is lossless, so hashes of the resized image are
+    * identical to hashing a re-encoded copy). */
+  def resizeImage(img: BufferedImage, targetW: Int, targetH: Int): BufferedImage = {
+    val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, targetW, targetH, null)
+    } finally g.dispose()
+    dst
+  }
+
+  /** 64-bit average hash (aHash) of a decoded image: 8×8 luma grid, bit
+    * set where the cell exceeds the grid mean. Identical images →
+    * identical hash; a resized or re-encoded copy stays within a few
+    * bits (region means survive resampling) — the standard cheap image
+    * near-dup key. */
+  def aHashImage(img: BufferedImage): Long = {
+    val g = lumaGrid(img, 8, 8)
+    val mean = g.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (g(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded image: 9×8 luma grid,
+    * bit set where a cell is brighter than its right neighbor — captures
+    * gradients, robust to global brightness shifts (which flip aHash
+    * bits near the mean). */
+  def dHashImage(img: BufferedImage): Long = {
+    val g = lumaGrid(img, 9, 8)
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (g(gy * 9 + gx) > g(gy * 9 + gx + 1)) bits |= (1L << (gy * 8 + gx))
+        gx += 1
       }
-      bits
-    } catch { case _: Exception => None }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Byte-level conveniences (one decode each; batch callers hashing
+    * multiple grids should readImage once and use the *Image forms). */
+  def aHash(bytes: Array[Byte]): Option[Long] = readImage(bytes).map(aHashImage)
+  def dHash(bytes: Array[Byte]): Option[Long] = readImage(bytes).map(dHashImage)
 
   /** Real resize: decode → Graphics2D bilinear scale → PNG re-encode.
     * None when the input isn't decodable. */

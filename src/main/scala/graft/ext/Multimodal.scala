@@ -211,16 +211,21 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          def fallback = TextHashing.mix64(
-            TextHashing.hashBytes(r.media, 0, r.media.length))
-          val a = ImageCodec.aHash(r.media).getOrElse(fallback)
-          val d = ImageCodec.dHash(r.media).getOrElse(fallback)
-          val drift = ImageCodec
-            .resizePng(r.media, r.width * 2, r.height * 2)
-            .flatMap(ImageCodec.aHash)
-            .map(a2 => java.lang.Long.bitCount(a ^ a2))
-            .getOrElse(64)
-          ImageHashRow(r.doc_id, a, d, drift)
+          // ONE decode serves both hash grids and the resize check —
+          // ImageIO decode dominates this stage, and PNG is lossless so
+          // hashing the in-memory resize equals hashing a re-encoded copy
+          ImageCodec.readImage(r.media) match {
+            case Some(img) =>
+              val a = ImageCodec.aHashImage(img)
+              val d = ImageCodec.dHashImage(img)
+              val a2 = ImageCodec.aHashImage(
+                ImageCodec.resizeImage(img, r.width * 2, r.height * 2))
+              ImageHashRow(r.doc_id, a, d, java.lang.Long.bitCount(a ^ a2))
+            case None =>
+              val fallback = TextHashing.mix64(
+                TextHashing.hashBytes(r.media, 0, r.media.length))
+              ImageHashRow(r.doc_id, fallback, fallback, 64)
+          }
         }
       }
   }

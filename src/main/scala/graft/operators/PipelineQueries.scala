@@ -145,7 +145,7 @@ object PipelineQueries {
            | round(sum(value), 2) AS sum_value,
            | round(min(value), 6) AS min_value,
            | round(max(value), 6) AS max_value,
-           | round(sum(value) / count(*), 6) AS avg_value
+           | round(sum(value) / count(value), 6) AS avg_value
            | FROM events GROUP BY event_type"""
       .stripMargin.replace("\n", "")))
 

@@ -152,10 +152,14 @@ object StreamingQueries {
     * a session emits when a successor event closes it (any non-last
     * session per user), or when the event-time timeout fires for an idle
     * tail (end + gap strictly below the final watermark = max event time
-    * − 1 min). Timestamps are ms-grained on the stream side (state keeps
-    * epoch millis), so the oracle truncates to milliseconds. This is the
-    * one streaming operator family with CUSTOM state logic, so the driver
-    * check covers the state machine itself, not a built-in. */
+    * − 1 min). The stream's state is ms-grained (epoch millis), so the
+    * oracle computes the GAP TEST on epoch_ms too — a µs-precise gap
+    * would disagree near the 30-min boundary for events with sub-ms
+    * components (floor-of-diff vs diff-of-floors) — and truncates the
+    * emitted timestamps to milliseconds. Tie order within one ms cannot
+    * diverge: same-ms events have gap 0 under both orderings. This is
+    * the one streaming operator family with CUSTOM state logic, so the
+    * driver check covers the state machine itself, not a built-in. */
   val streamSession = Q(
     "q_s_stream_session",
     "Stateful streaming gap-sessions = batch islands (emission-pinned)",
@@ -169,7 +173,7 @@ object StreamingQueries {
     },
     Some("""WITH g AS (SELECT user_id, ts, event_id,
            | CASE WHEN lag(ts) OVER w IS NULL
-           |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+           |   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS ns
            | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
            | si AS (SELECT user_id, ts, sum(ns) OVER
            |   (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),

@@ -28,9 +28,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object EditDistancePrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** (a, b, bound) for conjuncts bounding an un-thresholded levenshtein. */
+  /** (a, b, bound) for conjuncts bounding an un-thresholded levenshtein.
+    * The guard DUPLICATES the operand expressions, so only deterministic
+    * operands qualify — a nondeterministic operand (rand()-dependent)
+    * would be evaluated twice with different values and the guard could
+    * reject rows the real predicate accepts. */
   private def bound(e: Expression): Option[(Expression, Expression, Expression)] =
-    e match {
+    (e match {
       case LessThanOrEqual(Levenshtein(a, b, None), k: Literal) => Some((a, b, k))
       case LessThan(Levenshtein(a, b, None), k: Literal) => Some((a, b, k))
       case GreaterThanOrEqual(k: Literal, Levenshtein(a, b, None)) => Some((a, b, k))
@@ -38,7 +42,7 @@ object EditDistancePrefilter extends Rule[LogicalPlan] with PredicateHelper {
       case EqualTo(Levenshtein(a, b, None), k: Literal) => Some((a, b, k))
       case EqualTo(k: Literal, Levenshtein(a, b, None)) => Some((a, b, k))
       case _ => None
-    }
+    }).filter { case (a, b, _) => a.deterministic && b.deterministic }
 
   private def lengthGuard(a: Expression, b: Expression, k: Expression) =
     LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k)

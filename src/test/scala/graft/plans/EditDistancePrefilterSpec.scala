@@ -51,6 +51,18 @@ class EditDistancePrefilterSpec extends AnyFunSuite {
     assert(!out.toString.contains("abs((length"), out.toString)
   }
 
+  test("nondeterministic operands are NOT rewritten (guard would re-draw)") {
+    fixture.createOrReplaceTempView("edp_fixture")
+    val plan = spark.sql(
+      """SELECT * FROM edp_fixture
+        | WHERE levenshtein(substr(a, 1, cast(rand() * 3 as int) + 1), b) <= 2"""
+        .stripMargin)
+      .queryExecution.optimizedPlan
+    assert(plan.toString.contains("levenshtein"))
+    val out = EditDistancePrefilter(plan)
+    assert(!out.toString.contains("abs((length"), out.toString)
+  }
+
   test("semantics preserved on the fuzzy-join shape") {
     val q = graft.operators.Catalog.byName("q_x_fuzzy_join")
     val df = q.run(spark, "/root/testdata/sf0.001")
