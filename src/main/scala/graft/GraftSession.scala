@@ -14,7 +14,13 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Standard builder: local master, UTC, AQE, right-sized shuffle
-    * partitions (32-way local, not the 200 default), nanos-as-long. */
+    * partitions (32-way local, not the 200 default), nanos-as-long, and
+    * the engine's own session extensions (native SQL functions, the
+    * as-of planner strategy, the edit-distance prefilter rule).
+    * `spark.sql.extensions` is STATIC — it binds when the process's
+    * first session is built and is ignored afterwards — so the
+    * config-string injection path additionally gets its own-JVM check
+    * in tools.ExtensionsCheckMain. */
   def builder(appName: String, cpus: String,
               shufflePartitions: Option[String] = None): SparkSession.Builder =
     SparkSession.builder()
@@ -26,6 +32,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** The conf a NON-graft-built session must carry to read the events
     * table; `Sources.table` asserts it with this key. */
