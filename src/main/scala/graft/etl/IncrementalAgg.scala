@@ -75,10 +75,24 @@ object IncrementalAgg {
     state.select(cols: _*)
   }
 
+  /** Migration shim: state directories written before the `cnt_m`
+    * columns existed backfill them as `__n` — exactly the NULL-free
+    * assumption the old avg encoded — so an upgrade never forces the
+    * full-history rebuild this module exists to avoid. (If the legacy
+    * history DID contain NULL measures, its avgs were already diluted;
+    * the backfill preserves them as-is rather than silently changing
+    * historical figures.) */
+  private def upgraded(state: DataFrame): DataFrame =
+    measuresOf(state).foldLeft(state) { (df, m) =>
+      if (df.columns.contains(s"cnt_$m")) df
+      else df.withColumn(s"cnt_$m", col(N))
+    }
+
   /** Fold a batch into the on-disk state at `stateDir` (bootstraps on
-    * first call). Rewrites through the same `_`-staged swap the other
-    * maintenance jobs use, so a mid-failure leaves the previous state
-    * readable; the rewrite is |keys|-sized, not history-sized. */
+    * first call; legacy pre-`cnt_m` state upgrades in place). Rewrites
+    * through the same `_`-staged swap the other maintenance jobs use, so
+    * a mid-failure leaves the previous state readable; the rewrite is
+    * |keys|-sized, not history-sized. */
   def refresh(spark: SparkSession, stateDir: String, batch: DataFrame,
               keys: Seq[String], measures: Seq[String]): Unit = {
     val path = new Path(stateDir)
@@ -90,7 +104,7 @@ object IncrementalAgg {
     }
     // no checkpoint needed: the tmp write below fully materializes the
     // merge while stateDir is still intact; the renames only run after
-    val merged = merge(spark.read.parquet(stateDir), delta, keys)
+    val merged = merge(upgraded(spark.read.parquet(stateDir)), delta, keys)
     val (tmp, old) = Maintenance.stagingPaths(path, "incragg")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)

@@ -133,12 +133,22 @@ object ImageCodec {
     dst
   }
 
+  /** Images smaller than the hash grid would leave empty cells (luma
+    * 0.0) — an artificial black border that systematically diverges a
+    * narrow image's hash from its resized copy's. Upscale below-grid
+    * images to at least 2× the grid first, so every cell averages real
+    * pixels. */
+  private def atLeastGridSize(img: BufferedImage): BufferedImage =
+    if (img.getWidth >= 9 && img.getHeight >= 8) img
+    else resizeImage(img, math.max(img.getWidth, 18), math.max(img.getHeight, 16))
+
   /** 64-bit average hash (aHash) of a decoded image: 8×8 luma grid, bit
     * set where the cell exceeds the grid mean. Identical images →
     * identical hash; a resized or re-encoded copy stays within a few
     * bits (region means survive resampling) — the standard cheap image
     * near-dup key. */
-  def aHashImage(img: BufferedImage): Long = {
+  def aHashImage(img0: BufferedImage): Long = {
+    val img = atLeastGridSize(img0)
     val g = lumaGrid(img, 8, 8)
     val mean = g.sum / 64.0
     var bits = 0L
@@ -151,7 +161,8 @@ object ImageCodec {
     * bit set where a cell is brighter than its right neighbor — captures
     * gradients, robust to global brightness shifts (which flip aHash
     * bits near the mean). */
-  def dHashImage(img: BufferedImage): Long = {
+  def dHashImage(img0: BufferedImage): Long = {
+    val img = atLeastGridSize(img0)
     val g = lumaGrid(img, 9, 8)
     var bits = 0L
     var gy = 0
@@ -174,16 +185,9 @@ object ImageCodec {
   /** Real resize: decode → Graphics2D bilinear scale → PNG re-encode.
     * None when the input isn't decodable. */
   def resizePng(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { src =>
-      val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
-      val g = dst.createGraphics()
-      try {
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(src, 0, 0, targetW, targetH, null)
-      } finally g.dispose()
+    readImage(bytes).map { src =>
       val bos = new ByteArrayOutputStream()
-      ImageIO.write(dst, "png", bos)
+      ImageIO.write(resizeImage(src, targetW, targetH), "png", bos)
       bos.toByteArray
-    } catch { case _: Exception => None }
+    }
 }

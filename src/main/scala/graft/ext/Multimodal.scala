@@ -218,8 +218,11 @@ object Multimodal {
             case Some(img) =>
               val a = ImageCodec.aHashImage(img)
               val d = ImageCodec.dHashImage(img)
-              val a2 = ImageCodec.aHashImage(
-                ImageCodec.resizeImage(img, r.width * 2, r.height * 2))
+              // DECODED dims, not row metadata: metadata can be absent or
+              // wrong (0×0 would crash BufferedImage; a lying aspect
+              // ratio would make the drift metric meaningless)
+              val a2 = ImageCodec.aHashImage(ImageCodec.resizeImage(img,
+                img.getWidth * 2, img.getHeight * 2))
               ImageHashRow(r.doc_id, a, d, java.lang.Long.bitCount(a ^ a2))
             case None =>
               val fallback = TextHashing.mix64(

@@ -681,16 +681,22 @@ object ExtensionQueries {
     * (value domain, 64 names at sf0.01, stays |domain|-sized at any row
     * scale), first-token blocks bound the quadratic verify, and the
     * deterministic blocking is what lets DuckDB rebuild the identical
-    * candidate set for the hash check. */
+    * candidate set. The oracle replicates the maxBlock cap too — the
+    * operator's drop semantics are PART of its contract, so Spark and
+    * the oracle agree at any scale factor, not just while blocks stay
+    * under the cap. */
   val fuzzyJoin = Q(
     "q_x_fuzzy_join",
     "Blocked Levenshtein fuzzy self-join over distinct part names",
     (s, dir) => FuzzyJoin.selfJoin(
-        Sources.table(s, dir, "part"), "p_name", maxDist = 3)
+        Sources.table(s, dir, "part"), "p_name", maxDist = 3,
+        maxBlock = 1024)
       .orderBy(col("a"), col("b")),
-    Some("""WITH v AS (SELECT DISTINCT p_name AS a,
+    Some("""WITH v0 AS (SELECT DISTINCT p_name AS a,
            |   string_split(p_name, ' ')[1] AS block FROM part
-           |   WHERE p_name IS NOT NULL)
+           |   WHERE p_name IS NOT NULL),
+           | v AS (SELECT a, block FROM v0
+           |   QUALIFY count(*) OVER (PARTITION BY block) <= 1024)
            | SELECT v.a, w.a AS b, CAST(levenshtein(v.a, w.a) AS BIGINT) AS dist
            | FROM v JOIN v w USING (block)
            | WHERE v.a < w.a AND levenshtein(v.a, w.a) <= 3

