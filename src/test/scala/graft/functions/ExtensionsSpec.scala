@@ -47,10 +47,12 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   // NOTE: the `spark.sql.extensions` config path applies the same injection
-  // at SparkContext creation; it is a STATIC conf, so it cannot be exercised
-  // in this shared-context test JVM. It IS exercised in its own JVM by
+  // at SparkContext creation. Since GraftSession.builder sets it by default,
+  // the SHARED test session is itself built through that static-conf path
+  // (EditDistancePrefilterSpec pins the injected rule); the standalone
   //   sbt "runMain graft.tools.ExtensionsCheckMain"
-  // (part of the verify checklist).
+  // still checks it in a fresh JVM where this process-level conf is the
+  // FIRST session's (part of the verify checklist).
 
   test("MinHashMerge: group signature = element-wise min; jaccard estimate sane") {
     val spark = base
