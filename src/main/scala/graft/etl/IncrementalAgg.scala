@@ -88,18 +88,63 @@ object IncrementalAgg {
       else df.withColumn(s"cnt_$m", col(N))
     }
 
+  /** `_`-prefixed marker carrying the last applied batch id: parquet
+    * discovery ignores it, and it lives INSIDE the state dir so the
+    * promote rename commits state and marker together — the property
+    * that makes replayed batches (foreachBatch retries) no-ops instead
+    * of double-counts. */
+  private val BatchMarker = "_applied_batch_id"
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: Path): Option[Long] = {
+    val m = new Path(dir, BatchMarker)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                          id: Long): Unit = {
+    val out = fs.create(new Path(dir, BatchMarker), true)
+    try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Fold a batch into the on-disk state at `stateDir` (bootstraps on
     * first call; legacy pre-`cnt_m` state upgrades in place). Rewrites
     * through the same `_`-staged swap the other maintenance jobs use, so
     * a mid-failure leaves the previous state readable; the rewrite is
-    * |keys|-sized, not history-sized. */
+    * |keys|-sized, not history-sized.
+    *
+    * `batchId` (streaming callers — see
+    * [[graft.streaming.IncrementalAggSink]]) makes the fold
+    * replay-idempotent: a batch id ≤ the marker committed with the
+    * current state is skipped, and the marker rides INSIDE the state dir
+    * through the promote rename, so state and progress commit together —
+    * a crash between them cannot double-count a replayed micro-batch. */
   def refresh(spark: SparkSession, stateDir: String, batch: DataFrame,
-              keys: Seq[String], measures: Seq[String]): Unit = {
+              keys: Seq[String], measures: Seq[String],
+              batchId: Option[Long] = None): Unit = {
     val path = new Path(stateDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (batchId.isDefined && fs.exists(path) &&
+        readMarker(fs, path).exists(_ >= batchId.get)) {
+      return // replayed micro-batch: already folded into this state
+    }
     val delta = partials(batch, keys, measures)
     if (!fs.exists(path)) {
-      delta.write.mode(SaveMode.ErrorIfExists).parquet(stateDir)
+      // bootstrap through the same staged rename: marker and first state
+      // commit together (writing the marker after a direct write would
+      // leave a crash window where a replay double-counts the batch)
+      val (tmp, _) = Maintenance.stagingPaths(path, "incragg")
+      delta.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      batchId.foreach(writeMarker(fs, tmp, _))
+      if (!fs.rename(tmp, path))
+        throw new java.io.IOException(s"refresh: could not promote $tmp")
       return
     }
     // no checkpoint needed: the tmp write below fully materializes the
@@ -107,6 +152,7 @@ object IncrementalAgg {
     val merged = merge(upgraded(spark.read.parquet(stateDir)), delta, keys)
     val (tmp, old) = Maintenance.stagingPaths(path, "incragg")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    batchId.foreach(writeMarker(fs, tmp, _))
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(path, old))
       throw new java.io.IOException(s"refresh: could not move $stateDir aside")
