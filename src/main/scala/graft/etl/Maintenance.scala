@@ -93,6 +93,45 @@ object Maintenance {
   final case class UpsertReport(baseRows: Long, updateRows: Long,
                                 resultRows: Long)
 
+  final case class DeleteReport(baseRows: Long, deletedRows: Long,
+                                resultRows: Long)
+
+  /** Keyed erasure (DELETE WHERE key IN …): the right-to-be-forgotten /
+    * retention primitive. Rewrites the table without rows whose `key`
+    * appears in `keys` — a LEFT ANTI join (broadcast for the typical
+    * small erasure list; AQE decides) — through the same staged swap as
+    * `compact`/`mergeUpsert`, so a mid-failure leaves the original
+    * readable. This is the full-rewrite form; at 100 TB, partition the
+    * table and erase only the partitions a Bloom/zone check says contain
+    * the keys (`etl.BloomIndex.prune` gives exactly that file list) —
+    * the anti-join semantics stay as here. */
+  def deleteByKey(spark: SparkSession, dir: String, keys: DataFrame,
+                  key: String): DeleteReport = {
+    val base = spark.read.parquet(dir)
+    require(base.columns.contains(key), s"no column '$key' in $dir")
+    val nBase = base.count()
+    // no checkpoint: the tmp write below materializes the anti-join while
+    // `dir` is still intact; the renames only run after
+    val keep = base.join(
+        keys.select(keys.columns.head).toDF(key).distinct(),
+        Seq(key), "left_anti")
+
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (tmp, old) = stagingPaths(path, "delete")
+    keep.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"delete: could not move $dir aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back
+      throw new java.io.IOException(s"delete: could not promote $tmp")
+    }
+    fs.delete(old, true)
+    val nAfter = spark.read.parquet(dir).count()
+    DeleteReport(nBase, nBase - nAfter, nAfter)
+  }
+
   /** Keyed upsert (MERGE INTO analogue on plain parquet): base ∪ updates,
     * keep the winning row per key — the greatest `versionCol` wins
     * regardless of side (true versioned-MERGE semantics: a stale update
@@ -119,11 +158,13 @@ object Maintenance {
       .unionByName(updates.withColumn("__src", lit(1)))
     val w = Window.partitionBy(col(key))
       .orderBy(col(versionCol).desc, col("__src").desc)
+    // no checkpoint: the tmp write below materializes the winners while
+    // `dir` is still intact (renames only run after) — and a checkpoint
+    // here would leak cached blocks on every UpsertSink micro-batch
     val winners = tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
-      .localCheckpoint(true) // materialize BEFORE the swap reads the dir
 
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -144,4 +144,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(out.filter(col("dt") === "2024-01-02" && col("v") === "c").count() == 0)
     assert(out.filter(col("v") === "c2").count() == 1)
   }
+
+  test("deleteByKey: keyed erasure removes exactly the listed keys, swap-safe") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-delete").toString + "/t"
+    (0L until 100L).map(i => (i, s"user_$i", i * 1.5))
+      .toDF("user_id", "name", "score")
+      .write.parquet(dir)
+    val erase = Seq(3L, 7L, 42L, 999L).toDF("user_id") // 999 absent
+    val rep = Maintenance.deleteByKey(spark, dir, erase, "user_id")
+    assert(rep == Maintenance.DeleteReport(100L, 3L, 97L))
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 97)
+    assert(left.filter(col("user_id").isin(3L, 7L, 42L)).isEmpty)
+    // untouched rows fully intact
+    assert(left.filter(col("user_id") === 5L)
+      .collect().head.getString(1) == "user_5")
+    // no staging leftovers visible to discovery
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(parent).map(_.getPath.getName)
+      .forall(n => n == "t"))
+  }
 }
