@@ -80,28 +80,44 @@ object Bpe {
   def learnMerges(words: DataFrame, k: Int, minCount: Long = 2)
       : (Seq[(String, String)], DataFrame) = {
     require(k >= 0, "k must be non-negative")
+    // LAZY checkpoints: each round's argmax job materializes the current
+    // syms frame as a side effect (truncating its lineage), so a round
+    // costs exactly ONE Spark job — the eager-checkpoint form paid a
+    // second stop-the-world job per round just to materialize the merge.
+    // The previous frame is unpersisted only AFTER the argmax job runs:
+    // before that job the new frame's plan still reads the old frame's
+    // blocks (a lazy localCheckpoint truncates lineage at first
+    // materialization, not at creation).
     var syms = words.select(col("word"), charSymbols(col("word")).as("syms"),
-      col("n")).localCheckpoint(true)
+      col("n")).localCheckpoint(false)
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var done = false
     while (round < k && !done) {
+      // TakeOrderedAndProject: per-partition top-1 partials, single job,
+      // never the full pair table on the driver
       val top = explodePairs(syms)
         .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (top.isEmpty || top.head.getLong(2) < minCount) done = true
       else {
         val (a, b) = (top.head.getString(0), top.head.getString(1))
         merges += ((a, b))
         val next = syms.select(col("word"),
           mergeStep(col("syms"), a, b).as("syms"), col("n"))
-          .localCheckpoint(true)
-        syms.unpersist()
+          .localCheckpoint(false)
+        prev = syms
         syms = next
       }
       round += 1
     }
+    // `prev` (if any) must stay cached here: the returned syms frame is
+    // still lazy and reads prev's blocks until the caller's first action
+    // materializes it. One vocab-sized frame outliving the loop is the
+    // price of the one-job rounds.
     (merges.result(), syms)
   }
 

@@ -149,6 +149,25 @@ case class AsofJoinExec(
           if (v == null) 0L else v.asInstanceOf[Long]
         }
 
+        // Per-row cost discipline (this loop runs once per left row at
+        // 100 TB): the right head's key/ts are projected ONCE per head
+        // change and cached — not re-projected on every left-row
+        // comparison — and the backward carry state avoids copies where
+        // the projection buffer provably isn't overwritten before use:
+        //  - carryPayload holds the payloadProj buffer uncopied; the next
+        //    payloadProj call is the next consume, which replaces the
+        //    carry anyway (outProj copies values out before that);
+        //  - carryKey is copied only when the consumed key differs from
+        //    the current carry (one copy per distinct key, not per row).
+        var headKey: UnsafeRow = null   // rKeyProj buffer; valid until next head projection
+        var headTs = 0L
+        var headStale = true
+        def refreshHead(): Unit = {
+          headKey = rKeyProj(rBuf.head)
+          headTs = ts(rTsBound, rBuf.head)
+          headStale = false
+        }
+
         // backward carries the latest consumed right row (O(1) state);
         // forward only ever needs the right head, so it carries nothing.
         var carryKey: UnsafeRow = null
@@ -161,13 +180,15 @@ case class AsofJoinExec(
           if (!fwd) {
             var advancing = true
             while (advancing && rBuf.hasNext) {
-              val head = rBuf.head
-              val c = keyOrd.compare(rKeyProj(head), lKey)
-              if (c < 0 || (c == 0 && ts(rTsBound, head) <= lTs)) {
+              if (headStale) refreshHead()
+              val c = keyOrd.compare(headKey, lKey)
+              if (c < 0 || (c == 0 && headTs <= lTs)) {
                 val r = rBuf.next()
-                carryKey = rKeyProj(r).copy()
-                carryTs = ts(rTsBound, r)
-                carryPayload = payloadProj(r).copy()
+                if (carryKey == null || keyOrd.compare(carryKey, headKey) != 0)
+                  carryKey = headKey.copy()
+                carryTs = headTs
+                carryPayload = payloadProj(r)
+                headStale = true
               } else advancing = false
             }
             val matched = carryKey != null &&
@@ -177,15 +198,15 @@ case class AsofJoinExec(
           } else {
             var advancing = true
             while (advancing && rBuf.hasNext) {
-              val head = rBuf.head
-              val c = keyOrd.compare(rKeyProj(head), lKey)
-              if (c < 0 || (c == 0 && ts(rTsBound, head) < lTs)) rBuf.next()
+              if (headStale) refreshHead()
+              val c = keyOrd.compare(headKey, lKey)
+              if (c < 0 || (c == 0 && headTs < lTs)) { rBuf.next(); headStale = true }
               else advancing = false
             }
             val matched = rBuf.hasNext && {
-              val head = rBuf.head
-              keyOrd.compare(rKeyProj(head), lKey) == 0 &&
-                tol.forall(t => ts(rTsBound, head) - lTs <= t)
+              if (headStale) refreshHead()
+              keyOrd.compare(headKey, lKey) == 0 &&
+                tol.forall(t => headTs - lTs <= t)
             }
             outProj(joined(lRow,
               if (matched) payloadProj(rBuf.head) else nullPayload))

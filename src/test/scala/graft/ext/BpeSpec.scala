@@ -72,6 +72,41 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("learnMerges runs a bounded number of Spark jobs per round") {
+    // The merge loop's scale contract: each round costs ONE driver-visible
+    // action (the argmax collect) — the per-round checkpoint is lazy and
+    // materializes inside that same action. AQE may split one action into
+    // a couple of scheduler jobs (per exchange stage), so pin jobs-per-
+    // round ≤ 3; the eager-checkpoint form costed an extra full
+    // materialization job per round on top.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    val vocab = words("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val k = 3
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (merges, _) = Bpe.learnMerges(vocab, k)
+      assert(merges.length == k)
+      // listener delivery is async — poll until the count is stable
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val c = counter.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      val jobs = counter.get()
+      assert(jobs <= 3 * k,
+        s"learnMerges($k) ran $jobs jobs — expected ≤ ${3 * k} (≤3/round)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("applyMerges tokenizes with learned order; piece counts conserve") {
     val spark0 = spark
     import spark0.implicits._
