@@ -30,13 +30,46 @@ object ExtensionQueries {
       .select(col("doc_id"), col("text")),
     Some("SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"))
 
-  /** MinHash+LSH near-dup clustering — full assignment, one row per doc. */
+  /** MinHash+LSH near-dup clustering — full assignment, one row per doc.
+    *
+    * Fully oracle-checked: the LSH path's RESULT is exactly the connected
+    * components of the {Jaccard ≥ 0.7} pair graph whenever LSH recall is
+    * perfect, and on this corpus it is — the planted near-dup pairs all
+    * sit at jac ≥ 0.9 (P(LSH miss at j=0.9) = (1−0.9⁴)³² ≈ 1e-15) with a
+    * clean margin gap below 0.7, and no bucket exceeds the cap. DuckDB
+    * rebuilds the edge set from raw text (same word-3-gram Jaccard as the
+    * verify stage) and clusters it with a recursive-CTE transitive
+    * closure + min-label. A mismatch in sketching, banding, bucket
+    * capping, verify, or CC labeling all surface here. */
   val dedupMinhash = Q(
     "q_x_dedup_minhash",
     "MinHash+LSH near-dup clustering (sig→band→bucket→verify→CC)",
     (s, dir) => Dedup.minhash(
       Sources.table(s, dir, "documents"), "doc_id", "text"),
-    None, headline = true)
+    Some("""WITH RECURSIVE d AS (SELECT doc_id,
+           |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+           | sh AS (SELECT doc_id, list_distinct(CASE
+           |   WHEN len(toks) = 0 THEN []
+           |   WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+           |   ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+           |   END) AS s FROM d),
+           | e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a, sh b
+           |   WHERE a.doc_id < b.doc_id AND (CASE
+           |     WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+           |     WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+           |     ELSE len(list_intersect(a.s, b.s)) * 1.0
+           |       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+           |     END) >= 0.7),
+           | ed AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+           | reach AS (SELECT u, v FROM ed
+           |   UNION SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u
+           |   WHERE ed.v <> r.u),
+           | lab AS (SELECT u AS doc_id, min(v) AS m FROM reach GROUP BY u)
+           | SELECT doc.doc_id,
+           |   CAST(least(doc.doc_id, coalesce(l.m, doc.doc_id)) AS BIGINT) AS cluster_id,
+           |   least(doc.doc_id, coalesce(l.m, doc.doc_id)) = doc.doc_id AS is_canonical
+           | FROM documents doc LEFT JOIN lab l ON doc.doc_id = l.doc_id"""
+      .stripMargin.replace("\n", "")), headline = true)
 
   /** SimHash near-dup clustering (hamming ≤ 3 via chunk pigeonhole). */
   val dedupSimhash = Q(
@@ -45,6 +78,48 @@ object ExtensionQueries {
     (s, dir) => Dedup.simhashDedup(
       Sources.table(s, dir, "documents"), "doc_id", "text"),
     None)
+
+  /** SimHash can't share the Jaccard oracle — hamming-≤3 is a genuinely
+    * different similarity relation (measured on this corpus it both merges
+    * pairs below jac 0.7 and splits pairs above 0.9) — so the LSH-bucketed
+    * distributed path is anchored against brute-force ground truth computed
+    * IN THE SAME FRAME: all-pairs hamming over the signatures → CC →
+    * compare with [[Dedup.simhashDedup]]'s assignment, emitting violations.
+    * The anchored run is CAP-FREE (maxBucket = ∞): the deterministic
+    * invariant is that the 4×16-bit chunk pigeonhole is exhaustive for
+    * hamming ≤ 3, and the bucket cap is a documented recall tradeoff that
+    * would otherwise read as violations (at sf0.1, 27 buckets exceed 64;
+    * cap-free the paths agree exactly). Expected empty, pinned by a 0-row
+    * oracle — a recall loss in the chunk-LSH or a CC labeling bug becomes
+    * driver-visible rows. The all-pairs join is the ANCHOR's shape
+    * (test-scale only, broadcast nested loop over 8-byte sigs); the
+    * production operator stays bucketed and capped. */
+  val dedupSimhashAnchor = Q(
+    "q_x_dedup_simhash_anchor",
+    "SimHash LSH path vs brute-force hamming CC (violations; expect 0 rows)",
+    (s, dir) => {
+      val docs = Sources.table(s, dir, "documents")
+      val sigs = docs.select(col("doc_id").as("id"),
+          TextExprs.simhash(col("text")).as("sh"))
+        .localCheckpoint(true)
+      val a = sigs.select(col("id").as("a"), col("sh").as("sha"))
+      val b = sigs.select(col("id").as("b"), col("sh").as("shb"))
+      val edges = a.join(broadcast(b), col("a") < col("b"))
+        .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= 3)
+        .select(col("a"), col("b"))
+      val expected = Dedup.connectedComponents(sigs.select(col("id")), edges)
+        .select(col("id").as("doc_id"), col("cluster_id").as("expected_cluster"))
+      val actual = Dedup.simhashDedup(docs, "doc_id", "text",
+          maxHamming = 3, maxBucket = Int.MaxValue)
+        .select(col("doc_id"), col("cluster_id").as("actual_cluster"))
+      actual.join(expected, "doc_id")
+        .filter(col("actual_cluster") =!= col("expected_cluster"))
+        .select(col("doc_id"), col("actual_cluster"), col("expected_cluster"))
+    },
+    Some("""SELECT CAST(NULL AS BIGINT) AS doc_id,
+           | CAST(NULL AS BIGINT) AS actual_cluster,
+           | CAST(NULL AS BIGINT) AS expected_cluster WHERE 1 = 0"""
+      .stripMargin.replace("\n", "")))
 
   /** The minhash/simhash VERIFY stage, oracle-anchored: the clustering
     * queries are rows-only (engine-specific sketch hashes), but their
@@ -971,7 +1046,8 @@ object ExtensionQueries {
       .stripMargin.replace("\n", "")))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupVerify, dedupIncremental,
+    dedupExact, dedupMinhash, dedupSimhash, dedupSimhashAnchor, dedupVerify,
+    dedupIncremental,
     ngramJaccardTop1,
     editDistance, decontaminate, decontaminateBloom, resampleFfill, embNearDup,
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
