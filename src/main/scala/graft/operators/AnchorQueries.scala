@@ -1,0 +1,412 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Decontaminate, Dedup, Multimodal, Similarity}
+import graft.functions.TextExprs
+import graft.sources.Sources
+
+/** Anchor queries: driver-visible correctness rows for the approximate /
+  * engine-specific operators whose primary outputs can't be hash-compared
+  * against DuckDB (sketch values, LSH buckets, codec hashes differ per
+  * engine by construction).
+  *
+  * Each anchor re-derives a deterministic invariant of the operator ON THE
+  * SAME FRAME — no-undercount for count-min, subset-of-exact for LSH
+  * counts, no-false-negative for Bloom decontamination, argmax-optimality
+  * for the k-means kernel — and emits VIOLATION ROWS, pinned by a 0-row
+  * DuckDB oracle. The operators are deterministic for a fixed dataset
+  * (seeded hashes, deterministic init), so each anchor either always
+  * passes or exposes a real bug; thresholds carry a measured margin
+  * (see Scaladoc per query) so they hold at every tested SF without going
+  * vacuous. ScalaTest specs pin the tighter in-JVM bounds; these anchors
+  * make the same guarantees visible to the external correctness gate.
+  */
+object AnchorQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  private def noRows(cols: (String, String)*): Some[String] =
+    Some(cols.map { case (n, ty) => s"CAST(NULL AS $ty) AS $n" }
+      .mkString("SELECT ", ", ", " WHERE 1 = 0"))
+
+  /** percentile_approx(acc=1000) returns an actual group element whose
+    * rank error is ≤ n/1000, so the estimate must lie inside the exact
+    * quantile envelope [q−0.005, q+0.005] (5× the guarantee). Measured
+    * deviation on the test data: the estimates coincide with the exact
+    * quantiles to <1e-6 at sf0.01 and sf0.1 — the envelope is pure
+    * safety margin. */
+  val percentileApproxAnchor = Q(
+    "q_a7b_percentile_anchor",
+    "approx percentiles inside the exact quantile envelope (expect 0 rows)",
+    (s, dir) => {
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+            .as("ap"),
+          expr("percentile(l_extendedprice, " +
+            "array(0.245, 0.255, 0.495, 0.505, 0.745, 0.755))").as("ex"))
+      val checks = Seq((0, 0, 1, "0.25"), (1, 2, 3, "0.50"), (2, 4, 5, "0.75"))
+      checks.map { case (ai, lo, hi, qname) =>
+        g.select(col("l_returnflag"), lit(qname).as("q"),
+            round(col("ap").getItem(ai), 2).as("approx_value"),
+            round(col("ex").getItem(lo), 2).as("lo"),
+            round(col("ex").getItem(hi), 2).as("hi"))
+          .filter(col("approx_value") < col("lo") - 0.01 ||
+            col("approx_value") > col("hi") + 0.01)
+      }.reduce(_.unionAll(_))
+    },
+    noRows("l_returnflag" -> "VARCHAR", "q" -> "VARCHAR",
+      "approx_value" -> "DOUBLE", "lo" -> "DOUBLE", "hi" -> "DOUBLE"))
+
+  /** Shared shape for the ANN anchors, three invariant families over the
+    * exact brute-force top-k computed in the same frame:
+    *  - structure: ≤ k rows per probe, no self-neighbor, no duplicates;
+    *  - quality gap: every RETURNED neighbor's cosine is within `gapBound`
+    *    of the exact k-th-best (an approximate result may swap in a
+    *    near-tie, never a genuinely-far vector);
+    *  - aggregate recall: total exact-top-k hits across all probes ≥
+    *    `minTotalHits` (per-probe recall on this corpus is genuinely
+    *    probabilistic — the probe vectors have no planted near-dups, top
+    *    cosines sit ~0.3-0.5 where single-probe retrieval is a coin flip
+    *    by design — but the corpus-level total is deterministic for the
+    *    seeded hashes and sits far above the floor).
+    * Violations only, one unified row shape. */
+  private[operators] def annAnchor(emb: DataFrame, approx: DataFrame, k: Int,
+                                   minTotalHits: Long, gapBound: Double): DataFrame = {
+    val exact = Similarity.bruteForceTopK(emb, (0L until 10L).toSeq, k)
+    val structure = approx
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("neighbor_id")).as("n_distinct"),
+        sum(when(col("neighbor_id") === col("vec_id"), 1L).otherwise(0L))
+          .as("n_self"))
+      .filter(col("n_rows") > k || col("n_distinct") < col("n_rows") ||
+        col("n_self") > 0)
+      .select(lit("structure").as("reason"), col("vec_id"),
+        col("n_rows").cast("double").as("got"), lit(k.toDouble).as("bound"))
+    val kthBest = exact.filter(col("rank") === k)
+      .select(col("vec_id"), col("cos").as("cos_kth"))
+    val qualityGap = approx.join(kthBest, "vec_id")
+      .groupBy(col("vec_id"))
+      .agg(min(col("cos") - col("cos_kth")).as("gap"))
+      .filter(col("gap") < -gapBound)
+      .select(lit("quality_gap").as("reason"), col("vec_id"),
+        col("gap").as("got"), lit(-gapBound).as("bound"))
+    val recall = approx.select(col("vec_id"), col("neighbor_id"))
+      .join(exact.select(col("vec_id"), col("neighbor_id")),
+        Seq("vec_id", "neighbor_id"))
+      .agg(count(lit(1)).as("total_hits"))
+      .filter(col("total_hits") < minTotalHits)
+      .select(lit("recall_total").as("reason"), lit(-1L).as("vec_id"),
+        col("total_hits").cast("double").as("got"),
+        lit(minTotalHits.toDouble).as("bound"))
+    structure.unionAll(qualityGap).unionAll(recall)
+  }
+
+  private val annCols = Seq("reason" -> "VARCHAR", "vec_id" -> "BIGINT",
+    "got" -> "DOUBLE", "bound" -> "DOUBLE")
+
+  /** LSH-forest ANN vs exact top-3. Measured on the test corpora: worst
+    * per-probe quality gap 0.074 (bound 0.15), total hits 12/30 at sf0.01
+    * (floor 5) — the forest returns near-tie substitutes, never far
+    * vectors, and a real recall collapse (e.g. bucket join broken → empty
+    * or random results) trips the floor immediately. */
+  val annLshAnchor = Q(
+    "q_x_ann_lsh_anchor",
+    "LSH ANN: structure + quality gap + total recall (expect 0 rows)",
+    (s, dir) => annAnchor(t(s, dir, "embeddings"),
+      Similarity.lshTopK(t(s, dir, "embeddings"), (0L until 10L).toSeq, 3),
+      k = 3, minTotalHits = 5L, gapBound = 0.15),
+    noRows(annCols: _*))
+
+  /** IVF ANN vs exact top-3 — same contract, tighter constants (nProbe=4
+    * of 16 cells retrieves the exact top-1 for every probe; measured
+    * total hits 29/30, worst gap 0.009). */
+  val annIvfAnchor = Q(
+    "q_x_ann_ivf_anchor",
+    "IVF ANN: structure + quality gap + total recall (expect 0 rows)",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = Similarity.trainCentroids(emb, k = 16, maxSample = 20000)
+      annAnchor(emb, Similarity.ivfTopK(emb, (0L until 10L).toSeq, 3, centroids),
+        k = 3, minTotalHits = 15L, gapBound = 0.10)
+    },
+    noRows(annCols: _*))
+
+  /** Embedding near-dup LSH counts are SUBSETS of the truth: every
+    * LSH-counted near-dup pair shares a hyperplane bucket AND has
+    * cos ≥ 0.9, so per-vector `n_near_dups` can never exceed the exact
+    * whole-corpus count of cos ≥ 0.9 neighbors, and never exceed
+    * `n_candidates`. The exact side is recomputed brute-force for just
+    * the vectors that reported near-dups (bounded: the planted dup set),
+    * broadcast against the corpus. */
+  val embNearDupAnchor = Q(
+    "q_x_emb_near_dup_anchor",
+    "LSH near-dup counts <= exact cos>=0.9 counts (expect 0 rows)",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val rep = Dedup.embeddingNearDup(emb, "vec_id", "embedding")
+      val flagged = rep.filter(col("n_near_dups") > 0)
+        .join(emb.select(col("vec_id"), col("embedding").as("va")), "vec_id")
+      val exactN = flagged
+        .select(col("vec_id"), col("va"))
+        .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")),
+          col("vec_id") =!= col("b"))
+        .filter(TextExprs.cosine_sim(col("va"), col("vb")) >= 0.9)
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("exact_n"))
+      rep.join(exactN, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("n_candidates"), col("n_near_dups"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+        .filter(col("n_near_dups") > col("exact_n") ||
+          col("n_near_dups") > col("n_candidates") ||
+          col("n_candidates") < 0)
+    },
+    noRows("vec_id" -> "BIGINT", "n_candidates" -> "BIGINT",
+      "n_near_dups" -> "BIGINT", "exact_n" -> "BIGINT"))
+
+  /** Count-min NEVER undercounts (each row is a sum of true count +
+    * non-negative collision mass), and with depth 4 the minimum row's
+    * overcount stays far under the single-row expectation N/width.
+    * Violation if est < n, or est > n + 3·N/width (measured max overcount
+    * on the top-50 probes: ≪ N/width at both SFs — the 3× bound is
+    * margin, not tuning). */
+  val vocabCmAnchor = Q(
+    "q_x_vocab_cm_anchor",
+    "count-min: no undercount, overcount <= 3N/width (expect 0 rows)",
+    (s, dir) => {
+      import graft.functions.CountMinAgg
+      val depth = 4; val width = 2048
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .filter(col("token") =!= "")
+        .select(col("token"), xxhash64(col("token")).as("h"))
+      val cm = udaf(new CountMinAgg(depth, width),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val agg = toks.agg(cm(col("h")).as("sk"), count(lit(1)).as("total"))
+        .head()
+      val sketch = agg.getAs[scala.collection.Seq[Long]]("sk").toArray
+      val bound = 3L * agg.getAs[Long]("total") / width
+      toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+        .select(col("token"), col("n"),
+          TextExprs.countmin_estimate(xxhash64(col("token")), sketch,
+            depth, width).as("est_n"))
+        .filter(col("est_n") < col("n") || col("est_n") > col("n") + bound)
+    },
+    noRows("token" -> "VARCHAR", "n" -> "BIGINT", "est_n" -> "BIGINT"))
+
+  /** Winnowing is a pure function of the text: identical texts MUST yield
+    * identical fingerprint summaries (the property that makes winnowing a
+    * dedup/fingerprint key), every doc long enough to hold one k-gram
+    * window yields ≥ 1 fingerprint, and min_fp ≤ max_fp. Violations are
+    * aggregated to (reason, n) rows. */
+  val winnowAnchor = Q(
+    "q_x_winnow_anchor",
+    "winnowing: text-determinism + nonempty + ordered (expect 0 rows)",
+    (s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("doc_id") +: col("text") +:
+          graft.ext.TextAnalysis.winnowSummary(col("text")): _*)
+      val nondeterministic = w.groupBy(col("text"))
+        .agg(count_distinct(struct(col("n_fingerprints"), col("min_fp"),
+          col("max_fp"))).as("v"))
+        .filter(col("v") > 1)
+        .agg(count(lit(1)).as("n")).select(lit("text_nondeterministic").as("reason"), col("n"))
+      val empty = w
+        .filter(col("n_fingerprints") < 1 && length(col("text")) >= 30)
+        .agg(count(lit(1)).as("n")).select(lit("empty_signature").as("reason"), col("n"))
+      val unordered = w.filter(col("min_fp") > col("max_fp"))
+        .agg(count(lit(1)).as("n")).select(lit("min_gt_max").as("reason"), col("n"))
+      nondeterministic.unionAll(empty).unionAll(unordered)
+        .filter(col("n") > 0)
+    },
+    noRows("reason" -> "VARCHAR", "n" -> "BIGINT"))
+
+  /** The merged per-source minhash signature estimates the TRUE Jaccard
+    * of the sources' shingle sets: 128 independent min-hash coordinates
+    * give σ ≈ 0.044; the anchor recomputes the exact per-source-pair
+    * Jaccard from distinct shingles in the same frame and flags
+    * |est − true| > 0.15 (> 3σ; measured max deviation is far lower at
+    * both SFs). A broken merge (e.g. taking max, or dropping partials)
+    * lands est near 0 or 1 and trips this immediately. */
+  val sourceSignatureAnchor = Q(
+    "q_x_source_signature_anchor",
+    "per-source minhash est_jaccard within 0.15 of exact (expect 0 rows)",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mh = udaf(graft.functions.MinHashMerge)
+      val sigs = docs
+        .select(col("source"), TextExprs.minhash_sig(col("text")).as("sig"))
+        .groupBy(col("source")).agg(mh(col("sig")).as("sig"))
+      val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
+      val est = a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          (aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+            lit(0.0), (acc, v) => acc + v) / size(col("sig_a"))).as("est"))
+      val grams = docs.select(col("source"),
+          explode(TextExprs.sorted_shingles(col("text"), 3)).as("g"))
+        .distinct()
+      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = grams.select(col("source").as("source_a"), col("g"))
+        .join(grams.select(col("source").as("source_b"), col("g")), Seq("g"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("i"))
+      val truth = inter
+        .join(sizes.select(col("source").as("source_a"), col("n").as("na")),
+          "source_a")
+        .join(sizes.select(col("source").as("source_b"), col("n").as("nb")),
+          "source_b")
+        .select(col("source_a"), col("source_b"),
+          (col("i") / (col("na") + col("nb") - col("i"))).as("truth"))
+      est.join(truth, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          round(col("est"), 3).as("est_jaccard"),
+          round(coalesce(col("truth"), lit(0.0)), 3).as("true_jaccard"))
+        .filter(abs(col("est_jaccard") - col("true_jaccard")) > 0.15)
+    },
+    noRows("source_a" -> "VARCHAR", "source_b" -> "VARCHAR",
+      "est_jaccard" -> "DOUBLE", "true_jaccard" -> "DOUBLE"))
+
+  /** Incremental dedup equals ground truth on a probe slice: for new docs
+    * (doc_id % 25 == 0, a fifth of the incremental batch) the banded-LSH
+    * match set must equal the brute-force {jaccard ≥ 0.7} pair set
+    * against the corpus — the test corpus's similarity gap (planted pairs
+    * ≥ 0.9, everything else far below 0.7) makes LSH recall exact, the
+    * same property the q_x_dedup_minhash full oracle rests on. Emits the
+    * symmetric difference with a side tag. */
+  val dedupIncrementalAnchor = Q(
+    "q_x_dedup_incremental_anchor",
+    "incremental LSH match set == brute-force jac>=0.7 set (expect 0 rows)",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val newP = docs.filter(col("doc_id") % 25 === 0)
+      val index = Dedup.bandIndex(corpus, "doc_id", "text")
+      val reported = Dedup.incrementalMatch(newP, corpus, index, "doc_id",
+          "text", threshold = 0.7)
+        .select(col("new_id"), col("corpus_id"))
+      val newSh = newP.select(col("doc_id").as("new_id"),
+        TextExprs.sorted_shingles(col("text"), 3).as("sh_new"))
+      val corpusSh = corpus.select(col("doc_id").as("corpus_id"),
+        TextExprs.sorted_shingles(col("text"), 3).as("sh_old"))
+      val truth = corpusSh.join(broadcast(newSh), lit(true))
+        .filter(TextExprs.array_jaccard(col("sh_new"), col("sh_old")) >= 0.7)
+        .select(col("new_id"), col("corpus_id"))
+      val missed = truth.join(reported, Seq("new_id", "corpus_id"),
+          "left_anti")
+        .select(col("new_id"), col("corpus_id"), lit("missed").as("side"))
+      val spurious = reported.join(truth, Seq("new_id", "corpus_id"),
+          "left_anti")
+        .select(col("new_id"), col("corpus_id"), lit("spurious").as("side"))
+      missed.unionAll(spurious)
+    },
+    noRows("new_id" -> "BIGINT", "corpus_id" -> "BIGINT",
+      "side" -> "VARCHAR"))
+
+  /** Bloom decontamination can over-remove (false positives at ~fpp) but
+    * can NEVER keep a contaminated doc (membership has no false
+    * negatives): every doc the exact path removes must also be removed by
+    * the Bloom path. Violations = docs Bloom kept that exact removed. */
+  val decontaminateBloomAnchor = Q(
+    "q_x_decontaminate_bloom_anchor",
+    "bloom keeps no doc that exact decontamination removes (expect 0 rows)",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+      val exactKept = Decontaminate.exact(docs, probes, "doc_id", "text",
+        n = 8).select(col("doc_id"))
+      val bloomKept = Decontaminate.bloom(docs, probes, "doc_id", "text",
+        n = 8, expectedGrams = 100000L).select(col("doc_id"))
+      bloomKept.join(exactKept, Seq("doc_id"), "left_anti")
+    },
+    noRows("doc_id" -> "BIGINT"))
+
+  /** The k-means assignment kernel (`nearest_cells` codegen) is argmax-
+    * optimal: re-deriving each vector's best cell with plain Spark SQL
+    * (posexplode of the literal centroid array + cosine_sim + max) must
+    * agree within float tolerance, and the cluster sizes must sum to the
+    * corpus size. A kernel bug (wrong tie-break, off-by-one cell index,
+    * unnormalized dot) surfaces as rows. */
+  val kmeansAnchor = Q(
+    "q_x_kmeans_anchor",
+    "k-means assignment is argmax-optimal + sizes sum (expect 0 rows)",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = Similarity.trainCentroids(emb, k = 8, maxSample = 20000)
+      val assigned = Similarity.assignCells(emb, centroids)
+      val centLit: Column = typedLit(centroids.map(_.toSeq).toSeq)
+      val scored = emb
+        .select(col("vec_id"), col("embedding"),
+          posexplode(centLit).as(Seq("cell", "cvec")))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          TextExprs.cosine_sim(col("embedding"), col("cvec")).as("cos"))
+      val best = scored.groupBy(col("vec_id"))
+        .agg(max(col("cos")).as("best_cos"))
+      val assignedCos = assigned
+        .join(scored, assigned("vec_id") === scored("vec_id") &&
+          assigned("cluster_id") === scored("cell"))
+        .select(assigned("vec_id"), col("cos").as("assigned_cos"))
+      val subopt = assignedCos.join(best, "vec_id")
+        .filter(col("best_cos") - col("assigned_cos") > 1e-5)
+        .select(lit("suboptimal_cell").as("reason"),
+          col("vec_id").cast("double").as("got"),
+          (col("best_cos") - col("assigned_cos")).as("want"))
+      val total = assigned.agg(count(lit(1)).as("n"))
+        .join(emb.agg(count(lit(1)).as("m")), lit(true))
+        .filter(col("n") =!= col("m"))
+        .select(lit("size_sum_mismatch").as("reason"),
+          col("n").cast("double").as("got"), col("m").cast("double").as("want"))
+      subopt.unionAll(total)
+    },
+    noRows("reason" -> "VARCHAR", "got" -> "DOUBLE", "want" -> "DOUBLE"))
+
+  /** Multimodal feature extraction invariants: every row decodes to the
+    * expected modality (png/wav/avi), the feature vector's declared and
+    * actual lengths agree, and payloads are non-trivial. Catches schema
+    * drift, a broken codec fallback, or a truncated batch. */
+  val multimodalAnchor = Q(
+    "q_x_multimodal_anchor",
+    "multimodal: known formats + consistent feat dims (expect 0 rows)",
+    (s, dir) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.attachMedia(t(s, dir, "documents"))).toDF()
+      feats.select(col("doc_id"), col("format"),
+          col("feat_dim").cast("long").as("feat_dim"),
+          col("n_bytes"), size(col("features")).cast("long").as("n_feats"))
+        .filter(!col("format").isin("image/png", "audio/wav", "video/avi") ||
+          col("n_feats") =!= col("feat_dim") ||
+          col("feat_dim") <= 0 || col("n_bytes") <= 8)
+        .select(col("doc_id"), col("format"), col("feat_dim"), col("n_bytes"))
+    },
+    noRows("doc_id" -> "BIGINT", "format" -> "VARCHAR",
+      "feat_dim" -> "BIGINT", "n_bytes" -> "BIGINT"))
+
+  /** Perceptual-hash scale invariance: a 2× resize of a REAL decoded PNG
+    * must hash within 24/64 bits of the original (measured max drift on
+    * the corpus is 16; 64 = the undecodable-fallback sentinel, so this
+    * also proves every synthetic PNG actually decodes). */
+  val imagePhashAnchor = Q(
+    "q_x_phash_anchor",
+    "image aHash resize drift <= 24 bits (expect 0 rows)",
+    (s, dir) => Multimodal.imageHashes(
+        Multimodal.attachMedia(t(s, dir, "documents"))).toDF()
+      .select(col("doc_id"), col("resized_hamming").cast("long")
+        .as("resized_hamming"))
+      .filter(col("resized_hamming") > 24),
+    noRows("doc_id" -> "BIGINT", "resized_hamming" -> "BIGINT"))
+
+  val all: Seq[Q] = Seq(
+    percentileApproxAnchor, annLshAnchor, annIvfAnchor, embNearDupAnchor,
+    vocabCmAnchor, winnowAnchor, sourceSignatureAnchor,
+    dedupIncrementalAnchor, decontaminateBloomAnchor, kmeansAnchor,
+    multimodalAnchor, imagePhashAnchor).map(_.copy(expectEmpty = true))
+}

@@ -21,14 +21,16 @@ final case class Q(
     doc: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    expectEmpty: Boolean = false)
 
 /** The full query surface, assembled from the parity catalog (SURVEY.md §2)
   * and the LLM-pipeline extension operators. */
 object Catalog {
   lazy val all: Seq[Q] =
     ParityQueries.all ++ TpchQueries.all ++ AnalyticsQueries.all ++
-      ExtensionQueries.all ++ PipelineQueries.all ++ StreamingQueries.all
+      ExtensionQueries.all ++ PipelineQueries.all ++ StreamingQueries.all ++
+      AnchorQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

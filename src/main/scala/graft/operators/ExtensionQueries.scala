@@ -119,7 +119,7 @@ object ExtensionQueries {
     Some("""SELECT CAST(NULL AS BIGINT) AS doc_id,
            | CAST(NULL AS BIGINT) AS actual_cluster,
            | CAST(NULL AS BIGINT) AS expected_cluster WHERE 1 = 0"""
-      .stripMargin.replace("\n", "")))
+      .stripMargin.replace("\n", "")), expectEmpty = true)
 
   /** The minhash/simhash VERIFY stage, oracle-anchored: the clustering
     * queries are rows-only (engine-specific sketch hashes), but their

@@ -238,6 +238,26 @@ object ParityQueries {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
     None)
 
+  /** HLL++ anchor: the estimate must land within 5× the configured rsd of
+    * the exact per-group count (0.02 rsd → 10% band, a ≥5σ margin). The
+    * sketch is deterministic for a given dataset, so this either always
+    * passes or exposes a real estimator/merge bug — driver-visible via a
+    * 0-row oracle, complementing ApproxAggSpec's tighter in-JVM pin. */
+  val approxDistinctAnchor = Q(
+    "q_a6_approx_distinct_anchor",
+    "HLL++ estimate within 10% of exact per group (violations; expect 0 rows)",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("exact_parts"),
+           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .filter(abs(col("approx_parts") - col("exact_parts")) >
+        col("exact_parts") * 0.10)
+      .select(col("l_returnflag"), col("exact_parts"), col("approx_parts")),
+    Some("""SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+           | CAST(NULL AS BIGINT) AS exact_parts,
+           | CAST(NULL AS BIGINT) AS approx_parts WHERE 1 = 0"""
+      .stripMargin.replace("\n", "")), expectEmpty = true)
+
   /** A4 — multi-column DISTINCT (the dim builds, sql_queries.py:184-211). */
   val distinctDim = Q(
     "q_a4_distinct",
@@ -840,7 +860,8 @@ object ParityQueries {
   val all: Seq[Q] = Seq(
     scanProject, filterEq, filterLike, filterInBetween,
     joinLeft, joinTwoKey, joinAnti, joinSemi, starJoin,
-    aggCount, aggGroup, groupingSets, countDistinct, approxDistinct, distinctDim,
+    aggCount, aggGroup, groupingSets, countDistinct, approxDistinct,
+    approxDistinctAnchor, distinctDim,
     percentiles, percentilesApprox, pivotCounts, cubeAgg, setOps, funnel,
     histogram,
     timeDims, epochRoundtrip, caseFiscal,

@@ -1,0 +1,173 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.Catalog
+
+/** Scale-up smoke harness: synthesize an N× copy of the
+  * documents/events/embeddings tables and time the headline
+  * document/event queries at 1× vs N×, recording wall time and total
+  * shuffle read+write bytes per query — the evidence for the "would the
+  * plan survive a 100× scale-up" argument (PERF_NOTES.md).
+  *
+  * Usage:
+  *   runMain graft.tools.ScaleSmokeMain gen <srcSfDir> <outDir> <N>
+  *   runMain graft.tools.ScaleSmokeMain run <srcSfDir> <scaledDir>
+  *
+  * Replica construction keeps the similarity structure honest:
+  * replica 0 is the original; replica i>0 re-ids rows and REWRITES each
+  * document's token stream with a replica-constant marker token inserted
+  * every 5 positions. Within a replica the planted near-dup pairs stay
+  * near-dups (both members get the same insertion pattern); across
+  * replicas ~3/5 of word-3-grams differ, pushing Jaccard far below the
+  * 0.7 dedup threshold — so an N× corpus has N× clusters, not N-wide
+  * cross-replica ones, and dedup work scales the way a real N× corpus
+  * would. Events keep `ts` as the raw nanos long so the scaled parquet
+  * reads back through the same Sources.table nanos path as the original.
+  */
+object ScaleSmokeMain {
+
+  private val smokeQueries = Seq(
+    "q_x_dedup_minhash", "q_x_dedup_simhash", "q_x_range_join",
+    "q_x_asof_join", "q_x_asof_native", "q_x_text_tokens",
+    "q_x_train_split", "q_x_corpus_shuffle", "q_x_bpe_pairs",
+    "q_x_resample_ffill", "q_x_ann_cosine_topk")
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: src :: out :: n :: Nil => gen(src, out, n.toInt)
+    case "run" :: src :: scaled :: Nil => run(src, scaled)
+    case "bpe" :: src :: k :: Nil => bpe(src, k.toInt)
+    case _ =>
+      System.err.println(
+        "usage: ScaleSmokeMain gen <srcSfDir> <outDir> <N> | " +
+          "run <srcSfDir> <scaledDir> | bpe <srcSfDir> <k>")
+      sys.exit(2)
+  }
+
+  /** Wall-clock learnMerges(k) over the documents vocabulary — the
+    * end-to-end tokenizer-induction number PERF_NOTES records (the
+    * bench's q_x_bpe_pairs covers only round-0 pair counting). */
+  private def bpe(src: String, k: Int): Unit = {
+    val spark = session()
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val words = graft.ext.Bpe.wordCounts(docs, "text")
+    words.write.format("noop").mode("overwrite").save() // warm scan
+    val t0 = System.nanoTime()
+    val (merges, syms) = graft.ext.Bpe.learnMerges(words, k)
+    syms.write.format("noop").mode("overwrite").save()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[scale-smoke] learnMerges(k=$k) at $src: $dt%.2f s, " +
+      s"${merges.size} merges learned")
+    spark.stop()
+  }
+
+  private def session(): SparkSession = {
+    val s = GraftSession.builder("graft-scale-smoke", "32").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def gen(src: String, out: String, n: Int): Unit = {
+    val spark = session()
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val events = spark.read.parquet(s"$src/events.parquet") // ts stays long nanos
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    val docOff = 10000000L
+    val evtOff = 100000000L
+    val vecOff = 10000000L
+
+    def replicas(i0: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until n).map(i => f(i0, i)).reduce(_.unionAll(_))
+
+    val docsN = replicas(docs, { (d, i) =>
+      val base = d.withColumn("doc_id", col("doc_id") + lit(i * docOff))
+      if (i == 0) base
+      else base.withColumn("text", array_join(flatten(transform(
+        filter(split(col("text"), " ", -1), t => t =!= lit("")),
+        (t, j) => when(j % 5 === 0, array(lit(s"r${i}x"), t))
+          .otherwise(array(t)))), " "))
+        .withColumn("n_chars", length(col("text")))
+    })
+    val eventsN = replicas(events, { (e, i) =>
+      e.withColumn("event_id", col("event_id") + lit(i * evtOff))
+        .withColumn("user_id", col("user_id") + lit(i * 10000L))
+    })
+    val embsN = replicas(embs, (e, i) =>
+      e.withColumn("vec_id", col("vec_id") + lit(i * vecOff)))
+
+    docsN.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    eventsN.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+    embsN.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scale-smoke] wrote ${n}x tables to $out")
+    spark.stop()
+  }
+
+  /** Wall time + shuffle bytes per query, 1× vs N×. Same noise protocol
+    * as Bench: the full (query × dir) grid runs `reps` times end-to-end
+    * and each cell keeps its min across passes, so a co-tenant burst
+    * (multi-minute, frequent on this host) inflates one pass, not every
+    * measurement of one cell. Shuffle bytes are deterministic — recorded
+    * once on the first pass. */
+  private def run(src: String, scaled: String): Unit = {
+    val spark = session()
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(
+          m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def timed(name: String, dir: String): (Double, Long) = {
+      val q = Catalog.byName(name)
+      GraftSession.dropCachedBlocks(spark)
+      val b0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      force(q.run(spark, dir))
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // listener drain
+      (dt, shuffleBytes.get() - b0)
+    }
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val t1 = scala.collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
+    val tn = scala.collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
+    val b1 = scala.collection.mutable.Map[String, Long]()
+    val bn = scala.collection.mutable.Map[String, Long]()
+    val failed = scala.collection.mutable.Set[String]()
+    // warm pass (codegen/classloading) on the small dir only
+    smokeQueries.foreach { name =>
+      try timed(name, src)
+      catch { case e: Throwable =>
+        println(s"$name FAILED: ${e.getMessage}"); failed += name }
+    }
+    for (pass <- 1 to reps) {
+      smokeQueries.filterNot(failed).foreach { name =>
+        try {
+          val (a, ba) = timed(name, src)
+          val (b, bb) = timed(name, scaled)
+          t1(name) = math.min(t1(name), a); tn(name) = math.min(tn(name), b)
+          b1.getOrElseUpdate(name, ba); bn.getOrElseUpdate(name, bb)
+        } catch {
+          case e: Throwable =>
+            println(s"$name FAILED: ${e.getMessage}"); failed += name
+        }
+      }
+      System.err.println(s"[scale-smoke] pass $pass/$reps done")
+    }
+    println(f"${"query"}%-24s ${"t_1x"}%8s ${"t_Nx"}%8s ${"ratio"}%6s ${"shuf_1x"}%10s ${"shuf_Nx"}%10s ${"shufR"}%6s")
+    smokeQueries.filterNot(failed).foreach { name =>
+      def mb(x: Long) = f"${x / 1e6}%.1fMB"
+      println(f"$name%-24s ${t1(name)}%8.2f ${tn(name)}%8.2f ${tn(name) / t1(name)}%6.1f ${mb(b1(name))}%10s ${mb(bn(name))}%10s ${if (b1(name) > 0) f"${bn(name).toDouble / b1(name)}%.1f" else "-"}%6s")
+    }
+    spark.stop()
+  }
+}

@@ -21,7 +21,10 @@ class CatalogSpec extends AnyFunSuite {
   Catalog.all.foreach { q =>
     test(s"${q.name} runs at sf0.001 and returns rows") {
       val df = q.run(spark, sfDir)
-      assert(df.count() > 0, s"${q.name} returned no rows")
+      if (q.expectEmpty)
+        assert(df.count() == 0,
+          s"${q.name} is a violation anchor but emitted rows")
+      else assert(df.count() > 0, s"${q.name} returned no rows")
       // conventions: oracle-checked queries must not emit int32 columns
       if (q.oracle.isDefined) {
         val intCols = df.schema.fields.collect {
