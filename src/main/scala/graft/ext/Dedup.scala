@@ -108,9 +108,9 @@ object Dedup {
   }
 
   /** The corpus-side artifact for INCREMENTAL dedup: every doc's LSH band
-    * memberships, `(id, band, bh)`. Computed once per corpus and persisted
-    * (at scale: written bucketed on (band, bh) so the incremental join
-    * below is co-located with zero index-side shuffle). */
+    * memberships, `(id, band, bh)`. Computed once per corpus; persist at
+    * scale with [[writeBandIndex]] so the incremental join is co-located
+    * with zero index-side shuffle. */
   def bandIndex(df: DataFrame, idCol: String, textCol: String,
                 numHashes: Int = 128, bands: Int = 32,
                 shingleN: Int = 3): DataFrame =
@@ -118,6 +118,32 @@ object Dedup {
       posexplode(band_hashes(
         minhash_sig(col(textCol), numHashes, shingleN), bands))
         .as(Seq("band", "bh")))
+
+  /** Persist [[bandIndex]] as a BUCKETED+SORTED catalog table — the 100 TB
+    * form of the corpus index. `bucketBy(numBuckets, band, bh)` makes the
+    * parquet layout itself the join partitioning: every later
+    * [[incrementalMatch]] against `spark.table(table)` scans the index
+    * directly into a SortMergeJoin with NO exchange on the index side —
+    * only the new batch, orders of magnitude smaller, shuffles — verified
+    * plan-level in DedupSpec. The `repartition` on the bucket keys uses
+    * the same murmur3 `pmod` as the bucket assignment, so each task holds
+    * exactly one bucket and writes exactly one file; with that
+    * one-file-per-bucket layout the index-side local sort is elided too
+    * under `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
+    * (post-3.0 Spark drops bucket-scan ordering by default because
+    * multi-file buckets would need a merge). Nightly-crawl dedup then
+    * re-sketches nothing and re-shuffles nothing of the corpus, no matter
+    * how large it has grown. */
+  def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
+                     table: String, numBuckets: Int = 32,
+                     numHashes: Int = 128, bands: Int = 32,
+                     shingleN: Int = 3): Unit =
+    bandIndex(df, idCol, textCol, numHashes, bands, shingleN)
+      .repartition(numBuckets, col("band"), col("bh"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "band", "bh")
+      .sortBy("band", "bh")
+      .saveAsTable(table)
 
   /** Incremental near-dup: match a batch of NEW documents against an
     * EXISTING corpus via its precomputed [[bandIndex]] — the "dedup

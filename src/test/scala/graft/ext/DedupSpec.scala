@@ -66,6 +66,63 @@ class DedupSpec extends AnyFunSuite {
     assert(matches.forall(_._3 >= 0.7))
   }
 
+  test("writeBandIndex: bucketed table joins shuffle-free and matches in-memory index") {
+    import org.apache.spark.sql.functions.col
+    val newIds = Set(12L, 50L, 1L)
+    val corpus = docs.filter(!col("doc_id").isin(newIds.toSeq: _*))
+    val newDocs = docs.filter(col("doc_id").isin(newIds.toSeq: _*))
+    Dedup.writeBandIndex(corpus, "doc_id", "text", "corpus_band_index",
+      numBuckets = 4)
+    try {
+      val table = spark.table("corpus_band_index")
+
+      // plan-level: the candidate join (the only corpus-index touchpoint)
+      // exchanges+sorts ONLY the new-batch side — the index's parquet
+      // layout IS the join partitioning and ordering. At test scale the
+      // planner would (correctly) broadcast the tiny new batch and touch
+      // no partitioning at all; disable auto-broadcast to exercise the
+      // at-scale SortMergeJoin shape the bucketing exists for.
+      val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+      // bucketed-scan output ORDERING is off by default since Spark 3
+      // (multi-file buckets would need a merge); one-file-per-bucket
+      // layouts may opt in and drop the index-side local sort too
+      val ordKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      val bcOld = spark.conf.get(bcKey)
+      def joinPlan(): String = {
+        val newBands = Dedup.bandIndex(newDocs, "doc_id", "text")
+        table.join(newBands, Seq("band", "bh"))
+          .queryExecution.executedPlan.toString
+      }
+      val (plan, planOrdered) = try {
+        spark.conf.set(bcKey, "-1")
+        val p = joinPlan()
+        spark.conf.set(ordKey, "true")
+        (p, joinPlan())
+      } finally {
+        spark.conf.set(bcKey, bcOld)
+        spark.conf.set(ordKey, "false")
+      }
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"index scan not bucketed:\n$plan")
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"expected exactly 1 exchange (new side only):\n$plan")
+      assert(" Sort ".r.findAllIn(planOrdered).size == 1,
+        s"expected index-side sort elided under outputOrdering:\n$planOrdered")
+
+      // result-level: table-backed index ≡ in-memory index
+      val fromTable = Dedup.incrementalMatch(newDocs, corpus, table,
+          "doc_id", "text", threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fromMemory = Dedup.incrementalMatch(newDocs, corpus,
+          Dedup.bandIndex(corpus, "doc_id", "text"),
+          "doc_id", "text", threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fromTable == fromMemory)
+      assert(fromTable.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS corpus_band_index")
+  }
+
   test("minhash: precision — clustered pairs really have high Jaccard") {
     val out = Dedup.minhash(docs, "doc_id", "text", threshold = 0.7)
     val clustered = out.filter("doc_id != cluster_id").collect()
