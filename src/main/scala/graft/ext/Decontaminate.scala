@@ -62,4 +62,55 @@ object Decontaminate {
       .filter(!exists(col("__sh"), g => bloom_contains(g, bf)))
       .drop("__sh")
   }
+
+  /** SEMANTIC decontamination — the paraphrase-robust companion to the
+    * n-gram shapes above: drop every corpus row whose EMBEDDING sits
+    * within `threshold` cosine of any probe (benchmark) vector, catching
+    * reworded eval contamination that shares no n-gram with the source.
+    *
+    * Exact form: the probe set (benchmark suites — thousands of vectors,
+    * not corpus-scale) broadcasts; the corpus streams once through a
+    * codegen cosine + left-anti. No corpus shuffle. DuckDB-oracle-able
+    * (list_cosine_similarity). */
+  def semanticExact(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, threshold: Double = 0.9): DataFrame = {
+    val flagged = corpus
+      .join(broadcast(probes.select(col(vecCol).as("__pv"))), lit(true))
+      .filter(cosine_sim(col(vecCol), col("__pv")) >= threshold)
+      .select(col(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Semantic decontamination at 100 TB: when even one cosine per
+    * (corpus row × probe) is too hot, bucket BOTH sides with a
+    * multi-table hyperplane LSH and evaluate cosine only for bucket
+    * mates — the corpus pays one map-only sketch pass plus an equi-join
+    * on (table, bucket) against the (small) exploded probe side, never
+    * an all-pairs pass. Sound by construction: every removal still
+    * passes the exact cosine test, so removed(lsh) ⊆ removed(exact) —
+    * anchored driver-visibly by `q_x_decontaminate_semantic_anchor`.
+    * Recall follows the standard LSH-forest curve (1−(1−p^nPlanes)^
+    * nTables, p = 1−arccos(cos)/π); near-duplicate contamination at
+    * cos ≳ 0.9 is retrieved with probability ≈ 1 at the defaults. */
+  def semanticLsh(corpus: DataFrame, probes: DataFrame, idCol: String,
+                  vecCol: String, threshold: Double = 0.9,
+                  nPlanes: Int = 8, nTables: Int = 8,
+                  seed: Long = 42L): DataFrame = {
+    def tableBuckets(vec: Column): Column = array((0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        hyperplane_bucket(vec, nPlanes, seed + t * 7919L).as("bucket"))
+    }: _*)
+    val probeB = probes.select(col(vecCol).as("__pv"),
+        explode(tableBuckets(col(vecCol))).as("tb"))
+      .select(col("__pv"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .dropDuplicates("tbl", "bucket", "__pv")
+    val corpusB = corpus.select(col(idCol), col(vecCol),
+        explode(tableBuckets(col(vecCol))).as("tb"))
+      .select(col(idCol), col(vecCol),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val flagged = corpusB.join(broadcast(probeB), Seq("tbl", "bucket"))
+      .filter(cosine_sim(col(vecCol), col("__pv")) >= threshold)
+      .select(col(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
 }

@@ -330,6 +330,26 @@ object AnchorQueries {
     },
     noRows("doc_id" -> "BIGINT"))
 
+  /** LSH semantic decontamination is SOUND: every row it removes passed
+    * the exact cosine test inside its bucket, so removed(lsh) ⊆
+    * removed(exact) ⟺ kept(exact) ⊆ kept(lsh). Violations = vectors the
+    * exact path keeps that the LSH path dropped (impossible unless the
+    * bucket join or cosine filter is broken). */
+  val decontaminateSemanticAnchor = Q(
+    "q_x_decontaminate_semantic_anchor",
+    "LSH semantic decon removes only exact-removed vecs (expect 0 rows)",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      val exactKept = Decontaminate.semanticExact(corpus, probes,
+        "vec_id", "embedding", threshold = 0.9).select(col("vec_id"))
+      val lshKept = Decontaminate.semanticLsh(corpus, probes,
+        "vec_id", "embedding", threshold = 0.9).select(col("vec_id"))
+      exactKept.join(lshKept, Seq("vec_id"), "left_anti")
+    },
+    noRows("vec_id" -> "BIGINT"))
+
   /** The k-means assignment kernel (`nearest_cells` codegen) is argmax-
     * optimal: re-deriving each vector's best cell with plain Spark SQL
     * (posexplode of the literal centroid array + cosine_sim + max) must
@@ -407,6 +427,7 @@ object AnchorQueries {
   val all: Seq[Q] = Seq(
     percentileApproxAnchor, annLshAnchor, annIvfAnchor, embNearDupAnchor,
     vocabCmAnchor, winnowAnchor, sourceSignatureAnchor,
-    dedupIncrementalAnchor, decontaminateBloomAnchor, kmeansAnchor,
+    dedupIncrementalAnchor, decontaminateBloomAnchor,
+    decontaminateSemanticAnchor, kmeansAnchor,
     multimodalAnchor, imagePhashAnchor).map(_.copy(expectEmpty = true))
 }

@@ -268,6 +268,30 @@ object ExtensionQueries {
     },
     None)
 
+  /** SEMANTIC decontamination (exact form): corpus vectors within 0.9
+    * cosine of any probe vector are dropped — the paraphrase-robust
+    * companion to the n-gram decontamination above (reworded eval
+    * contamination shares no n-gram but keeps its embedding). Probe side
+    * broadcasts; corpus streams once; full DuckDB oracle via
+    * list_cosine_similarity (the 0.9 boundary is engine-safe — the
+    * synthetic near-dups sit far from it). */
+  val decontaminateSemantic = Q(
+    "q_x_decontaminate_semantic",
+    "Semantic decontamination: drop corpus vecs near any probe embedding",
+    (s, dir) => {
+      val emb = Sources.table(s, dir, "embeddings")
+      graft.ext.Decontaminate.semanticExact(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", threshold = 0.9)
+        .select(col("vec_id"))
+    },
+    Some("""SELECT c.vec_id FROM embeddings c
+           | WHERE c.vec_id % 50 <> 0 AND NOT EXISTS (
+           |   SELECT 1 FROM embeddings p WHERE p.vec_id % 50 = 0
+           |   AND list_cosine_similarity(c.embedding, p.embedding) >= 0.9)"""
+      .stripMargin.replace("\n", "")))
+
   /** Levenshtein edit distance over a bounded probe cross — the classic
     * character-level near-dup measure (complements the token-level Jaccard
     * family). Both engines implement unit-cost insert/delete/substitute
@@ -1049,7 +1073,8 @@ object ExtensionQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashAnchor, dedupVerify,
     dedupIncremental,
     ngramJaccardTop1,
-    editDistance, decontaminate, decontaminateBloom, resampleFfill, embNearDup,
+    editDistance, decontaminate, decontaminateBloom, decontaminateSemantic,
+    resampleFfill, embNearDup,
     embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
     asofNative, rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,

@@ -71,4 +71,54 @@ class DecontaminateSpec extends AnyFunSuite {
     val survIds = bloomSurv.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!survIds.exists(_ % 50 == 0))
   }
+
+  // semantic fixtures: a probe direction p, corpus vectors at known
+  // cosines to it — c1 ≈ p (0.999…), c3 lightly perturbed (≈0.95),
+  // c2 orthogonal, c4 anti-parallel
+  private def semanticFixtures = {
+    val spark0 = spark
+    import spark0.implicits._
+    val dim = 16
+    def unit(xs: Array[Float]): Array[Float] = {
+      val n = math.sqrt(xs.map(x => x * x.toDouble).sum).toFloat
+      xs.map(_ / n)
+    }
+    val p = unit(Array.tabulate(dim)(i => if (i == 0) 1f else 0.01f * i))
+    val near = unit(p.zipWithIndex.map { case (x, i) =>
+      x + (if (i == 1) 0.01f else 0f) })
+    val perturbed = unit(p.zipWithIndex.map { case (x, i) =>
+      x + (if (i % 3 == 0) 0.18f else -0.05f) })
+    val ortho = unit(Array.tabulate(dim)(i => if (i == dim - 1) 1f else 0f))
+    val anti = p.map(-_)
+    val probes = Seq((100L, p)).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, near), (2L, ortho), (3L, perturbed), (4L, anti))
+      .toDF("vec_id", "embedding")
+    (corpus, probes)
+  }
+
+  test("semanticExact: near/perturbed removed, orthogonal/anti kept") {
+    val (corpus, probes) = semanticFixtures
+    val surv = Decontaminate.semanticExact(corpus, probes,
+        "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(2L, 4L), s"expected clean vectors to survive: $surv")
+  }
+
+  test("semanticLsh: sound (subset of exact removals) and catches near-dups") {
+    val (corpus, probes) = semanticFixtures
+    val exactSurv = Decontaminate.semanticExact(corpus, probes,
+        "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lshSurv = Decontaminate.semanticLsh(corpus, probes,
+        "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // soundness: lsh removes only what exact removes ⟺ keeps a superset
+    assert(exactSurv.subsetOf(lshSurv),
+      s"lsh dropped an exact-kept vector: lsh=$lshSurv exact=$exactSurv")
+    // recall at cos≈1: the verbatim near-copy cannot be missed (all
+    // hyperplane signs agree); the 0.95 perturbation is overwhelmingly
+    // likely across 8 tables — assert both, pinning the defaults
+    assert(!lshSurv.contains(1L), "lsh missed the verbatim near-copy")
+    assert(!lshSurv.contains(3L), "lsh missed the 0.95 near-dup")
+  }
 }

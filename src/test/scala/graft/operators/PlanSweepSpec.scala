@@ -26,6 +26,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_x_dedup_verify",       // 1-in-5 probe candidates, a<b
     "q_x_edit_distance",      // 20×20 probe cross
     "q_x_source_signature",   // all-pairs over per-SOURCE signatures (≤ |sources|²)
+    "q_x_decontaminate_semantic", // benchmark probe set broadcast vs corpus
     // violation anchors (AnchorQueries): each embeds an exact re-derivation
     // whose bounded side is broadcast — the anchor's own correctness shape,
     // not the production operator's plan
@@ -34,6 +35,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_x_emb_near_dup_anchor",     // flagged near-dup set broadcast vs corpus
     "q_x_source_signature_anchor", // per-source pairs + exact jaccard, ≤ |sources|²
     "q_x_dedup_incremental_anchor",// 1-in-25 probe docs broadcast vs corpus
+    "q_x_decontaminate_semantic_anchor", // exact path embedded as ground truth
     "q_x_kmeans_anchor")           // single-row size-sum totals join
 
   Catalog.all.filterNot(_.name.startsWith("q_s_")).foreach { q =>
