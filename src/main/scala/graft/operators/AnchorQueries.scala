@@ -389,6 +389,28 @@ object AnchorQueries {
     },
     noRows("reason" -> "VARCHAR", "got" -> "DOUBLE", "want" -> "DOUBLE"))
 
+  /** BPE encode is LOSSLESS at any merge depth: applying a learned merge
+    * list to the corpus must yield, for every word occurrence, pieces
+    * that concatenate back to the word, counted in [1, len(word)]. Runs
+    * the full induction→encode path (learnMerges on the corpus
+    * vocabulary, then applyMerges over every document), so a broken
+    * merge-fold, a piece dropped at any depth, or a symbol-boundary bug
+    * becomes driver-visible rows. */
+  val bpeEncodeAnchor = Q(
+    "q_x_bpe_encode_anchor",
+    "BPE encode: pieces reassemble losslessly per word (expect 0 rows)",
+    (s, dir) => {
+      import graft.ext.Bpe
+      val docs = t(s, dir, "documents")
+      val (merges, _) = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), k = 4)
+      Bpe.applyMerges(docs, "doc_id", "text", merges)
+        .filter(array_join(col("pieces"), "") =!= col("word") ||
+          col("n_pieces") < 1 || col("n_pieces") > length(col("word")))
+        .select(col("doc_id"), col("word"), col("n_pieces"))
+    },
+    noRows("doc_id" -> "BIGINT", "word" -> "VARCHAR",
+      "n_pieces" -> "BIGINT"))
+
   /** Multimodal feature extraction invariants: every row decodes to the
     * expected modality (png/wav/avi), the feature vector's declared and
     * actual lengths agree, and payloads are non-trivial. Catches schema
@@ -428,6 +450,6 @@ object AnchorQueries {
     percentileApproxAnchor, annLshAnchor, annIvfAnchor, embNearDupAnchor,
     vocabCmAnchor, winnowAnchor, sourceSignatureAnchor,
     dedupIncrementalAnchor, decontaminateBloomAnchor,
-    decontaminateSemanticAnchor, kmeansAnchor,
+    decontaminateSemanticAnchor, kmeansAnchor, bpeEncodeAnchor,
     multimodalAnchor, imagePhashAnchor).map(_.copy(expectEmpty = true))
 }
