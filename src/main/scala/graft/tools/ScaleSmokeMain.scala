@@ -34,7 +34,8 @@ object ScaleSmokeMain {
     "q_x_dedup_minhash", "q_x_dedup_simhash", "q_x_range_join",
     "q_x_asof_join", "q_x_asof_native", "q_x_text_tokens",
     "q_x_train_split", "q_x_corpus_shuffle", "q_x_bpe_pairs",
-    "q_x_resample_ffill", "q_x_ann_cosine_topk")
+    "q_x_resample_ffill", "q_x_ann_cosine_topk",
+    "q_x_decontaminate_semantic")
 
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: src :: out :: n :: Nil => gen(src, out, n.toInt)
