@@ -54,6 +54,9 @@ object Bench {
     // reps a full suite apart (minutes) means a burst inflates one pass,
     // not all reps of one query.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // reps < 1 would leave every entry at the Double.MaxValue sentinel and
+    // emit a syntactically valid but garbage JSON line — fail loudly instead.
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     queries.foreach(q => best(q.name) = Double.MaxValue)
     for (pass <- 1 to reps) {
@@ -77,8 +80,10 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Belt-and-braces for the driver's parser (BENCH_r04/r05 both recorded
     // "parsed": null): the JSON goes to a file in the repo root AND is the
-    // final stdout line of the run.
-    try {
+    // final stdout line of the run. Filtered (SPARK_GRAFT_ONLY) runs skip
+    // the file so a focused re-measure can't clobber the canonical
+    // full-suite record.
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_out.json", "UTF-8")
       try w.println(json) finally w.close()
     } catch { case e: Throwable =>

@@ -32,13 +32,21 @@ object AnchorQueries {
     Some(cols.map { case (n, ty) => s"CAST(NULL AS $ty) AS $n" }
       .mkString("SELECT ", ", ", " WHERE 1 = 0"))
 
+  /** Every anchor is a violation query: 0 rows = healthy. `expectEmpty` is
+    * set here, at definition, so consumers referencing the vals directly
+    * (specs, SPARK_GRAFT_ONLY paths) see the same flag as `Catalog.all`. */
+  private def anchor(name: String, doc: String,
+                     run: (SparkSession, String) => DataFrame,
+                     oracle: Some[String]): Q =
+    Q(name, doc, run, oracle, expectEmpty = true)
+
   /** percentile_approx(acc=1000) returns an actual group element whose
     * rank error is ≤ n/1000, so the estimate must lie inside the exact
     * quantile envelope [q−0.005, q+0.005] (5× the guarantee). Measured
     * deviation on the test data: the estimates coincide with the exact
     * quantiles to <1e-6 at sf0.01 and sf0.1 — the envelope is pure
     * safety margin. */
-  val percentileApproxAnchor = Q(
+  val percentileApproxAnchor = anchor(
     "q_a7b_percentile_anchor",
     "approx percentiles inside the exact quantile envelope (expect 0 rows)",
     (s, dir) => {
@@ -49,15 +57,23 @@ object AnchorQueries {
             .as("ap"),
           expr("percentile(l_extendedprice, " +
             "array(0.245, 0.255, 0.495, 0.505, 0.745, 0.755))").as("ex"))
+      // One scan + one aggregate: the three quantile checks are unpivoted
+      // from the single aggregate row per group (a union of three copies
+      // of `g` would recompute the percentile aggregate three times —
+      // Catalyst does no plan reuse across unionAll branches).
       val checks = Seq((0, 0, 1, "0.25"), (1, 2, 3, "0.50"), (2, 4, 5, "0.75"))
-      checks.map { case (ai, lo, hi, qname) =>
-        g.select(col("l_returnflag"), lit(qname).as("q"),
-            round(col("ap").getItem(ai), 2).as("approx_value"),
-            round(col("ex").getItem(lo), 2).as("lo"),
-            round(col("ex").getItem(hi), 2).as("hi"))
-          .filter(col("approx_value") < col("lo") - 0.01 ||
-            col("approx_value") > col("hi") + 0.01)
-      }.reduce(_.unionAll(_))
+      g.select(col("l_returnflag"),
+          explode(array(checks.map { case (ai, lo, hi, qname) =>
+            struct(lit(qname).as("q"),
+              round(col("ap").getItem(ai), 2).as("approx_value"),
+              round(col("ex").getItem(lo), 2).as("lo"),
+              round(col("ex").getItem(hi), 2).as("hi"))
+          }: _*)).as("c"))
+        .select(col("l_returnflag"), col("c.q").as("q"),
+          col("c.approx_value").as("approx_value"),
+          col("c.lo").as("lo"), col("c.hi").as("hi"))
+        .filter(col("approx_value") < col("lo") - 0.01 ||
+          col("approx_value") > col("hi") + 0.01)
     },
     noRows("l_returnflag" -> "VARCHAR", "q" -> "VARCHAR",
       "approx_value" -> "DOUBLE", "lo" -> "DOUBLE", "hi" -> "DOUBLE"))
@@ -115,7 +131,7 @@ object AnchorQueries {
     * (floor 5) — the forest returns near-tie substitutes, never far
     * vectors, and a real recall collapse (e.g. bucket join broken → empty
     * or random results) trips the floor immediately. */
-  val annLshAnchor = Q(
+  val annLshAnchor = anchor(
     "q_x_ann_lsh_anchor",
     "LSH ANN: structure + quality gap + total recall (expect 0 rows)",
     (s, dir) => annAnchor(t(s, dir, "embeddings"),
@@ -126,7 +142,7 @@ object AnchorQueries {
   /** IVF ANN vs exact top-3 — same contract, tighter constants (nProbe=4
     * of 16 cells retrieves the exact top-1 for every probe; measured
     * total hits 29/30, worst gap 0.009). */
-  val annIvfAnchor = Q(
+  val annIvfAnchor = anchor(
     "q_x_ann_ivf_anchor",
     "IVF ANN: structure + quality gap + total recall (expect 0 rows)",
     (s, dir) => {
@@ -144,7 +160,7 @@ object AnchorQueries {
     * `n_candidates`. The exact side is recomputed brute-force for just
     * the vectors that reported near-dups (bounded: the planted dup set),
     * broadcast against the corpus. */
-  val embNearDupAnchor = Q(
+  val embNearDupAnchor = anchor(
     "q_x_emb_near_dup_anchor",
     "LSH near-dup counts <= exact cos>=0.9 counts (expect 0 rows)",
     (s, dir) => {
@@ -174,7 +190,7 @@ object AnchorQueries {
     * Violation if est < n, or est > n + 3·N/width (measured max overcount
     * on the top-50 probes: ≪ N/width at both SFs — the 3× bound is
     * margin, not tuning). */
-  val vocabCmAnchor = Q(
+  val vocabCmAnchor = anchor(
     "q_x_vocab_cm_anchor",
     "count-min: no undercount, overcount <= 3N/width (expect 0 rows)",
     (s, dir) => {
@@ -206,7 +222,7 @@ object AnchorQueries {
     * dedup/fingerprint key), every doc long enough to hold one k-gram
     * window yields ≥ 1 fingerprint, and min_fp ≤ max_fp. Violations are
     * aggregated to (reason, n) rows. */
-  val winnowAnchor = Q(
+  val winnowAnchor = anchor(
     "q_x_winnow_anchor",
     "winnowing: text-determinism + nonempty + ordered (expect 0 rows)",
     (s, dir) => {
@@ -235,7 +251,7 @@ object AnchorQueries {
     * |est − true| > 0.15 (> 3σ; measured max deviation is far lower at
     * both SFs). A broken merge (e.g. taking max, or dropping partials)
     * lands est near 0 or 1 and trips this immediately. */
-  val sourceSignatureAnchor = Q(
+  val sourceSignatureAnchor = anchor(
     "q_x_source_signature_anchor",
     "per-source minhash est_jaccard within 0.15 of exact (expect 0 rows)",
     (s, dir) => {
@@ -283,7 +299,7 @@ object AnchorQueries {
     * ≥ 0.9, everything else far below 0.7) makes LSH recall exact, the
     * same property the q_x_dedup_minhash full oracle rests on. Emits the
     * symmetric difference with a side tag. */
-  val dedupIncrementalAnchor = Q(
+  val dedupIncrementalAnchor = anchor(
     "q_x_dedup_incremental_anchor",
     "incremental LSH match set == brute-force jac>=0.7 set (expect 0 rows)",
     (s, dir) => {
@@ -298,8 +314,12 @@ object AnchorQueries {
         TextExprs.sorted_shingles(col("text"), 3).as("sh_new"))
       val corpusSh = corpus.select(col("doc_id").as("corpus_id"),
         TextExprs.sorted_shingles(col("text"), 3).as("sh_old"))
+      // round(,3) mirrors incrementalMatch's own filter exactly — a raw
+      // >= 0.7 here would flag a healthy operator for boundary Jaccards
+      // in [0.6995, 0.7) that the operator legitimately rounds up.
       val truth = corpusSh.join(broadcast(newSh), lit(true))
-        .filter(TextExprs.array_jaccard(col("sh_new"), col("sh_old")) >= 0.7)
+        .filter(round(TextExprs.array_jaccard(col("sh_new"), col("sh_old")),
+          3) >= 0.7)
         .select(col("new_id"), col("corpus_id"))
       val missed = truth.join(reported, Seq("new_id", "corpus_id"),
           "left_anti")
@@ -316,7 +336,7 @@ object AnchorQueries {
     * can NEVER keep a contaminated doc (membership has no false
     * negatives): every doc the exact path removes must also be removed by
     * the Bloom path. Violations = docs Bloom kept that exact removed. */
-  val decontaminateBloomAnchor = Q(
+  val decontaminateBloomAnchor = anchor(
     "q_x_decontaminate_bloom_anchor",
     "bloom keeps no doc that exact decontamination removes (expect 0 rows)",
     (s, dir) => {
@@ -335,7 +355,7 @@ object AnchorQueries {
     * removed(exact) ⟺ kept(exact) ⊆ kept(lsh). Violations = vectors the
     * exact path keeps that the LSH path dropped (impossible unless the
     * bucket join or cosine filter is broken). */
-  val decontaminateSemanticAnchor = Q(
+  val decontaminateSemanticAnchor = anchor(
     "q_x_decontaminate_semantic_anchor",
     "LSH semantic decon removes only exact-removed vecs (expect 0 rows)",
     (s, dir) => {
@@ -350,19 +370,11 @@ object AnchorQueries {
     },
     noRows("vec_id" -> "BIGINT"))
 
-  /** The k-means assignment kernel (`nearest_cells` codegen) is argmax-
-    * optimal: re-deriving each vector's best cell with plain Spark SQL
-    * (posexplode of the literal centroid array + cosine_sim + max) must
-    * agree within float tolerance, and the cluster sizes must sum to the
-    * corpus size. A kernel bug (wrong tie-break, off-by-one cell index,
-    * unnormalized dot) surfaces as rows. */
-  val kmeansAnchor = Q(
-    "q_x_kmeans_anchor",
-    "k-means assignment is argmax-optimal + sizes sum (expect 0 rows)",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val centroids = Similarity.trainCentroids(emb, k = 8, maxSample = 20000)
-      val assigned = Similarity.assignCells(emb, centroids)
+  /** Violation frame for [[kmeansAnchor]], factored out so the spec can
+    * feed it a deliberately broken assignment as a positive control. */
+  private[operators] def kmeansViolations(emb: DataFrame,
+                                          centroids: Array[Array[Float]],
+                                          assigned: DataFrame): DataFrame = {
       val centLit: Column = typedLit(centroids.map(_.toSeq).toSeq)
       val scored = emb
         .select(col("vec_id"), col("embedding"),
@@ -371,11 +383,20 @@ object AnchorQueries {
           TextExprs.cosine_sim(col("embedding"), col("cvec")).as("cos"))
       val best = scored.groupBy(col("vec_id"))
         .agg(max(col("cos")).as("best_cos"))
+      // Left join: an assignment whose cluster_id matches no centroid index
+      // (e.g. a kernel regressing to 1-based or out-of-range ids) must
+      // surface as a violation, not silently drop out of the comparison.
       val assignedCos = assigned
         .join(scored, assigned("vec_id") === scored("vec_id") &&
-          assigned("cluster_id") === scored("cell"))
-        .select(assigned("vec_id"), col("cos").as("assigned_cos"))
-      val subopt = assignedCos.join(best, "vec_id")
+          assigned("cluster_id") === scored("cell"), "left")
+        .select(assigned("vec_id"), assigned("cluster_id"),
+          col("cos").as("assigned_cos"))
+      val unmatched = assignedCos.filter(col("assigned_cos").isNull)
+        .select(lit("unmatched_cell").as("reason"),
+          col("vec_id").cast("double").as("got"),
+          col("cluster_id").cast("double").as("want"))
+      val subopt = assignedCos.filter(col("assigned_cos").isNotNull)
+        .join(best, "vec_id")
         .filter(col("best_cos") - col("assigned_cos") > 1e-5)
         .select(lit("suboptimal_cell").as("reason"),
           col("vec_id").cast("double").as("got"),
@@ -385,7 +406,22 @@ object AnchorQueries {
         .filter(col("n") =!= col("m"))
         .select(lit("size_sum_mismatch").as("reason"),
           col("n").cast("double").as("got"), col("m").cast("double").as("want"))
-      subopt.unionAll(total)
+      subopt.unionAll(unmatched).unionAll(total)
+  }
+
+  /** The k-means assignment kernel (`nearest_cells` codegen) is argmax-
+    * optimal: re-deriving each vector's best cell with plain Spark SQL
+    * (posexplode of the literal centroid array + cosine_sim + max) must
+    * agree within float tolerance, and the cluster sizes must sum to the
+    * corpus size. A kernel bug (wrong tie-break, off-by-one cell index,
+    * unnormalized dot) surfaces as rows. */
+  val kmeansAnchor = anchor(
+    "q_x_kmeans_anchor",
+    "k-means assignment is argmax-optimal + sizes sum (expect 0 rows)",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = Similarity.trainCentroids(emb, k = 8, maxSample = 20000)
+      kmeansViolations(emb, centroids, Similarity.assignCells(emb, centroids))
     },
     noRows("reason" -> "VARCHAR", "got" -> "DOUBLE", "want" -> "DOUBLE"))
 
@@ -398,7 +434,7 @@ object AnchorQueries {
     * nearly the whole vocabulary at a fifth of the encode cost), so a
     * broken merge-fold, a piece dropped at any depth, or a
     * symbol-boundary bug becomes driver-visible rows. */
-  val bpeEncodeAnchor = Q(
+  val bpeEncodeAnchor = anchor(
     "q_x_bpe_encode_anchor",
     "BPE encode: pieces reassemble losslessly per word (expect 0 rows)",
     (s, dir) => {
@@ -418,7 +454,7 @@ object AnchorQueries {
     * expected modality (png/wav/avi), the feature vector's declared and
     * actual lengths agree, and payloads are non-trivial. Catches schema
     * drift, a broken codec fallback, or a truncated batch. */
-  val multimodalAnchor = Q(
+  val multimodalAnchor = anchor(
     "q_x_multimodal_anchor",
     "multimodal: known formats + consistent feat dims (expect 0 rows)",
     (s, dir) => {
@@ -439,7 +475,7 @@ object AnchorQueries {
     * must hash within 24/64 bits of the original (measured max drift on
     * the corpus is 16; 64 = the undecodable-fallback sentinel, so this
     * also proves every synthetic PNG actually decodes). */
-  val imagePhashAnchor = Q(
+  val imagePhashAnchor = anchor(
     "q_x_phash_anchor",
     "image aHash resize drift <= 24 bits (expect 0 rows)",
     (s, dir) => Multimodal.imageHashes(
@@ -454,5 +490,5 @@ object AnchorQueries {
     vocabCmAnchor, winnowAnchor, sourceSignatureAnchor,
     dedupIncrementalAnchor, decontaminateBloomAnchor,
     decontaminateSemanticAnchor, kmeansAnchor, bpeEncodeAnchor,
-    multimodalAnchor, imagePhashAnchor).map(_.copy(expectEmpty = true))
+    multimodalAnchor, imagePhashAnchor)
 }

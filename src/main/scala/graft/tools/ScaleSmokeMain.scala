@@ -25,7 +25,10 @@ import graft.operators.Catalog
   * replicas ~3/5 of word-3-grams differ, pushing Jaccard far below the
   * 0.7 dedup threshold — so an N× corpus has N× clusters, not N-wide
   * cross-replica ones, and dedup work scales the way a real N× corpus
-  * would. Events keep `ts` as the raw nanos long so the scaled parquet
+  * would. Embeddings get the matching treatment: replica i>0 applies a
+  * replica-specific diagonal ±1 sign-flip (orthogonal, so within-replica
+  * cosines are preserved exactly while cross-replica copies land near
+  * cos 0). Events keep `ts` as the raw nanos long so the scaled parquet
   * reads back through the same Sources.table nanos path as the original.
   */
 object ScaleSmokeMain {
@@ -96,8 +99,20 @@ object ScaleSmokeMain {
       e.withColumn("event_id", col("event_id") + lit(i * evtOff))
         .withColumn("user_id", col("user_id") + lit(i * 10000L))
     })
-    val embsN = replicas(embs, (e, i) =>
-      e.withColumn("vec_id", col("vec_id") + lit(i * vecOff)))
+    // Embeddings get the same honesty treatment as documents: replica i>0
+    // sign-flips a replica-specific ~half of the coordinates (a diagonal
+    // ±1 orthogonal transform). Within a replica every cosine is preserved
+    // EXACTLY (planted near-dups stay near-dups); across replicas the copy
+    // of a vector lands at cos ≈ 0, so the N× corpus has N× similarity
+    // structure instead of N verbatim copies of every vector.
+    val embsN = replicas(embs, { (e, i) =>
+      val base = e.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
+      if (i == 0) base
+      else base.withColumn("embedding",
+        transform(col("embedding"), (v, j) =>
+          when(pmod(xxhash64(j.cast("long") * lit(1000003L) + lit(i.toLong)),
+            lit(2)) === 0, -v).otherwise(v).cast("float")))
+    })
 
     docsN.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     eventsN.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
@@ -110,8 +125,11 @@ object ScaleSmokeMain {
     * as Bench: the full (query × dir) grid runs `reps` times end-to-end
     * and each cell keeps its min across passes, so a co-tenant burst
     * (multi-minute, frequent on this host) inflates one pass, not every
-    * measurement of one cell. Shuffle bytes are deterministic — recorded
-    * once on the first pass. */
+    * measurement of one cell. Shuffle bytes are deterministic per plan,
+    * but the listener bus is async — each pass's value is recorded after
+    * polling the counter to quiescence, and the report takes the per-cell
+    * MEDIAN across passes (flagged `!` on disagreement), so one pass with
+    * a late-posted stage event can't misattribute bytes silently. */
   private def run(src: String, scaled: String): Unit = {
     val spark = session()
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
@@ -127,22 +145,35 @@ object ScaleSmokeMain {
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Poll the counter until it stops moving (3 consecutive quiet 100 ms
+    // polls, 10 s cap) — a fixed sleep loses the race against a slow
+    // listener-bus drain and attributes this query's bytes to the next.
+    def drainedBytes(): Long = {
+      var last = shuffleBytes.get(); var stable = 0; var polls = 0
+      while (stable < 3 && polls < 100) {
+        Thread.sleep(100); polls += 1
+        val now = shuffleBytes.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      last
+    }
+
     def timed(name: String, dir: String): (Double, Long) = {
       val q = Catalog.byName(name)
       GraftSession.dropCachedBlocks(spark)
-      val b0 = shuffleBytes.get()
+      val b0 = drainedBytes()
       val t0 = System.nanoTime()
       force(q.run(spark, dir))
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(200) // listener drain
-      (dt, shuffleBytes.get() - b0)
+      (dt, drainedBytes() - b0)
     }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val t1 = scala.collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
     val tn = scala.collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
-    val b1 = scala.collection.mutable.Map[String, Long]()
-    val bn = scala.collection.mutable.Map[String, Long]()
+    val b1 = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[Long]]()
+    val bn = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[Long]]()
     val failed = scala.collection.mutable.Set[String]()
     // warm pass (codegen/classloading) on the small dir only
     smokeQueries.foreach { name =>
@@ -156,7 +187,10 @@ object ScaleSmokeMain {
           val (a, ba) = timed(name, src)
           val (b, bb) = timed(name, scaled)
           t1(name) = math.min(t1(name), a); tn(name) = math.min(tn(name), b)
-          b1.getOrElseUpdate(name, ba); bn.getOrElseUpdate(name, bb)
+          b1.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer[Long]()) += ba
+          bn.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer[Long]()) += bb
         } catch {
           case e: Throwable =>
             println(s"$name FAILED: ${e.getMessage}"); failed += name
@@ -164,10 +198,15 @@ object ScaleSmokeMain {
       }
       System.err.println(s"[scale-smoke] pass $pass/$reps done")
     }
+    // Median across passes; `!` marks cells whose passes disagreed (a
+    // late-posted stage event landed in the wrong query's window).
+    def med(xs: Seq[Long]): Long = { val s = xs.sorted; s(s.size / 2) }
+    def flag(xs: Seq[Long]): String = if (xs.distinct.size > 1) "!" else ""
     println(f"${"query"}%-24s ${"t_1x"}%8s ${"t_Nx"}%8s ${"ratio"}%6s ${"shuf_1x"}%10s ${"shuf_Nx"}%10s ${"shufR"}%6s")
     smokeQueries.filterNot(failed).foreach { name =>
       def mb(x: Long) = f"${x / 1e6}%.1fMB"
-      println(f"$name%-24s ${t1(name)}%8.2f ${tn(name)}%8.2f ${tn(name) / t1(name)}%6.1f ${mb(b1(name))}%10s ${mb(bn(name))}%10s ${if (b1(name) > 0) f"${bn(name).toDouble / b1(name)}%.1f" else "-"}%6s")
+      val (s1, sn) = (med(b1(name).toSeq), med(bn(name).toSeq))
+      println(f"$name%-24s ${t1(name)}%8.2f ${tn(name)}%8.2f ${tn(name) / t1(name)}%6.1f ${mb(s1) + flag(b1(name).toSeq)}%10s ${mb(sn) + flag(bn(name).toSeq)}%10s ${if (s1 > 0) f"${sn.toDouble / s1}%.1f" else "-"}%6s")
     }
     spark.stop()
   }

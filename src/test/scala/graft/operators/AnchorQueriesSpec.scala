@@ -41,6 +41,17 @@ class AnchorQueriesSpec extends AnyFunSuite {
     assert(v.filter(col("reason") === "quality_gap").count() > 0)
   }
 
+  test("kmeansViolations flags out-of-range cell ids (unmatched_cell)") {
+    val centroids = Similarity.trainCentroids(emb, k = 4, maxSample = 20000)
+    // Regression control for the silent-drop bug: a kernel emitting
+    // 1-based ids pushes the last cell out of range — the anchor must
+    // report those rows, not drop them in the join.
+    val broken = Similarity.assignCells(emb, centroids)
+      .withColumn("cluster_id", col("cluster_id") + lit(1L))
+    val v = AnchorQueries.kmeansViolations(emb, centroids, broken)
+    assert(v.filter(col("reason") === "unmatched_cell").count() > 0)
+  }
+
   test("anchor queries carry expectEmpty and a 0-row oracle") {
     AnchorQueries.all.foreach { q =>
       assert(q.expectEmpty, s"${q.name} must be marked expectEmpty")
