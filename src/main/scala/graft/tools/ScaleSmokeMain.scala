@@ -44,11 +44,88 @@ object ScaleSmokeMain {
     case "gen" :: src :: out :: n :: Nil => gen(src, out, n.toInt)
     case "run" :: src :: scaled :: Nil => run(src, scaled)
     case "bpe" :: src :: k :: Nil => bpe(src, k.toInt)
+    case "stream" :: src :: scaled :: Nil => stream(src, scaled)
     case _ =>
       System.err.println(
         "usage: ScaleSmokeMain gen <srcSfDir> <outDir> <N> | " +
-          "run <srcSfDir> <scaledDir> | bpe <srcSfDir> <k>")
+          "run <srcSfDir> <scaledDir> | bpe <srcSfDir> <k> | " +
+          "stream <srcSfDir> <scaledDir>")
       sys.exit(2)
+  }
+
+  /** Streaming state boundedness at 1× vs N×: run the stateful streaming
+    * operators over the events table at both scales and record, from
+    * `StreamingQueryProgress.stateOperators`, the peak state rows and
+    * state memory. The 100 TB claim under test: state scales with each
+    * operator's INTRINSIC cardinality — (window × event_type) for the
+    * windowed agg (constant in input rows, since replicas share the time
+    * range), distinct keys for dedup, watermark-buffered rows for the
+    * stream-stream join — never with raw input volume beyond that. */
+  private def stream(src: String, scaled: String): Unit = {
+    val spark = session()
+
+    def stage(dir: String): java.nio.file.Path = {
+      val st = java.nio.file.Files.createTempDirectory("graft-scale-stream")
+      java.nio.file.Files.createSymbolicLink(
+        st.resolve("events.parquet"),
+        java.nio.file.Paths.get(dir, "events.parquet"))
+      st
+    }
+    def unstage(st: java.nio.file.Path): Unit = {
+      java.nio.file.Files.deleteIfExists(st.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(st)
+    }
+
+    // (input rows, peak state rows, peak state bytes) for one stream run.
+    // The testdata events.parquet is a single FILE (needs a staged symlink
+    // dir for the file source); the gen-written scaled one is a Spark
+    // DIRECTORY of part files, streamable directly.
+    def measure(label: String, dir: String,
+                mk: DataFrame => DataFrame, mode: String): (Long, Long, Long) = {
+      val evp = java.nio.file.Paths.get(dir, "events.parquet")
+      val st = if (java.nio.file.Files.isDirectory(evp)) None else Some(stage(dir))
+      val streamDir = st.fold(evp.toString)(_.toString)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val events = graft.streaming.EventsStream.readEvents(spark, streamDir)
+        val name = s"smoke_${label}_${System.nanoTime()}"
+        val q = mk(events).writeStream.format("memory").queryName(name)
+          .outputMode(mode).start()
+        try q.processAllAvailable() finally q.stop()
+        val ps = q.recentProgress.toSeq
+        def stateSum(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+          ps.map(p => Option(p.stateOperators).map(_.map(f).sum).getOrElse(0L))
+        val inRows = ps.map(_.numInputRows).sum
+        val peakRows = (0L +: stateSum(_.numRowsTotal)).max
+        val peakBytes = (0L +: stateSum(_.memoryUsedBytes)).max
+        spark.catalog.dropTempView(name)
+        (inRows, peakRows, peakBytes)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        st.foreach(unstage)
+      }
+    }
+
+    val ops: Seq[(String, DataFrame => DataFrame, String)] = Seq(
+      ("window_agg",
+        (e: DataFrame) => graft.streaming.EventsStream.windowedCounts(e),
+        "append"),
+      ("dedup",
+        (e: DataFrame) => graft.streaming.EventsStream
+          .dedupStream(e, Seq("user_id", "event_type")),
+        "append"),
+      ("ss_join",
+        (e: DataFrame) => graft.streaming.EventsStream.clickToPurchaseJoin(e),
+        "append"))
+
+    println(f"${"op"}%-12s ${"in_1x"}%9s ${"state_1x"}%9s ${"MB_1x"}%7s ${"in_Nx"}%9s ${"state_Nx"}%9s ${"MB_Nx"}%7s ${"stateR"}%6s")
+    ops.foreach { case (label, mk, mode) =>
+      val (i1, r1, m1) = measure(label, src, mk, mode)
+      val (in, rn, mn) = measure(label, scaled, mk, mode)
+      println(f"$label%-12s $i1%9d $r1%9d ${m1 / 1e6}%7.1f $in%9d $rn%9d ${mn / 1e6}%7.1f ${if (r1 > 0) f"${rn.toDouble / r1}%.1f" else "-"}%6s")
+    }
+    spark.stop()
   }
 
   /** Wall-clock learnMerges(k) over the documents vocabulary — the
