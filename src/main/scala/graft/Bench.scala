@@ -28,6 +28,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = only.fold(operators.Catalog.all)(
       names => operators.Catalog.all.filter(q => names(q.name)))
+    // Validate before any work: reps < 1 would leave every entry at the
+    // Double.MaxValue sentinel and emit a syntactically valid but garbage
+    // JSON line — fail loudly, and before the (minutes-long) warm pass.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -53,10 +58,6 @@ object Bench {
     // inside a single burst window, contaminating the min. Spacing the
     // reps a full suite apart (minutes) means a burst inflates one pass,
     // not all reps of one query.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    // reps < 1 would leave every entry at the Double.MaxValue sentinel and
-    // emit a syntactically valid but garbage JSON line — fail loudly instead.
-    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     queries.foreach(q => best(q.name) = Double.MaxValue)
     for (pass <- 1 to reps) {

@@ -66,9 +66,13 @@ object ScaleSmokeMain {
 
     def stage(dir: String): java.nio.file.Path = {
       val st = java.nio.file.Files.createTempDirectory("graft-scale-stream")
-      java.nio.file.Files.createSymbolicLink(
+      try java.nio.file.Files.createSymbolicLink(
         st.resolve("events.parquet"),
-        java.nio.file.Paths.get(dir, "events.parquet"))
+        // absolutize: a relative target would resolve against the temp dir
+        java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
+      catch { case e: Throwable =>
+        java.nio.file.Files.deleteIfExists(st); throw e
+      }
       st
     }
     def unstage(st: java.nio.file.Path): Unit = {
@@ -92,15 +96,16 @@ object ScaleSmokeMain {
         val name = s"smoke_${label}_${System.nanoTime()}"
         val q = mk(events).writeStream.format("memory").queryName(name)
           .outputMode(mode).start()
-        try q.processAllAvailable() finally q.stop()
-        val ps = q.recentProgress.toSeq
-        def stateSum(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
-          ps.map(p => Option(p.stateOperators).map(_.map(f).sum).getOrElse(0L))
-        val inRows = ps.map(_.numInputRows).sum
-        val peakRows = (0L +: stateSum(_.numRowsTotal)).max
-        val peakBytes = (0L +: stateSum(_.memoryUsedBytes)).max
-        spark.catalog.dropTempView(name)
-        (inRows, peakRows, peakBytes)
+        try {
+          try q.processAllAvailable() finally q.stop()
+          val ps = q.recentProgress.toSeq
+          def stateSum(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+            ps.map(p => Option(p.stateOperators).map(_.map(f).sum).getOrElse(0L))
+          val inRows = ps.map(_.numInputRows).sum
+          val peakRows = (0L +: stateSum(_.numRowsTotal)).max
+          val peakBytes = (0L +: stateSum(_.memoryUsedBytes)).max
+          (inRows, peakRows, peakBytes)
+        } finally spark.catalog.dropTempView(name)
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         st.foreach(unstage)
@@ -232,6 +237,12 @@ object ScaleSmokeMain {
         val now = shuffleBytes.get()
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
+      // Cap exit with the counter still moving = the next cell's bytes are
+      // suspect; say so rather than letting a systematic slow drain agree
+      // across passes and dodge the `!` flag.
+      if (stable < 3) System.err.println(
+        "[scale-smoke] WARNING: listener bus still draining after 10 s; " +
+          "next shuffle-byte cell may be misattributed")
       last
     }
 
