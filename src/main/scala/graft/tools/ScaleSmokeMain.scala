@@ -45,12 +45,60 @@ object ScaleSmokeMain {
     case "run" :: src :: scaled :: Nil => run(src, scaled)
     case "bpe" :: src :: k :: Nil => bpe(src, k.toInt)
     case "stream" :: src :: scaled :: Nil => stream(src, scaled)
+    case "bloom" :: src :: work :: Nil => bloom(src, work)
     case _ =>
       System.err.println(
         "usage: ScaleSmokeMain gen <srcSfDir> <outDir> <N> | " +
           "run <srcSfDir> <scaledDir> | bpe <srcSfDir> <k> | " +
-          "stream <srcSfDir> <scaledDir>")
+          "stream <srcSfDir> <scaledDir> | bloom <srcSfDir> <workDir>")
       sys.exit(2)
+  }
+
+  /** Storage-layer scale evidence: Bloom-sidecar point-lookup pruning at
+    * 1× vs 10×. Both corpora are written range-clustered on the key with
+    * files ∝ corpus size (the 100 TB layout: fixed-size clustered files),
+    * indexed with [[graft.etl.BloomIndex]], and probed with the same key
+    * set. The claim under test: lookup cost is the number of files
+    * SCANNED, which stays ~1 while total files grow 10× — the sidecar
+    * prune, not the scan, absorbs corpus growth. */
+  private def bloom(src: String, work: String): Unit = {
+    val spark = session()
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val docOff = 10000000L
+    val docs10 = (0 until 10).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * docOff)))
+      .reduce(_.unionAll(_))
+
+    def prepare(d: DataFrame, nFiles: Int, out: String): String = {
+      d.repartitionByRange(nFiles, col("doc_id"))
+        .write.mode("overwrite").parquet(out)
+      graft.etl.BloomIndex.build(spark, out, "doc_id",
+        expectedPerFile = 1L << 16, numBits = 1L << 20)
+      out
+    }
+    val dir1 = prepare(docs, 8, s"$work/docs_1x")
+    val dirN = prepare(docs10, 80, s"$work/docs_10x")
+
+    // Deterministic probe set spread across the 10x id space (replica i,
+    // base id 137*i mod the 1x range) — every probe exists in 10x; the
+    // first 10 also exist in 1x.
+    val probes = (0 until 20).map(i => (i % 10) * docOff + (137L * i) % 5000L)
+    def stats(dir: String, ps: Seq[Long]): (Double, Int, Long) = {
+      var scanned = 0L; var total = 0
+      ps.foreach { p =>
+        val (rows, st) = graft.etl.BloomIndex.readPointLookup(
+          spark, dir, "doc_id", p)
+        rows.write.format("noop").mode("overwrite").save()
+        scanned += st.scannedFiles; total = st.totalFiles
+      }
+      (scanned.toDouble / ps.size, total, scanned)
+    }
+    val (avg1, tot1, _) = stats(dir1, probes.take(10).map(_ % docOff))
+    val (avgN, totN, _) = stats(dirN, probes)
+    println(f"[scale-smoke] bloom point lookup: 1x avg ${avg1}%.1f of $tot1 files scanned; " +
+      f"10x avg ${avgN}%.1f of $totN files scanned")
+    spark.stop()
   }
 
   /** Streaming state boundedness at 1× vs N×: run the stateful streaming
