@@ -16,6 +16,9 @@ import graft.operators.Catalog
   * Usage:
   *   runMain graft.tools.ScaleSmokeMain gen <srcSfDir> <outDir> <N>
   *   runMain graft.tools.ScaleSmokeMain run <srcSfDir> <scaledDir>
+  *   runMain graft.tools.ScaleSmokeMain bpe <srcSfDir> <k>
+  *   runMain graft.tools.ScaleSmokeMain stream <srcSfDir> <scaledDir>
+  *   runMain graft.tools.ScaleSmokeMain bloom <srcSfDir> <workDir>
   *
   * Replica construction keeps the similarity structure honest:
   * replica 0 is the original; replica i>0 re-ids rows and REWRITES each
@@ -81,9 +84,13 @@ object ScaleSmokeMain {
     val dirN = prepare(docs10, 80, s"$work/docs_10x")
 
     // Deterministic probe set spread across the 10x id space (replica i,
-    // base id 137*i mod the 1x range) — every probe exists in 10x; the
-    // first 10 also exist in 1x.
-    val probes = (0 until 20).map(i => (i % 10) * docOff + (137L * i) % 5000L)
+    // base id 137*i mod the ACTUAL 1x id range — hard-coding the range
+    // would let out-of-range probes prune every file and overstate the
+    // stat) — every probe exists in 10x; the first 10 also exist in 1x.
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId >= 0, "bloom smoke expects non-negative 0-based doc_ids")
+    val probes = (0 until 20).map(i =>
+      (i % 10) * docOff + (137L * i) % (maxId + 1))
     def stats(dir: String, ps: Seq[Long]): (Double, Int, Long) = {
       var scanned = 0L; var total = 0
       ps.foreach { p =>
