@@ -19,16 +19,36 @@ import org.apache.spark.sql.functions._
   *  - ultra-common terms are dropped (`maxDfFraction`) BEFORE the join —
   *    they carry ≈0 idf weight but dominate the join fan-out (a term in
   *    half the corpus pairs every probe with half the corpus). This is
-  *    the standard stop-word prune, applied by df, not by list.
+  *    the standard stop-word prune, applied by df, not by list;
+  *  - a FRACTION prune alone does not bound fan-out at scale: a term in
+  *    10% of an N-doc corpus passes `maxDfFraction = 0.5` at every N and
+  *    pairs each probe with N/10 docs, so per-probe join work grows
+  *    LINEARLY with the corpus (the 1×-vs-10× smoke measured 36.7×
+  *    shuffle on 10× data through exactly this path — see PERF_NOTES).
+  *    `maxDf` is the scale knob: an ABSOLUTE posting-length cap that
+  *    bounds per-probe candidates at `terms-per-probe × maxDf` regardless
+  *    of corpus size. Dropped terms are the highest-df survivors of the
+  *    fraction prune — the lowest-idf weights in the frame — so top-1
+  *    ranking is disturbed only for pairs whose similarity rests on
+  *    mid-frequency terms alone (spec-pinned: planted near-dups keep
+  *    their rare-term overlap and stay top-1 under the cap).
   *
   * Weights: w = tf · ln(N/df), L2-normalized per doc, so the postings
   * dot product IS the cosine.
   */
 object TfIdf {
 
-  /** Unit-normalized TF-IDF postings: (doc_id, term, u). */
+  /** Unit-normalized TF-IDF postings: (doc_id, term, u).
+    *
+    * @param maxDfFraction drop terms in more than this fraction of the
+    *                      corpus (stop-word prune)
+    * @param maxDf         ABSOLUTE df cap — the 100 TB knob bounding the
+    *                      similarity join's per-probe fan-out (see class
+    *                      doc); default unbounded = exact postings
+    */
   def postings(docs: DataFrame, idCol: String, textCol: String,
-               maxDfFraction: Double = 0.5): DataFrame = {
+               maxDfFraction: Double = 0.5,
+               maxDf: Long = Long.MaxValue): DataFrame = {
     val n = docs.count() // one scalar job; the only driver-side value
     val tf = docs
       .select(col(idCol).as("doc_id"),
@@ -36,7 +56,8 @@ object TfIdf {
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= lit(math.max(1L, (n * maxDfFraction).toLong)))
+      .filter(col("df") <=
+        lit(math.min(maxDf, math.max(1L, (n * maxDfFraction).toLong))))
     val w = tf.join(dfreq, "term")
       .withColumn("w", col("tf") * log(lit(n.toDouble) / col("df")))
     val norm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))

@@ -36,12 +36,16 @@ import graft.operators.Catalog
   */
 object ScaleSmokeMain {
 
+  // Headline queries over the three scalable tables (documents / events /
+  // embeddings — the only ones `gen` replicates; TPC-H-table queries
+  // can't run against a scaled dir).
   private val smokeQueries = Seq(
     "q_x_dedup_minhash", "q_x_dedup_simhash", "q_x_range_join",
     "q_x_asof_join", "q_x_asof_native", "q_x_text_tokens",
     "q_x_train_split", "q_x_corpus_shuffle", "q_x_bpe_pairs",
     "q_x_resample_ffill", "q_x_ann_cosine_topk",
-    "q_x_decontaminate_semantic")
+    "q_x_decontaminate_semantic", "q_x_lang_id", "q_x_tfidf_top1",
+    "q_x_domain_balance", "q_x_seq_pack", "q_x_incremental_agg")
 
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: src :: out :: n :: Nil => gen(src, out, n.toInt)

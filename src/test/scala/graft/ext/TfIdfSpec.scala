@@ -65,4 +65,26 @@ class TfIdfSpec extends AnyFunSuite {
       .filter(col("probe_id") =!= col("neighbor_id"))
     assert(pairs.count() == 0)
   }
+
+  test("absolute maxDf cap bounds fan-out but keeps rare-term top-1") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 'mid' is in 6 of 12 docs — passes maxDfFraction = 0.5 exactly, and
+    // without a cap pairs every probe with half the corpus; the planted
+    // near-dup pair (0, 1) shares the rare terms. maxDf = 2 drops 'mid'
+    // (df 6 > 2) while every rare term (df <= 2) survives.
+    val d = ((0L, "ra rb rc mid") +: (1L, "ra rb rd mid") +:
+      (2 to 5).map(i => (i.toLong, s"u$i mid")) ++:
+      (6 to 11).map(i => (i.toLong, s"v$i w$i"))).toDF("doc_id", "text")
+    val capped = TfIdf.postings(d, "doc_id", "text",
+      maxDfFraction = 0.5, maxDf = 2)
+    assert(capped.filter(col("term") === "mid").count() == 0)
+    assert(capped.filter(col("term") === "ra").count() == 2)
+    val top = TfIdf.topSimilar(capped, Seq(0L)).collect()
+    assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 1L)
+    // and the uncapped default is unchanged: 'mid' survives the fraction
+    // prune alone (df 6 = half of 12)
+    val uncapped = TfIdf.postings(d, "doc_id", "text", maxDfFraction = 0.5)
+    assert(uncapped.filter(col("term") === "mid").count() == 6)
+  }
 }
