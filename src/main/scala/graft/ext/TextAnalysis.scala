@@ -234,6 +234,95 @@ object TextAnalysis {
         round(col("n_dup_grams") / col("n_grams"), 3).as("dup_ratio"))
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020, "CCNet: Extracting
+    * high quality monolingual datasets from web crawl data"): score every
+    * document by its mean per-token negative log-probability under the
+    * corpus's own unigram LM, then split each LANGUAGE's documents into
+    * head / middle / tail thirds by per-language score cutoffs — the
+    * standard perplexity-tercile partition used to select training data.
+    *
+    * Determinism (the property that makes this oracle-able): per-token
+    * log-probs floor to integer milli-nats before aggregation (exact long
+    * sums, order-independent — same convention as the unigram-logprob
+    * query), the per-doc score is `-floor(sum/n)` (integer ceil of mean
+    * nll), and cutoffs are exact ORDER STATISTICS picked off a cumulative
+    * count — no percentile interpolation, whose float lerp differs across
+    * engines. Ties at a cutoff all land in the lower bucket.
+    *
+    * Scale shape: two corpus passes (train freqs, score) are inherent to
+    * self-training; the cutoff computation runs entirely on the per-
+    * (lang, score) HISTOGRAM — |langs| × |distinct integer scores| rows,
+    * thousands at any corpus size — so there is no global sort and no
+    * corpus-sized window. Cutoffs broadcast back; bucketing is map-only.
+    * Docs with zero tokens have no score and are excluded (as in CCNet,
+    * where empty docs are dropped before LM scoring). */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    val toks = df.select(col(idCol), col(langCol),
+      explode(filter(split(col(textCol), " ", -1), t => t =!= lit("")))
+        .as("token"))
+    // vocab-sized freq frame; global token total as a one-partition window
+    // over it (NOT a third corpus scan — see unigramLogprob's note)
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("t", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+    val scored = toks.join(freq, "token")
+      .select(col(idCol), col(langCol),
+        floor(log(col("n").cast("double") / col("t")) * 1000)
+          .cast("long").as("milli"))
+      .groupBy(col(idCol), col(langCol))
+      .agg((-floor(sum(col("milli")).cast("double") / count(lit(1))))
+        .cast("long").as("nll_milli"))
+    val hist = scored.groupBy(col(langCol), col("nll_milli"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("nll_milli"))
+      .rowsBetween(Long.MinValue, 0)
+    val totW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+    // cutoff_k = min score whose cumulative count reaches ceil(k·n/3);
+    // ceil via floor((kn+2)/3.0) — exact for doubles (integers ≤ 2^53)
+    val cum = hist.withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("nl", sum(col("c")).over(totW))
+    val cutoffs = cum.groupBy(col(langCol)).agg(
+      min(when(col("cum") >= floor((col("nl") + 2) / lit(3.0)).cast("long"),
+        col("nll_milli"))).as("c1"),
+      min(when(col("cum") >= floor((col("nl") * 2 + 2) / lit(3.0)).cast("long"),
+        col("nll_milli"))).as("c2"))
+    scored.join(broadcast(cutoffs), Seq(langCol))
+      .select(col(idCol), col(langCol), col("nll_milli"),
+        when(col("nll_milli") <= col("c1"), "head")
+          .when(col("nll_milli") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Tokenizer-vocabulary coverage — the OOV-rate audit run before
+    * committing a vocab: against the corpus's own top-`topN` tokens (by
+    * frequency, ties broken token-ascending), report each document's
+    * token count, out-of-vocabulary count, and OOV ratio. The vocab is
+    * TakeOrderedAndProject-sized (no global sort) and broadcasts into a
+    * map-side membership probe; one hash-agg per doc closes it out. At
+    * 100 TB the corpus streams once for the freq table and once for the
+    * probe — the join side is always |vocab|. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    topN: Int = 20): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(col(textCol), " ", -1), t => t =!= lit("")))
+        .as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topN)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        coalesce(sum(col("in_vocab")), lit(0L)).as("n_in"))
+      .select(col(idCol), col("n_toks"),
+        (col("n_toks") - col("n_in")).as("n_oov"),
+        round((col("n_toks") - col("n_in")).cast("double") / col("n_toks"), 4)
+          .as("oov_ratio"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
     * (oracle-portable), plus winnowing fingerprints for overlap detection. */
   def contentFingerprint(text: Column): Column =

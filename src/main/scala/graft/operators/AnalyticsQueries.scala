@@ -330,7 +330,52 @@ object AnalyticsQueries {
            | WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"""
       .stripMargin.replace("\n", "")))
 
+  /** Hourly anomaly detection — the volume-monitoring pass a streaming
+    * ingest runs in batch form: flag (event_type, hour) cells whose count
+    * deviates from the type's mean by more than 2 population standard
+    * deviations. The z² test is evaluated in INTEGER arithmetic —
+    * (c·n − S)² > 4·(S2·n − S²), i.e. n²·(c−μ)² > 4·n²·σ² — so the
+    * comparison is exact in any engine (a float z-score straddles the
+    * threshold differently per sum order). Shape: one corpus shuffle into
+    * the (type, hour) hash-agg; the stats window runs over the
+    * |types|×|hours| AGGREGATE frame (bounded at any corpus size —
+    * hours×types, not rows), so there is no second corpus pass. At
+    * 100 TB the only sizing note is c·n staying under 2^63 — counts per
+    * cell × hour count, comfortably so. */
+  val eventAnomaly = Q(
+    "q_x_event_anomaly",
+    "Hourly volume anomalies: |z| > 2 cells per event_type, integer-exact",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy(col("event_type"))
+      val dev = col("n_events") * col("n") - col("s")
+      hourly
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("n_events")).over(w))
+        .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+        .filter(dev * dev > lit(4L) * (col("s2") * col("n") -
+          col("s") * col("s")))
+        .select(col("event_type"), col("hour"), col("n_events"),
+          floor(col("s") * 1000.0 / col("n")).cast("long").as("mean_milli"))
+    },
+    Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+           |   count(*) AS n_events FROM events GROUP BY 1, 2),
+           | st AS (SELECT event_type, hour, n_events,
+           |   count(*) OVER (PARTITION BY event_type) AS n,
+           |   sum(n_events) OVER (PARTITION BY event_type) AS s,
+           |   sum(n_events * n_events) OVER (PARTITION BY event_type) AS s2
+           |   FROM hourly)
+           | SELECT event_type, hour, n_events,
+           |   CAST(floor(s * 1000.0 / n) AS BIGINT) AS mean_milli
+           | FROM st
+           | WHERE (n_events * n - s) * (n_events * n - s) > 4 * (s2 * n - s * s)"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
-    sessionWindowAgg, rollupAgg, argExtremum, eventTransitions)
+    sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly)
 }

@@ -485,10 +485,55 @@ object AnchorQueries {
       .filter(col("resized_hamming") > 24),
     noRows("doc_id" -> "BIGINT", "resized_hamming" -> "BIGINT"))
 
+  /** SpaceSaving guarantees, checked over the full token stream against
+    * exact counts: (a) a tracked item's estimate never undercounts
+    * (est ≥ true); (b) est − err never overcounts (est − err ≤ true);
+    * (c) any token whose true count exceeds 4·N/capacity must be tracked
+    * (the 2005 paper guarantees N/capacity; 4× is margin so re-merges of
+    * trimmed summaries — which sum error bounds — can't trip it on a
+    * healthy sketch). The invariants hold for ANY partial-aggregation
+    * merge order, which is exactly why the anchor checks bounds and not
+    * golden estimate values ([[graft.functions.SpaceSavingAgg]] Scaladoc;
+    * tighter planted-Zipf recall is spec-pinned in SpaceSavingSpec). */
+  val heavyHittersAnchor = anchor(
+    "q_x_heavy_hitters_anchor",
+    "SpaceSaving est/err bounds + no missed heavy hitter (expect 0 rows)",
+    (s, dir) => {
+      import graft.functions.SpaceSavingAgg
+      val cap = 16
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .filter(col("token") =!= "")
+        .select(col("token"), xxhash64(col("token")).as("h"))
+      val ss = org.apache.spark.sql.functions.udaf(
+        new SpaceSavingAgg(cap), org.apache.spark.sql.Encoders.scalaLong)
+      val sketch = toks.select(ss(col("h")).as("sk"))
+        .head().getAs[scala.collection.Seq[Long]]("sk").toArray
+      import s.implicits._
+      val tracked = SpaceSavingAgg.entries(sketch).toDF("h", "est_n", "err_n")
+      val exact = toks.groupBy(col("token"), col("h"))
+        .agg(count(lit(1)).as("n"))
+      val total = exact.agg(sum(col("n")).as("tn"))
+      exact.join(broadcast(tracked), Seq("h"), "left")
+        .crossJoin(broadcast(total))
+        .withColumn("reason",
+          when(col("est_n").isNotNull && col("est_n") < col("n"),
+            "undercount")
+          .when(col("est_n").isNotNull &&
+            col("est_n") - col("err_n") > col("n"), "overclaim")
+          .when(col("est_n").isNull && col("n") * cap > col("tn") * 4,
+            "missed_heavy"))
+        .filter(col("reason").isNotNull)
+        .select(col("token"), col("n"), col("est_n"), col("err_n"),
+          col("reason"))
+    },
+    noRows("token" -> "VARCHAR", "n" -> "BIGINT", "est_n" -> "BIGINT",
+      "err_n" -> "BIGINT", "reason" -> "VARCHAR"))
+
   val all: Seq[Q] = Seq(
     percentileApproxAnchor, annLshAnchor, annIvfAnchor, embNearDupAnchor,
     vocabCmAnchor, winnowAnchor, sourceSignatureAnchor,
     dedupIncrementalAnchor, decontaminateBloomAnchor,
     decontaminateSemanticAnchor, kmeansAnchor, bpeEncodeAnchor,
-    multimodalAnchor, imagePhashAnchor)
+    multimodalAnchor, imagePhashAnchor, heavyHittersAnchor)
 }

@@ -1069,6 +1069,92 @@ object ExtensionQueries {
            | ORDER BY n_events DESC, pseudo_uid, event_type LIMIT 50"""
       .stripMargin.replace("\n", "")))
 
+  /** CCNet-style per-language perplexity terciles
+    * ([[TextAnalysis.perplexityBuckets]]): every doc scored by mean
+    * per-token nll (integer milli-nats) under the corpus's own unigram LM,
+    * bucketed head/middle/tail by per-language ORDER-STATISTIC cutoffs
+    * (no percentile interpolation — cross-engine exact). The cutoff
+    * computation runs on the (lang, score) histogram, not the corpus. */
+  val pplBuckets = Q(
+    "q_x_ppl_buckets",
+    "CCNet perplexity terciles: per-lang head/middle/tail quality buckets",
+    (s, dir) => TextAnalysis.perplexityBuckets(
+      Sources.table(s, dir, "documents"), "doc_id", "text", "lang"),
+    Some("""WITH toks AS (SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),
+           | freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+           | tot AS (SELECT count(*) AS t FROM toks),
+           | scored AS (SELECT doc_id, lang,
+           |   CAST(-floor(sum(CAST(floor(ln(n::DOUBLE / t) * 1000) AS BIGINT))::DOUBLE / count(*)) AS BIGINT) AS nll_milli
+           |   FROM toks JOIN freq USING (token) CROSS JOIN tot GROUP BY doc_id, lang),
+           | hist AS (SELECT lang, nll_milli, count(*) AS c FROM scored GROUP BY 1, 2),
+           | cum AS (SELECT lang, nll_milli,
+           |   sum(c) OVER (PARTITION BY lang ORDER BY nll_milli ROWS UNBOUNDED PRECEDING) AS cum,
+           |   sum(c) OVER (PARTITION BY lang) AS nl FROM hist),
+           | cut AS (SELECT lang,
+           |   min(CASE WHEN cum >= floor((nl + 2) / 3.0) THEN nll_milli END) AS c1,
+           |   min(CASE WHEN cum >= floor((nl * 2 + 2) / 3.0) THEN nll_milli END) AS c2
+           |   FROM cum GROUP BY lang)
+           | SELECT s.doc_id, s.lang, s.nll_milli,
+           |   CASE WHEN s.nll_milli <= c.c1 THEN 'head'
+           |        WHEN s.nll_milli <= c.c2 THEN 'middle'
+           |        ELSE 'tail' END AS bucket
+           | FROM scored s JOIN cut c USING (lang)"""
+      .stripMargin.replace("\n", "")))
+
+  /** Vocabulary coverage / OOV rate ([[TextAnalysis.vocabCoverage]]):
+    * per-doc out-of-vocab ratio against the corpus's top-20 tokens.
+    * Broadcast membership probe — the join side is |vocab| at any
+    * corpus size. */
+  val vocabCoverage = Q(
+    "q_x_vocab_coverage",
+    "Per-doc OOV rate against the corpus's top-20-token vocabulary",
+    (s, dir) => TextAnalysis.vocabCoverage(
+      Sources.table(s, dir, "documents"), "doc_id", "text", topN = 20),
+    Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),
+           | vocab AS (SELECT token FROM (SELECT token, count(*) AS n FROM toks
+           |   GROUP BY token ORDER BY n DESC, token LIMIT 20)),
+           | j AS (SELECT t.doc_id,
+           |   CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS iv
+           |   FROM toks t LEFT JOIN vocab v USING (token))
+           | SELECT doc_id, count(*) AS n_toks,
+           |   CAST(count(*) - sum(iv) AS BIGINT) AS n_oov,
+           |   round((count(*) - sum(iv))::DOUBLE / count(*), 4) AS oov_ratio
+           | FROM j GROUP BY doc_id""".stripMargin.replace("\n", "")))
+
+  /** SpaceSaving heavy hitters ([[graft.functions.SpaceSavingAgg]]) — the
+    * "WHICH items are frequent?" companion to the count-min row: ONE
+    * capacity-16 summary (48 longs) aggregates map-side over the token
+    * stream, returns to the driver (bounded, like the count-min sketch
+    * and IVF centroids), and the tracked hashes join back to tokens via
+    * the vocab frame. Estimates and err bounds are merge-order-dependent
+    * by construction → rows-only (row count = capacity is stable); the
+    * est ≥ true / est − err ≤ true / no-missed-heavy guarantees are
+    * driver-checked by q_x_heavy_hitters_anchor and spec-pinned
+    * (SpaceSavingSpec). */
+  val heavyHitters = Q(
+    "q_x_heavy_hitters",
+    "SpaceSaving heavy hitters: tracked tokens, est/err vs exact counts",
+    (s, dir) => {
+      import graft.functions.SpaceSavingAgg
+      val cap = 16
+      val toks = Sources.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .filter(col("token") =!= "")
+        .select(col("token"), xxhash64(col("token")).as("h"))
+      val ss = org.apache.spark.sql.functions.udaf(
+        new SpaceSavingAgg(cap), org.apache.spark.sql.Encoders.scalaLong)
+      val sketch = toks.select(ss(col("h")).as("sk"))
+        .head().getAs[scala.collection.Seq[Long]]("sk").toArray
+      import s.implicits._
+      val tracked = SpaceSavingAgg.entries(sketch)
+        .toDF("h", "est_n", "err_n")
+      toks.groupBy(col("token"), col("h")).agg(count(lit(1)).as("n"))
+        .join(broadcast(tracked), "h")
+        .select(col("token"), col("n"), col("est_n"), col("err_n"))
+        .orderBy(col("est_n").desc, col("token"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashAnchor, dedupVerify,
     dedupIncremental,
@@ -1081,5 +1167,6 @@ object ExtensionQueries {
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     corpusReport, jsonProps,
-    multimodal, imagePhash, tfidfTop1, dupSpans, kmeansSizes, pseudonymize)
+    multimodal, imagePhash, tfidfTop1, dupSpans, kmeansSizes, pseudonymize,
+    pplBuckets, vocabCoverage, heavyHitters)
 }

@@ -20,24 +20,40 @@ object Sources {
     * Schema-on-read from parquet footers — no StructType needed; vectorized
     * reader + filter/column pushdown come free.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright; read it as a nanos long
-    * (legacy.parquet.nanosAsLong, set ONCE at session build — see
-    * GraftSession; mutating session conf inside a reader is thread-unsafe
-    * under concurrent queries) and truncate to Spark's microsecond
-    * TimestampType. Integer `div` keeps full precision (a double division
-    * would lose bits above 2^53).
+    * Timestamp physical types are normalized here, because the driver's
+    * generated parquet has shipped them in different encodings across
+    * rounds (TIMESTAMP(NANOS) int64 for `events.ts`, UTC-adjusted micros,
+    * and naive micros — the last reads as TIMESTAMP_NTZ):
+    *  - an int64-nanos `events.ts` (arriving as a long via
+    *    legacy.parquet.nanosAsLong, set ONCE at session build — see
+    *    GraftSession) truncates to microsecond TimestampType with integer
+    *    `div` (a double division would lose bits above 2^53);
+    *  - every TIMESTAMP_NTZ column casts to session-TZ TimestampType —
+    *    the session runs UTC, so the wall-clock values are identical and
+    *    downstream code sees ONE timestamp type regardless of encoding.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$sfDir/$name.parquet"
-    if (name == "events") {
-      import org.apache.spark.sql.functions.{expr, timestamp_micros}
-      require(spark.conf.get(graft.GraftSession.NanosConf, "false") == "true",
-        s"events.parquet is TIMESTAMP(NANOS): build the session with " +
-          s"GraftSession.builder (or set ${graft.GraftSession.NanosConf}=true)")
-      spark.read.parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(path)
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("NANOS") =>
+          throw new IllegalStateException(
+            s"$name.parquet carries TIMESTAMP(NANOS): build the session " +
+              s"with GraftSession.builder (or set " +
+              s"${graft.GraftSession.NanosConf}=true)", e)
+      }
+    val deNanosed =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    deNanosed.schema.fields
+      .filter(_.dataType == TimestampNTZType)
+      .foldLeft(deNanosed)((df, f) =>
+        df.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   /** S7 — object listing (the boto3 `bucket.objects.filter(Prefix=…)`

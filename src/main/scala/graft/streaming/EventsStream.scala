@@ -21,27 +21,32 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Raw schema of the streaming source: events parquet with ts as
-    * NANOSECOND int64 (the testdata's physical type — see Sources.table for
-    * the batch-side handling). */
-  val rawSchema: StructType = StructType(Seq(
+  /** Raw schema of the streaming source, parameterized by the physical
+    * type `ts` was written with — the testdata has shipped int64-nanos,
+    * UTC micros, and naive micros across driver rounds (see
+    * Sources.table for the batch-side contract). */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (legacy.parquet.nanosAsLong)
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Open the unbounded events source over a directory of parquet files,
-    * converting nano-longs to Spark timestamps. */
+    * normalizing `ts` to session-TZ TimestampType. readStream needs an
+    * explicit schema, so the batch reader sniffs the footer type once at
+    * open (one driver-side metadata read — not a per-batch cost). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get(graft.GraftSession.NanosConf, "false") == "true",
-      s"events.parquet is TIMESTAMP(NANOS): build the session with " +
-        s"GraftSession.builder (or set ${graft.GraftSession.NanosConf}=true)")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val base = spark.readStream.schema(rawSchema(tsType)).parquet(dir)
+    tsType match {
+      case LongType => // int64 nanos via legacy.parquet.nanosAsLong
+        base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        base.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => base
+    }
   }
 
   /** Stream-static enrichment join: each micro-batch of the stream joins

@@ -108,4 +108,56 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(out == "en") // deterministic tiebreak: first-listed profile wins
   }
+
+  test("perplexityBuckets: per-lang thirds, rare-token docs land in tail") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 9 aa docs with strictly increasing singleton load (doc i carries i
+    // singleton tokens out of 9) → 9 distinct scores, monotone in i; plus
+    // a second language with 2 docs to prove cutoffs are per-language.
+    val docs = (
+      (1 to 9).map { i =>
+        val toks = Seq.fill(9 - i)("alpha") ++ (1 to i).map(j => s"u${i}_$j")
+        (i.toLong, toks.mkString(" "), "aa")
+      } ++
+      Seq((10L, "alpha alpha", "bb"), (11L, "alpha v1 v2 v3", "bb"))
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(3), r.getLong(2)))
+      .toMap
+    // every doc gets exactly one bucket row
+    assert(out.size == 11)
+    // the singleton-laced docs score strictly worse and fill the aa tail
+    val aaTail = (1L to 9L).filter(id => out(id)._1 == "tail")
+    assert(aaTail.toSet == Set(7L, 8L, 9L))
+    // thirds: 9 aa docs → 3 per bucket
+    val aaCounts = (1L to 9L).groupBy(id => out(id)._1).view
+      .mapValues(_.size).toMap
+    assert(aaCounts == Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+    // per-language cutoffs: bb's 2 docs split head/tail on ITS cutoffs
+    assert(out(10L)._1 == "head" && out(11L)._1 != "head")
+    // zero-token docs are excluded, not crashed on
+    val withEmpty = docs.union(Seq((12L, "", "aa")).toDF("doc_id", "text", "lang"))
+    assert(TextAnalysis.perplexityBuckets(withEmpty, "doc_id", "text", "lang")
+      .count() == 11)
+  }
+
+  test("vocabCoverage: OOV counts against the top-N corpus vocab") {
+    val spark0 = spark
+    import spark0.implicits._
+    // vocab top-2 by (freq desc, token asc) = {a (5), b (4)}
+    val docs = Seq(
+      (1L, "a a b x"),      // 1 OOV of 4
+      (2L, "a b b z z z"),  // 3 OOV of 6
+      (3L, "a a a b"),      // 0 OOV
+      (4L, "q w e r")       // all OOV
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text", topN = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((6L, 3L, 0.5)))
+    assert(out(3L) == ((4L, 0L, 0.0)))
+    assert(out(4L) == ((4L, 4L, 1.0)))
+  }
 }
