@@ -339,9 +339,12 @@ object AnalyticsQueries {
     * threshold differently per sum order). Shape: one corpus shuffle into
     * the (type, hour) hash-agg; the stats window runs over the
     * |types|×|hours| AGGREGATE frame (bounded at any corpus size —
-    * hours×types, not rows), so there is no second corpus pass. At
-    * 100 TB the only sizing note is c·n staying under 2^63 — counts per
-    * cell × hour count, comfortably so. */
+    * hours×types, not rows), so there is no second corpus pass. Sizing:
+    * dev² and S2·n leave 64-bit range once the per-cell deviation c·n − S
+    * passes ~3.0e9 — reachable at 100 TB — and ANSI-off Spark would wrap
+    * silently where DuckDB raises on BIGINT overflow, so the test runs in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): identical exact integer
+    * results, with dev² < 10^38 headroom covering any realistic corpus. */
   val eventAnomaly = Q(
     "q_x_event_anomaly",
     "Hourly volume anomalies: |z| > 2 cells per event_type, integer-exact",
@@ -352,13 +355,16 @@ object AnalyticsQueries {
           date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n_events"))
       val w = Window.partitionBy(col("event_type"))
-      val dev = col("n_events") * col("n") - col("s")
+      // decimal(38,0) keeps dev² / S2·n exact past the ~3.0e9-deviation
+      // point where long arithmetic would wrap (see Scaladoc)
+      val dev = col("n_events").cast("decimal(38,0)") * col("n") - col("s")
       hourly
         .withColumn("n", count(lit(1)).over(w))
         .withColumn("s", sum(col("n_events")).over(w))
-        .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
-        .filter(dev * dev > lit(4L) * (col("s2") * col("n") -
-          col("s") * col("s")))
+        .withColumn("s2", sum(col("n_events").cast("decimal(38,0)") *
+          col("n_events")).over(w))
+        .filter(dev * dev > lit(4L) * (col("s2").cast("decimal(38,0)") *
+          col("n") - col("s").cast("decimal(38,0)") * col("s")))
         .select(col("event_type"), col("hour"), col("n_events"),
           floor(col("s") * 1000.0 / col("n")).cast("long").as("mean_milli"))
     },
@@ -367,12 +373,13 @@ object AnalyticsQueries {
            | st AS (SELECT event_type, hour, n_events,
            |   count(*) OVER (PARTITION BY event_type) AS n,
            |   sum(n_events) OVER (PARTITION BY event_type) AS s,
-           |   sum(n_events * n_events) OVER (PARTITION BY event_type) AS s2
+           |   sum(CAST(n_events AS HUGEINT) * n_events) OVER (PARTITION BY event_type) AS s2
            |   FROM hourly)
            | SELECT event_type, hour, n_events,
            |   CAST(floor(s * 1000.0 / n) AS BIGINT) AS mean_milli
            | FROM st
-           | WHERE (n_events * n - s) * (n_events * n - s) > 4 * (s2 * n - s * s)"""
+           | WHERE (CAST(n_events AS HUGEINT) * n - s) * (CAST(n_events AS HUGEINT) * n - s)
+           |   > 4 * (CAST(s2 AS HUGEINT) * n - CAST(s AS HUGEINT) * s)"""
       .stripMargin.replace("\n", "")))
 
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,

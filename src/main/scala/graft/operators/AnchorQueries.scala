@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Decontaminate, Dedup, Multimodal, Similarity}
+import graft.ext.{Decontaminate, Dedup, Multimodal, Similarity, TfIdf}
 import graft.functions.TextExprs
 import graft.sources.Sources
 
@@ -501,10 +501,16 @@ object AnchorQueries {
     (s, dir) => {
       import graft.functions.SpaceSavingAgg
       val cap = 16
+      // Fixed-width round-robin repartition pins the sketch's merge fan-in
+      // (one partial summary per partition) so the missed_heavy 4x margin
+      // is tested under a constant number of trim-and-merge steps — the
+      // drop-trim merge's tracked-set guarantee degrades with the number
+      // of partials, so the margin must not float with input file layout.
       val toks = t(s, dir, "documents")
         .select(explode(split(col("text"), " ", -1)).as("token"))
         .filter(col("token") =!= "")
         .select(col("token"), xxhash64(col("token")).as("h"))
+        .repartition(16)
       val ss = org.apache.spark.sql.functions.udaf(
         new SpaceSavingAgg(cap), org.apache.spark.sql.Encoders.scalaLong)
       val sketch = toks.select(ss(col("h")).as("sk"))
@@ -530,10 +536,60 @@ object AnchorQueries {
     noRows("token" -> "VARCHAR", "n" -> "BIGINT", "est_n" -> "BIGINT",
       "err_n" -> "BIGINT", "reason" -> "VARCHAR"))
 
+  /** The `maxDf` posting cap — the TF-IDF similarity join's 100 TB
+    * fan-out knob ([[graft.ext.TfIdf]] class doc) — must not disturb
+    * top-1 ranking when the ranking rests on rare terms, which is
+    * exactly the near-dup regime the operator exists for. The synthetic
+    * corpus's ~31-word vocabulary appears in essentially every document
+    * (df ≈ N at every SF), so the anchor plants the rare-term structure
+    * in-frame: each consecutive doc pair (2k, 2k+1) gets two shared
+    * pair-unique tokens appended (df = 2 exactly), giving them a
+    * dominant ln(N/2)-weighted overlap the common vocabulary (idf ≈ 0)
+    * cannot outvote. `maxDf = 20` then drops every common term (df ≈ N
+    * ≥ 50 at the smallest SF) while keeping all planted terms — a
+    * maximally aggressive cap — and the anchor asserts the capped
+    * postings reproduce the uncapped top-1 neighbor for ten probe docs.
+    * A cap that dropped the wrong side of the df distribution, or a
+    * postings build whose weights/norms shift under pruning, surfaces
+    * as rows. Factored out so the spec can feed it a cap aggressive
+    * enough to drop the planted terms as a positive control. */
+  private[operators] def tfidfCappedViolations(docs0: DataFrame,
+                                               maxDf: Long): DataFrame = {
+      val docs = docs0
+        .select(col("doc_id"), concat_ws(" ", col("text"),
+          concat(lit("pr"), floor(col("doc_id") / 2), lit("a")),
+          concat(lit("pr"), floor(col("doc_id") / 2), lit("b"))).as("text"))
+      val probes = (0L until 10L).map(_ * 2)
+      val uncapped = TfIdf.postings(docs, "doc_id", "text",
+        maxDfFraction = 1.0)
+      val capped = TfIdf.postings(docs, "doc_id", "text",
+        maxDfFraction = 1.0, maxDf = maxDf)
+      val tu = TfIdf.topSimilar(uncapped, probes)
+        .select(col("probe_id"), col("neighbor_id").as("uncapped_neighbor"))
+      val tc = TfIdf.topSimilar(capped, probes)
+        .select(col("probe_id"), col("neighbor_id").as("capped_neighbor"))
+      // LEFT join: a cap that dropped the planted terms too would empty
+      // the capped top-1 frame — that must read as 10 violations (null
+      // capped_neighbor), not as a vacuous 0-row pass
+      tu.join(tc, Seq("probe_id"), "left")
+        .filter(col("capped_neighbor").isNull ||
+          col("capped_neighbor") =!= col("uncapped_neighbor"))
+        .select(col("probe_id"), col("uncapped_neighbor"),
+          col("capped_neighbor"))
+  }
+
+  val tfidfCappedAnchor = anchor(
+    "q_x_tfidf_capped_anchor",
+    "capped-df TF-IDF postings reproduce uncapped top-1 (expect 0 rows)",
+    (s, dir) => tfidfCappedViolations(t(s, dir, "documents"), maxDf = 20),
+    noRows("probe_id" -> "BIGINT", "uncapped_neighbor" -> "BIGINT",
+      "capped_neighbor" -> "BIGINT"))
+
   val all: Seq[Q] = Seq(
     percentileApproxAnchor, annLshAnchor, annIvfAnchor, embNearDupAnchor,
     vocabCmAnchor, winnowAnchor, sourceSignatureAnchor,
     dedupIncrementalAnchor, decontaminateBloomAnchor,
     decontaminateSemanticAnchor, kmeansAnchor, bpeEncodeAnchor,
-    multimodalAnchor, imagePhashAnchor, heavyHittersAnchor)
+    multimodalAnchor, imagePhashAnchor, heavyHittersAnchor,
+    tfidfCappedAnchor)
 }

@@ -71,13 +71,71 @@ object ExtensionQueries {
            | FROM documents doc LEFT JOIN lab l ON doc.doc_id = l.doc_id"""
       .stripMargin.replace("\n", "")), headline = true)
 
-  /** SimHash near-dup clustering (hamming ≤ 3 via chunk pigeonhole). */
+  /** SimHash near-dup clustering (hamming ≤ 3 via chunk pigeonhole).
+    *
+    * Fully oracle-checked: DuckDB re-derives the 64-bit SimHash from raw
+    * text — FNV-1a 64 + splitmix64 per token (64-bit wrapping arithmetic
+    * emulated in HUGEINT mod 2^64, with xor/bit_count done on 32-bit
+    * halves since DuckDB's bitwise ops stop at BIGINT), per-bit token
+    * votes, sign → bit — then builds the hamming-≤3 edge set all-pairs
+    * and clusters it with the same recursive-CTE transitive closure +
+    * min-label the minhash oracle uses. Byte-level caveat: the SQL reads
+    * token bytes via ord(), which equals the UTF-8 byte only for ASCII —
+    * exactly the corpus's alphabet (the JVM side hashes raw UTF-8 bytes).
+    * The production maxBucket=64 cap does not bind at the gate SF
+    * (verified: capped output ≡ cap-free ≡ brute-force at sf0.01), so a
+    * sketching, chunk-LSH recall, cap, or CC bug all surface as a hash
+    * mismatch here; the cap-free-vs-brute-force invariant stays pinned by
+    * q_x_dedup_simhash_anchor. */
   val dedupSimhash = Q(
     "q_x_dedup_simhash",
     "SimHash near-dup clustering (64-bit sketch, 4×16-bit chunk LSH)",
     (s, dir) => Dedup.simhashDedup(
       Sources.table(s, dir, "documents"), "doc_id", "text"),
-    None)
+    Some("""WITH RECURSIVE d AS (SELECT doc_id,
+           |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+           | tok AS (SELECT doc_id, t, count(*) AS cnt
+           |   FROM (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY 1, 2),
+           | h0 AS (SELECT doc_id, t, cnt,
+           |   list_reduce([CAST(14695981039346656037 AS HUGEINT)] ||
+           |     [CAST(ord(t[i]) AS HUGEINT) for i in range(1, len(t) + 1)],
+           |     (acc, b) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+           |       * 1099511628211) % 18446744073709551616) AS h FROM tok),
+           | z1 AS (SELECT doc_id, cnt, (h + 11400714819323198485) % 18446744073709551616 AS z FROM h0),
+           | x1 AS (SELECT doc_id, cnt,
+           |   CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+           |   + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1),
+           | z2 AS (SELECT doc_id, cnt,
+           |   ((((x // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296
+           |   + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS z FROM x1),
+           | x2 AS (SELECT doc_id, cnt,
+           |   CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+           |   + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z2),
+           | z3 AS (SELECT doc_id, cnt,
+           |   ((((x // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296
+           |   + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z FROM x2),
+           | th AS (SELECT doc_id, cnt,
+           |   CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+           |   + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS h FROM z3),
+           | bits AS (SELECT doc_id, b,
+           |   sum(cnt * (2 * CAST((h // (CAST(1 AS HUGEINT) << b)) % 2 AS BIGINT) - 1)) AS votes
+           |   FROM th, (SELECT unnest(range(0, 64)) AS b) GROUP BY 1, 2),
+           | sig0 AS (SELECT doc_id,
+           |   sum(CASE WHEN votes > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS sig FROM bits GROUP BY 1),
+           | sig AS (SELECT doc.doc_id, coalesce(s.sig, 0) AS sig
+           |   FROM documents doc LEFT JOIN sig0 s ON doc.doc_id = s.doc_id),
+           | e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sig a, sig b WHERE a.doc_id < b.doc_id
+           |   AND bit_count(CAST(xor(CAST(a.sig // 4294967296 AS BIGINT), CAST(b.sig // 4294967296 AS BIGINT)) AS BIGINT))
+           |     + bit_count(xor(CAST(a.sig % 4294967296 AS BIGINT), CAST(b.sig % 4294967296 AS BIGINT))) <= 3),
+           | ed AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+           | reach AS (SELECT u, v FROM ed
+           |   UNION SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u WHERE ed.v <> r.u),
+           | lab AS (SELECT u AS doc_id, min(v) AS m FROM reach GROUP BY u)
+           | SELECT doc.doc_id,
+           |   CAST(least(doc.doc_id, coalesce(l.m, doc.doc_id)) AS BIGINT) AS cluster_id,
+           |   least(doc.doc_id, coalesce(l.m, doc.doc_id)) = doc.doc_id AS is_canonical
+           | FROM documents doc LEFT JOIN lab l ON doc.doc_id = l.doc_id"""
+      .stripMargin.replace("\n", "")))
 
   /** SimHash can't share the Jaccard oracle — hamming-≤3 is a genuinely
     * different similarity relation (measured on this corpus it both merges

@@ -31,6 +31,11 @@ object Sources {
     *  - every TIMESTAMP_NTZ column casts to session-TZ TimestampType —
     *    the session runs UTC, so the wall-clock values are identical and
     *    downstream code sees ONE timestamp type regardless of encoding.
+    *    Known cost: the Cast wrapper stops parquet predicate pushdown and
+    *    row-group min/max pruning on those columns (e.g. l_shipdate range
+    *    filters) for naive-micros testdata rounds — a deliberate trade of
+    *    scan pruning for one stable timestamp type across encodings;
+    *    account for it before attributing bench deltas across rounds.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}

@@ -36,9 +36,25 @@ object EventsStream {
   /** Open the unbounded events source over a directory of parquet files,
     * normalizing `ts` to session-TZ TimestampType. readStream needs an
     * explicit schema, so the batch reader sniffs the footer type once at
-    * open (one driver-side metadata read — not a per-batch cost). */
+    * open (one driver-side metadata read — not a per-batch cost). An
+    * empty directory at open falls back to the session-TZ micros schema
+    * (the no-op normalization case) so the stream can start before the
+    * first file lands; a TIMESTAMP(NANOS) footer without the session-level
+    * nanos conf rethrows the same actionable message as Sources.table. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("NANOS") =>
+          throw new IllegalStateException(
+            s"events parquet carries TIMESTAMP(NANOS): build the session " +
+              s"with GraftSession.builder (or set " +
+              s"${graft.GraftSession.NanosConf}=true)", e)
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.toLowerCase.contains("unable to infer schema") =>
+          TimestampType
+      }
     val base = spark.readStream.schema(rawSchema(tsType)).parquet(dir)
     tsType match {
       case LongType => // int64 nanos via legacy.parquet.nanosAsLong

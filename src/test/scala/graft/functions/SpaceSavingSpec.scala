@@ -54,8 +54,12 @@ class SpaceSavingSpec extends AnyFunSuite {
   test("merge: invariants hold for arbitrary splits and merge orders") {
     val agg = new SpaceSavingAgg(cap)
     // deterministic pseudo-shuffle, then 7 uneven chunks merged two ways
-    val shuffled = stream.sortBy(x => graft.ext.TextHashing.mix64(x * 31 +
-      stream.indexOf(x)))
+    // key on each occurrence's own position so identical items scatter
+    // across chunks (indexOf would give every occurrence the same key and
+    // keep duplicates contiguous, never exercising interleaved merges)
+    val shuffled = stream.zipWithIndex
+      .sortBy { case (x, i) => graft.ext.TextHashing.mix64(x * 31 + i) }
+      .map(_._1)
     val chunks = shuffled.grouped((shuffled.size / 7) + 1).toSeq
       .map(c => agg.finish(c.foldLeft(agg.zero)(agg.reduce)))
     val leftFold = chunks.reduceLeft(agg.merge)

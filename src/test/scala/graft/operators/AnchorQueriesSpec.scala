@@ -52,6 +52,17 @@ class AnchorQueriesSpec extends AnyFunSuite {
     assert(v.filter(col("reason") === "unmatched_cell").count() > 0)
   }
 
+  test("tfidfCappedViolations: healthy cap empty, planted-term-dropping cap flags") {
+    val docs = graft.sources.Sources.table(spark, sfDir, "documents")
+    // maxDf = 20 keeps the planted df-2 pair terms → no violations
+    assert(AnchorQueries.tfidfCappedViolations(docs, maxDf = 20).count() == 0)
+    // maxDf = 1 drops even the planted terms: every probe loses its capped
+    // top-1 and must surface as a null-capped violation, proving the
+    // anchor's left join can't pass vacuously on empty capped postings
+    val v = AnchorQueries.tfidfCappedViolations(docs, maxDf = 1)
+    assert(v.filter(col("capped_neighbor").isNull).count() == 10)
+  }
+
   test("anchor queries carry expectEmpty and a 0-row oracle") {
     AnchorQueries.all.foreach { q =>
       assert(q.expectEmpty, s"${q.name} must be marked expectEmpty")
