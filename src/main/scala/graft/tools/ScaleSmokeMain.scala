@@ -45,20 +45,199 @@ object ScaleSmokeMain {
     "q_x_train_split", "q_x_corpus_shuffle", "q_x_bpe_pairs",
     "q_x_resample_ffill", "q_x_ann_cosine_topk",
     "q_x_decontaminate_semantic", "q_x_lang_id", "q_x_tfidf_top1",
+    "x_tfidf_capped_top1",
     "q_x_domain_balance", "q_x_seq_pack", "q_x_incremental_agg")
+
+  /** Smoke-only runnables with no catalog/oracle presence: the capped-df
+    * TF-IDF top-1 — the documented 100 TB configuration whose correctness
+    * is anchored by q_x_tfidf_capped_anchor — timed here so the 1×/N×
+    * table shows the `maxDf` knob turning the uncapped form's super-linear
+    * shuffle growth back to ≈ data-ratio. Same planted rare-term frame as
+    * the anchor (the synthetic vocab is universally common, so an absolute
+    * cap over the RAW corpus would empty the postings rather than prune
+    * them). */
+  private val extraQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("x_tfidf_capped_top1" -> { (s, dir) =>
+      val docs = graft.sources.Sources.table(s, dir, "documents")
+        .select(col("doc_id"), concat_ws(" ", col("text"),
+          concat(lit("pr"), floor(col("doc_id") / 2), lit("a")),
+          concat(lit("pr"), floor(col("doc_id") / 2), lit("b"))).as("text"))
+      val unit = graft.ext.TfIdf.postings(docs, "doc_id", "text",
+        maxDfFraction = 1.0, maxDf = 20)
+      graft.ext.TfIdf.topSimilar(unit, (0L until 10L).map(_ * 2))
+    })
 
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: src :: out :: n :: Nil => gen(src, out, n.toInt)
+    case "genskew" :: src :: out :: n :: Nil => gen(src, out, n.toInt, skew = true)
     case "run" :: src :: scaled :: Nil => run(src, scaled)
     case "bpe" :: src :: k :: Nil => bpe(src, k.toInt)
     case "stream" :: src :: scaled :: Nil => stream(src, scaled)
     case "bloom" :: src :: work :: Nil => bloom(src, work)
+    case "skew" :: uniform :: skewed :: Nil => skewRun(uniform, skewed)
+    case "census" :: src :: scaled :: n :: Nil => census(src, scaled, n.toInt)
+    case "mem" :: src :: scaled :: Nil => mem(src, scaled)
+    case "skewdemo" :: skewed :: Nil =>
+      val spark = session()
+      val durations =
+        new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskInfo != null) durations.add(te.taskInfo.duration)
+      })
+      skewDemos(spark, durations, skewed)
+      spark.stop()
     case _ =>
       System.err.println(
         "usage: ScaleSmokeMain gen <srcSfDir> <outDir> <N> | " +
+          "genskew <srcSfDir> <outDir> <N> | " +
           "run <srcSfDir> <scaledDir> | bpe <srcSfDir> <k> | " +
-          "stream <srcSfDir> <scaledDir> | bloom <srcSfDir> <workDir>")
+          "stream <srcSfDir> <scaledDir> | bloom <srcSfDir> <workDir> | " +
+          "skew <uniformNxDir> <skewedNxDir> | " +
+          "census <srcSfDir> <scaledDir> <N> | " +
+          "mem <srcSfDir> <scaledDir>   (run under a small -Xmx)")
       sys.exit(2)
+  }
+
+  /** Memory-pressure smoke: the shuffle/agg/window-heavy queries under a
+    * CONSTRAINED heap (launch this subcommand with e.g. -Xmx8g against
+    * the 10× corpus — 1/16th of the sandbox default), recording per-query
+    * wall time, spill bytes (memory + disk), and peak per-task execution
+    * memory. The 100 TB claim under test: when the working set outgrows
+    * the heap, the hash-agg / sort-merge / window paths SPILL and finish
+    * rather than OOM — executor sizing changes throughput, not
+    * correctness. Scalable-table queries run at the scaled dir; the
+    * TPC-H shapes (which `gen` can't replicate) run at the 1× src dir
+    * under the same heap. */
+  private def mem(src: String, scaled: String): Unit = {
+    val spark = session()
+    val heapMb = Runtime.getRuntime.maxMemory / (1 << 20)
+    println(s"[scale-smoke] mem smoke under ${heapMb} MB heap")
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
+    val peakTask = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          peakTask.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        }
+      }
+    })
+    val cases: Seq[(String, String)] = Seq(
+      "q_x_dedup_minhash" -> scaled, "q_x_dedup_simhash" -> scaled,
+      "q_x_tfidf_top1" -> scaled, "x_tfidf_capped_top1" -> scaled,
+      "q_w_sessionize" -> scaled, "q_x_resample_ffill" -> scaled,
+      "q_x_corpus_shuffle" -> scaled, "q_x_seq_pack" -> scaled,
+      "q_tpch_q21_waiting" -> src, "q_tpch_q9_profit" -> src,
+      "q_tpch_q18_large_orders" -> src)
+    println(f"${"query"}%-24s ${"dir"}%-6s ${"wall_s"}%7s ${"spill_mem"}%10s ${"spill_disk"}%10s ${"peak_task"}%10s ${"status"}%8s")
+    cases.foreach { case (name, dir) =>
+      val run = extraQueries.getOrElse(name, Catalog.byName(name).run)
+      GraftSession.dropCachedBlocks(spark)
+      spillMem.set(0); spillDisk.set(0); peakTask.set(0)
+      val t0 = System.nanoTime()
+      val status =
+        try {
+          run(spark, dir).write.format("noop").mode("overwrite").save()
+          "ok"
+        } catch {
+          case e: Throwable =>
+            if (e.toString.contains("OutOfMemory")) "OOM"
+            else s"FAIL:${e.getClass.getSimpleName}"
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener drain
+      val tag = if (dir == scaled) "10x" else "1x"
+      println(f"$name%-24s $tag%-6s $dt%7.1f ${spillMem.get / 1e6}%9.1fM ${spillDisk.get / 1e6}%9.1fM ${peakTask.get / 1e6}%9.1fM $status%8s")
+    }
+    spark.stop()
+  }
+
+  /** Full-suite shuffle census: EVERY registered batch query that touches
+    * only the replicated tables runs ONCE at 1× and N×, recording total
+    * shuffle read+write bytes; any query whose shuffle grows faster than
+    * the data ratio (with 20% slack) is flagged. This closes the
+    * extrapolation gap the 17-query headline smoke leaves: the headline
+    * table argues the expensive queries scale; the census proves nobody
+    * in the long tail degenerates silently. Single-pass on purpose —
+    * shuffle bytes are a property of the executed plan, not the host
+    * (wall time is NOT reported here; `run` owns timing).
+    *
+    * Selection is by observed scan paths, not a hand-kept list: the
+    * analyzed plan's file-source locations must all sit under
+    * documents/events/embeddings (TPC-H-table queries can't run against
+    * a scaled dir that doesn't replicate their tables; q_s_ streaming
+    * queries are covered by the `stream` subcommand's state evidence). */
+  private def census(src: String, scaled: String, n: Int): Unit = {
+    val spark = session()
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(
+          m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead)
+      }
+    })
+    def drained(): Long = {
+      var last = shuffleBytes.get(); var stable = 0; var polls = 0
+      while (stable < 3 && polls < 100) {
+        Thread.sleep(100); polls += 1
+        val now = shuffleBytes.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      last
+    }
+    val scalable = Set("documents.parquet", "events.parquet",
+      "embeddings.parquet")
+    def scansOnlyScalable(name: String): Boolean =
+      try {
+        val df = Catalog.byName(name).run(spark, src)
+        val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+        val paths = leaves.flatMap {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.getName)
+              case _ => Seq("?")
+            }
+          case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            Seq.empty // literal frames (probe lists etc.) scale-free
+          case _ => Seq("?")
+        }
+        paths.nonEmpty && paths.forall(scalable)
+      } catch { case _: Throwable => false }
+
+    val names = Catalog.all.map(_.name)
+      .filterNot(_.startsWith("q_s_"))
+      .filter(scansOnlyScalable)
+    println(s"[census] ${names.size} of ${Catalog.all.size} queries scan " +
+      s"only the replicated tables; data ratio $n, flag threshold ${n * 1.2}")
+
+    def bytesFor(name: String, dir: String): Long = {
+      GraftSession.dropCachedBlocks(spark)
+      val b0 = drained()
+      Catalog.byName(name).run(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      drained() - b0
+    }
+    var flagged = List.empty[(String, Double)]
+    println(f"${"query"}%-36s ${"shuf_1x"}%10s ${"shuf_Nx"}%10s ${"ratio"}%6s")
+    names.foreach { name =>
+      try {
+        val s1 = bytesFor(name, src)
+        val sn = bytesFor(name, scaled)
+        val r = if (s1 > 0) sn.toDouble / s1 else if (sn == 0) 0.0 else -1.0
+        val mark = if (r > n * 1.2 || r < 0) { flagged ::= (name, r); " <-- SUPER-LINEAR" } else ""
+        println(f"$name%-36s ${s1 / 1e6}%9.1fM ${sn / 1e6}%9.1fM ${if (r >= 0) f"$r%6.1f" else "  inf"}%6s$mark")
+      } catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage}") }
+    }
+    println(s"[census] flagged super-linear: ${flagged.size}" +
+      (if (flagged.nonEmpty) " — " + flagged.map(_._1).mkString(", ") else ""))
+    spark.stop()
   }
 
   /** Storage-layer scale evidence: Bloom-sidecar point-lookup pruning at
@@ -209,13 +388,219 @@ object ScaleSmokeMain {
     spark.stop()
   }
 
+  // Event/document headliners whose shuffle or window keys a whale
+  // user_id / hot dedup cluster actually hits.
+  private val skewQueries = Seq(
+    "q_w_sessionize", "q_w_session_window", "q_x_asof_join",
+    "q_x_asof_native", "q_x_range_join", "q_p9_pivot", "q_x_dedup_minhash")
+
+  /** Skew robustness harness: the headline event/document queries at N×
+    * uniform vs N× Zipf-headed (see `gen(skew = true)`), with straggler
+    * evidence — max vs median task duration — next to wall time; then two
+    * mitigation probes on the whale-key join shape itself:
+    *  (a) AQE skew-split: a forced sort-merge join of the skewed events
+    *      against a per-user dim, skewJoin on vs off. The split thresholds
+    *      are lowered to match the smoke's MB-scale shuffle partitions —
+    *      at production scale the stock 256 MB threshold fires the same
+    *      way — and the run asserts the split ENGAGED (final AQE plan
+    *      prints the skew marker) rather than inferring it from timing.
+    *  (b) the explicit [[graft.operators.Skew.saltedJoin]] rewrite vs the
+    *      plain shuffle join under the same no-broadcast conditions with
+    *      AQE skew-split disabled — the mitigation for join shapes AQE
+    *      cannot split.
+    * Windows (sessionize / session_window) have no AQE escape hatch — a
+    * whale key's partition is irreducible for intra-key ordered state —
+    * so their numbers here document the per-key ceiling: max-task tracks
+    * the whale's row share, which is why per-user state paths must keep
+    * per-row cost O(1) (and why quota/shard operators shard BY something
+    * finer than the natural key). */
+  private def skewRun(uniform: String, skewed: String): Unit = {
+    val spark = session()
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) durations.add(te.taskInfo.duration)
+    })
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // (max, median) task millis since the last clear; short drain pause
+    // because the listener bus posts task events asynchronously
+    def taskStats(): (Long, Long) = {
+      Thread.sleep(500)
+      val ds = durations.toArray(Array.empty[java.lang.Long])
+        .map(_.longValue).sorted
+      if (ds.isEmpty) (0L, 0L) else (ds.last, ds(ds.length / 2))
+    }
+    def timed(run: (SparkSession, String) => DataFrame,
+              dir: String): (Double, Long, Long) = {
+      GraftSession.dropCachedBlocks(spark)
+      durations.clear()
+      val t0 = System.nanoTime()
+      force(run(spark, dir))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (mx, med) = taskStats()
+      (dt, mx, med)
+    }
+    def ratio(mx: Long, med: Long): String =
+      if (med > 0) f"${mx.toDouble / med}%.1f" else "-"
+
+    // ---- query sweep: straggler profile under a Zipf head ----
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    println(f"${"query"}%-22s ${"t_uni"}%7s ${"t_skew"}%7s ${"maxT_u"}%7s ${"medT_u"}%7s ${"m/m_u"}%6s ${"maxT_s"}%7s ${"medT_s"}%7s ${"m/m_s"}%6s")
+    skewQueries.foreach { name =>
+      val run = Catalog.byName(name).run
+      try {
+        timed(run, uniform) // warm (codegen, file listing)
+        // keep the pass with the smallest max-task per cell: co-tenant
+        // noise only ever inflates a task, never deflates it
+        var (tu, xu, mu) = (Double.MaxValue, Long.MaxValue, 0L)
+        var (ts, xs, ms) = (Double.MaxValue, Long.MaxValue, 0L)
+        for (_ <- 1 to reps) {
+          val (a, ax, am) = timed(run, uniform)
+          if (ax < xu) { xu = ax; mu = am }
+          tu = math.min(tu, a)
+          val (b, bx, bm) = timed(run, skewed)
+          if (bx < xs) { xs = bx; ms = bm }
+          ts = math.min(ts, b)
+        }
+        println(f"$name%-22s $tu%7.2f $ts%7.2f ${xu}%7d ${mu}%7d ${ratio(xu, mu)}%6s ${xs}%7d ${ms}%7d ${ratio(xs, ms)}%6s")
+      } catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage}") }
+    }
+
+    skewDemos(spark, durations, skewed)
+    spark.stop()
+  }
+
+  /** The mitigation probes on the whale-key join shape (part (a)/(b) of
+    * [[skewRun]]'s Scaladoc); standalone via the `skewdemo` subcommand. */
+  private def skewDemos(
+      spark: SparkSession,
+      durations: java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long],
+      skewed: String): Unit = {
+    def taskStats(): (Long, Long) = {
+      Thread.sleep(500)
+      val ds = durations.toArray(Array.empty[java.lang.Long])
+        .map(_.longValue).sorted
+      if (ds.isEmpty) (0L, 0L) else (ds.last, ds(ds.length / 2))
+    }
+    def ratio(mx: Long, med: Long): String =
+      if (med > 0) f"${mx.toDouble / med}%.1f" else "-"
+    if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      spark.sparkContext.setLogLevel("DEBUG")
+    // The per-user dim is MATERIALIZED to parquet first — the realistic
+    // dimension-table shape, and a load-bearing detail: OptimizeSkewedJoin
+    // only matches a join whose children are Sort-over-ShuffleQueryStage,
+    // so a dim that arrives pre-partitioned out of an upstream aggregate
+    // (Sort-over-HashAggregate-over-stage, no fresh exchange) makes the
+    // whole join unsplittable — THAT shape is exactly what saltedJoin
+    // covers below, and what its Scaladoc means by "the join side can't
+    // be split by AQE".
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft-skewdemo-dim").toString + "/dim.parquet"
+    graft.sources.Sources.table(spark, skewed, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_user"))
+      .write.mode("overwrite").parquet(dimDir)
+    def hotJoin(s: SparkSession, dir: String): DataFrame = {
+      val e = graft.sources.Sources.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val dim = s.read.parquet(dimDir)
+      e.join(dim, "user_id")
+        .groupBy().agg(sum(col("value") * col("n_user")).as("chk"))
+    }
+    def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+      val saved = pairs.map { case (k, _) =>
+        k -> scala.util.Try(spark.conf.get(k)).toOption }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val thresh = sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "1m")
+    val advisory = sys.env.getOrElse("SPARK_GRAFT_SKEW_ADVISORY", "256k")
+    val mbScaleThresholds = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> thresh,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory)
+
+    def probe(label: String, df: => DataFrame,
+              confs: Seq[(String, String)]): Unit =
+      withConfs(confs: _*) {
+        val d = df
+        GraftSession.dropCachedBlocks(spark)
+        durations.clear()
+        val t0 = System.nanoTime()
+        d.collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (mx, med) = taskStats()
+        val plan = d.queryExecution.executedPlan.toString
+        val engaged = plan.contains("skew=true")
+        println(f"[scale-smoke] $label%-42s: $dt%6.2f s, " +
+          f"maxTask ${mx}%5d ms, medTask ${med}%4d ms, " +
+          f"max/med ${ratio(mx, med)}%5s, skew-split engaged: $engaged")
+        if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+          println(plan.linesIterator.take(40).mkString("\n"))
+      }
+
+    // unmeasured warm pass (file listing, codegen) so probe order doesn't
+    // bias the first row
+    withConfs(mbScaleThresholds: _*) { hotJoin(spark, skewed).collect() }
+
+    // (a) disk-dim join: children are fresh exchanges → AQE CAN split
+    probe("hot-user SMJ (disk dim), skewJoin=on",
+      hotJoin(spark, skewed), mbScaleThresholds :+
+        ("spark.sql.adaptive.skewJoin.enabled" -> "true"))
+    probe("hot-user SMJ (disk dim), skewJoin=off",
+      hotJoin(spark, skewed), mbScaleThresholds :+
+        ("spark.sql.adaptive.skewJoin.enabled" -> "false"))
+
+    // (b) agg-fed dim: the dim side arrives pre-partitioned out of its
+    // aggregate (no exchange under the join) → OptimizeSkewedJoin's
+    // pattern can't match even with skewJoin on — the documented
+    // can't-split shape...
+    def aggJoin: DataFrame = {
+      val e = graft.sources.Sources.table(spark, skewed, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val dim = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_user"))
+      e.join(dim, "user_id")
+        .groupBy().agg(sum(col("value") * col("n_user")).as("chk"))
+    }
+    probe("hot-user SMJ (agg-fed dim), skewJoin=on",
+      aggJoin, mbScaleThresholds :+
+        ("spark.sql.adaptive.skewJoin.enabled" -> "true"))
+    // ...which the explicit salted rewrite covers: the whale's rows
+    // scatter across `salts` reducers regardless of plan shape
+    probe("hot-user saltedJoin(32) (agg-fed dim)",
+      {
+        val e = graft.sources.Sources.table(spark, skewed, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val dim = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_user"))
+        graft.operators.Skew
+          .saltedJoin(e, dim, "user_id", salts = 32, saltBy = col("event_id"))
+          .groupBy().agg(sum(col("value") * col("n_user")).as("chk"))
+      }, mbScaleThresholds :+
+        ("spark.sql.adaptive.skewJoin.enabled" -> "false"))
+  }
+
   private def session(): SparkSession = {
     val s = GraftSession.builder("graft-scale-smoke", "32").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
-  private def gen(src: String, out: String, n: Int): Unit = {
+  /** With `skew = true`, the N× tables get a Zipf-style head instead of
+    * the uniform replica structure (ids/markers still applied so scale
+    * stays honest):
+    *  - events: ~20% of ALL rows (hash-selected, replica-independent)
+    *    redirect to one whale `user_id` — the hot join/window/session key;
+    *  - documents: ~20% of each replica's docs are rewritten as near-dups
+    *    of one replica-constant template (pairwise word-3-gram Jaccard
+    *    ≈ 0.9 ≥ the 0.7 threshold) — one giant dedup cluster per replica,
+    *    the hot-LSH-bucket regime the `maxBucket` cap exists for. */
+  private def gen(src: String, out: String, n: Int,
+                  skew: Boolean = false): Unit = {
     val spark = session()
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val events = spark.read.parquet(s"$src/events.parquet") // ts stays long nanos
@@ -223,11 +608,15 @@ object ScaleSmokeMain {
     val docOff = 10000000L
     val evtOff = 100000000L
     val vecOff = 10000000L
+    val hotUser = 7L
+    // ~30 tokens of template → two hot docs share all but their unique
+    // suffix gram: jac ≈ 28/33 ≈ 0.85 > 0.7 verify threshold
+    val hotTemplate = (1 to 30).map(k => s"hot$k").mkString(" ")
 
     def replicas(i0: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(i => f(i0, i)).reduce(_.unionAll(_))
 
-    val docsN = replicas(docs, { (d, i) =>
+    val docsU = replicas(docs, { (d, i) =>
       val base = d.withColumn("doc_id", col("doc_id") + lit(i * docOff))
       if (i == 0) base
       else base.withColumn("text", array_join(flatten(transform(
@@ -236,9 +625,21 @@ object ScaleSmokeMain {
           .otherwise(array(t)))), " "))
         .withColumn("n_chars", length(col("text")))
     })
+    val docsN =
+      if (!skew) docsU
+      else docsU.withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(lit(hotTemplate + " rep"), floor(col("doc_id") / docOff),
+              lit(" u"), col("doc_id")))
+          .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")))
     val eventsN = replicas(events, { (e, i) =>
-      e.withColumn("event_id", col("event_id") + lit(i * evtOff))
+      val re = e.withColumn("event_id", col("event_id") + lit(i * evtOff))
         .withColumn("user_id", col("user_id") + lit(i * 10000L))
+      if (!skew) re
+      else re.withColumn("user_id",
+        when(pmod(xxhash64(col("event_id")), lit(5)) === 0, lit(hotUser))
+          .otherwise(col("user_id")))
     })
     // Embeddings get the same honesty treatment as documents: replica i>0
     // sign-flips a replica-specific ~half of the coordinates (a diagonal
@@ -306,11 +707,11 @@ object ScaleSmokeMain {
     }
 
     def timed(name: String, dir: String): (Double, Long) = {
-      val q = Catalog.byName(name)
+      val run = extraQueries.getOrElse(name, Catalog.byName(name).run)
       GraftSession.dropCachedBlocks(spark)
       val b0 = drainedBytes()
       val t0 = System.nanoTime()
-      force(q.run(spark, dir))
+      force(run(spark, dir))
       val dt = (System.nanoTime() - t0) / 1e9
       (dt, drainedBytes() - b0)
     }
