@@ -77,15 +77,19 @@ object ExtensionQueries {
     * text — FNV-1a 64 + splitmix64 per token (64-bit wrapping arithmetic
     * emulated in HUGEINT mod 2^64, with xor/bit_count done on 32-bit
     * halves since DuckDB's bitwise ops stop at BIGINT), per-bit token
-    * votes, sign → bit — then builds the hamming-≤3 edge set all-pairs
-    * and clusters it with the same recursive-CTE transitive closure +
-    * min-label the minhash oracle uses. Byte-level caveat: the SQL reads
-    * token bytes via ord(), which equals the UTF-8 byte only for ASCII —
-    * exactly the corpus's alphabet (the JVM side hashes raw UTF-8 bytes).
-    * The production maxBucket=64 cap does not bind at the gate SF
-    * (verified: capped output ≡ cap-free ≡ brute-force at sf0.01), so a
-    * sketching, chunk-LSH recall, cap, or CC bug all surface as a hash
-    * mismatch here; the cap-free-vs-brute-force invariant stays pinned by
+    * votes, sign → bit — then reproduces the PRODUCTION pipeline
+    * semantics exactly: the 4×16-bit chunk membership, per-bucket sizes,
+    * the maxBucket=64 cap filter (n BETWEEN 2 AND 64), hamming-≤3 verify
+    * within buckets, and the same recursive-CTE transitive closure +
+    * min-label the minhash oracle uses. Modeling the cap in the oracle —
+    * rather than pairing all-pairs — matters at scale: at sf0.1 real
+    * buckets exceed the cap, so an uncapped oracle diverges (measured:
+    * one cluster split at sf0.1) while this one hash-matches at every
+    * tested SF; it is also ~10× cheaper for DuckDB than the 12.5M-pair
+    * cross product. Byte-level caveat: the SQL reads token bytes via
+    * ord(), which equals the UTF-8 byte only for ASCII — exactly the
+    * corpus's alphabet (the JVM side hashes raw UTF-8 bytes). The
+    * cap-free-vs-brute-force recall invariant stays pinned separately by
     * q_x_dedup_simhash_anchor. */
   val dedupSimhash = Q(
     "q_x_dedup_simhash",
@@ -124,8 +128,15 @@ object ExtensionQueries {
            |   sum(CASE WHEN votes > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS sig FROM bits GROUP BY 1),
            | sig AS (SELECT doc.doc_id, coalesce(s.sig, 0) AS sig
            |   FROM documents doc LEFT JOIN sig0 s ON doc.doc_id = s.doc_id),
-           | e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sig a, sig b WHERE a.doc_id < b.doc_id
-           |   AND bit_count(CAST(xor(CAST(a.sig // 4294967296 AS BIGINT), CAST(b.sig // 4294967296 AS BIGINT)) AS BIGINT))
+           | memb AS (SELECT doc_id, c, (sig // (CAST(1 AS HUGEINT) << (16 * c))) % 65536 AS key
+           |   FROM sig, (SELECT unnest(range(0, 4)) AS c)),
+           | sizes AS (SELECT c, key, count(*) AS n FROM memb GROUP BY 1, 2),
+           | bounded AS (SELECT m.doc_id, m.c, m.key FROM memb m
+           |   JOIN sizes s ON m.c = s.c AND m.key = s.key WHERE s.n BETWEEN 2 AND 64),
+           | e AS (SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+           |   FROM bounded x JOIN bounded y ON x.c = y.c AND x.key = y.key AND x.doc_id < y.doc_id
+           |   JOIN sig a ON a.doc_id = x.doc_id JOIN sig b ON b.doc_id = y.doc_id
+           |   WHERE bit_count(CAST(xor(CAST(a.sig // 4294967296 AS BIGINT), CAST(b.sig // 4294967296 AS BIGINT)) AS BIGINT))
            |     + bit_count(xor(CAST(a.sig % 4294967296 AS BIGINT), CAST(b.sig % 4294967296 AS BIGINT))) <= 3),
            | ed AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
            | reach AS (SELECT u, v FROM ed
@@ -1110,12 +1121,19 @@ object ExtensionQueries {
     "Stable salted-hash user pseudonymization + per-token event counts",
     (s, dir) => {
       val salt = "graft-pepper-v1"
+      // Aggregate on the RAW 8-byte key and pseudonymize AFTER: sha2 is
+      // 1:1 per user, so grouping by user_id is equivalent — but hashing
+      // first would ship a 64-char hex string per event row through the
+      // shuffle (the round-7 10x census measured that shape at 108x
+      // shuffle growth: partial combine collapses once per-partition
+      // rows < distinct users, leaving ~input rows of hex keys). This
+      // shape shuffles compact longs and hashes |users|x|types| rows.
       Sources.table(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
         .select(sha2(concat_ws(":", lit(salt),
           col("user_id").cast("string")), 256).as("pseudo_uid"),
-          col("event_type"))
-        .groupBy(col("pseudo_uid"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"))
+          col("event_type"), col("n_events"))
         .orderBy(col("n_events").desc, col("pseudo_uid"), col("event_type"))
         .limit(50)
     },

@@ -15,10 +15,15 @@ import graft.operators.Catalog
   *
   * Usage:
   *   runMain graft.tools.ScaleSmokeMain gen <srcSfDir> <outDir> <N>
+  *   runMain graft.tools.ScaleSmokeMain genskew <srcSfDir> <outDir> <N>
   *   runMain graft.tools.ScaleSmokeMain run <srcSfDir> <scaledDir>
   *   runMain graft.tools.ScaleSmokeMain bpe <srcSfDir> <k>
   *   runMain graft.tools.ScaleSmokeMain stream <srcSfDir> <scaledDir>
   *   runMain graft.tools.ScaleSmokeMain bloom <srcSfDir> <workDir>
+  *   runMain graft.tools.ScaleSmokeMain skew <uniformNxDir> <skewedNxDir>
+  *   runMain graft.tools.ScaleSmokeMain skewdemo <skewedNxDir>
+  *   runMain graft.tools.ScaleSmokeMain census <srcSfDir> <scaledDir> <N>
+  *   runMain graft.tools.ScaleSmokeMain mem <srcSfDir> <scaledDir>  (small -Xmx)
   *
   * Replica construction keeps the similarity structure honest:
   * replica 0 is the original; replica i>0 re-ids rows and REWRITES each
@@ -114,6 +119,17 @@ object ScaleSmokeMain {
     val spark = session()
     val heapMb = Runtime.getRuntime.maxMemory / (1 << 20)
     println(s"[scale-smoke] mem smoke under ${heapMb} MB heap")
+    // The 10× corpus never pressures even a 3 GiB heap (measured: zero
+    // spill at -Xmx3g), so the spill machinery itself would go untested;
+    // SPARK_GRAFT_SPILL_THRESHOLD=N forces the window / sort-merge-join
+    // buffers to spill past N in-memory rows — the claim under test
+    // becomes "the spill path executes and the queries still finish ok",
+    // which is the part of the 100 TB story a small corpus can exercise.
+    sys.env.get("SPARK_GRAFT_SPILL_THRESHOLD").foreach { t =>
+      spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", t)
+      spark.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", t)
+      println(s"[scale-smoke] forced window/SMJ buffer spill past $t rows")
+    }
     val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
     val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
     val peakTask = new java.util.concurrent.atomic.AtomicLong(0)
@@ -224,6 +240,11 @@ object ScaleSmokeMain {
         .write.format("noop").mode("overwrite").save()
       drained() - b0
     }
+    // Flag only when the Nx absolute clears a floor: a 30x ratio on tens
+    // of kilobytes is result-row metadata (aggregate outputs, anchor
+    // violation frames), not data movement — the first census run
+    // false-flagged 28 such rows.
+    val floorBytes = 5e6
     var flagged = List.empty[(String, Double)]
     println(f"${"query"}%-36s ${"shuf_1x"}%10s ${"shuf_Nx"}%10s ${"ratio"}%6s")
     names.foreach { name =>
@@ -231,11 +252,13 @@ object ScaleSmokeMain {
         val s1 = bytesFor(name, src)
         val sn = bytesFor(name, scaled)
         val r = if (s1 > 0) sn.toDouble / s1 else if (sn == 0) 0.0 else -1.0
-        val mark = if (r > n * 1.2 || r < 0) { flagged ::= (name, r); " <-- SUPER-LINEAR" } else ""
+        val mark = if ((r > n * 1.2 || r < 0) && sn > floorBytes) {
+          flagged ::= (name, r); " <-- SUPER-LINEAR"
+        } else ""
         println(f"$name%-36s ${s1 / 1e6}%9.1fM ${sn / 1e6}%9.1fM ${if (r >= 0) f"$r%6.1f" else "  inf"}%6s$mark")
       } catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage}") }
     }
-    println(s"[census] flagged super-linear: ${flagged.size}" +
+    println(f"[census] flagged super-linear (>${n * 1.2}%.0fx and >${floorBytes / 1e6}%.0fMB at Nx): ${flagged.size}%d" +
       (if (flagged.nonEmpty) " — " + flagged.map(_._1).mkString(", ") else ""))
     spark.stop()
   }
