@@ -38,23 +38,23 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
-  /** Unit-normalized TF-IDF postings: (doc_id, term, u).
-    *
-    * @param maxDfFraction drop terms in more than this fraction of the
-    *                      corpus (stop-word prune)
-    * @param maxDf         ABSOLUTE df cap — the 100 TB knob bounding the
-    *                      similarity join's per-probe fan-out (see class
-    *                      doc); default unbounded = exact postings
-    */
-  def postings(docs: DataFrame, idCol: String, textCol: String,
-               maxDfFraction: Double = 0.5,
-               maxDf: Long = Long.MaxValue): DataFrame = {
-    val n = docs.count() // one scalar job; the only driver-side value
-    val tf = docs
-      .select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+  /** (doc_id, term, tf) term frequencies — the ONE corpus scan
+    * (tokenize-explode + hash-agg) every postings configuration shares.
+    * Callers comparing configurations (e.g. the capped-vs-uncapped
+    * anchor) should `localCheckpoint` this frame and feed it to
+    * [[postingsFromTf]] twice, instead of re-scanning the corpus. */
+  def termFrequencies(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = docs
+    .select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    .filter(length(col("term")) > 0)
+    .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Weights + norms over a precomputed [[termFrequencies]] frame; `n`
+    * is the corpus document count. See [[postings]] for the knobs. */
+  def postingsFromTf(tf: DataFrame, n: Long,
+                     maxDfFraction: Double = 0.5,
+                     maxDf: Long = Long.MaxValue): DataFrame = {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <=
         lit(math.min(maxDf, math.max(1L, (n * maxDfFraction).toLong))))
@@ -68,6 +68,22 @@ object TfIdf {
     w.join(norm, "doc_id")
       .select(col("doc_id"), col("term"), (col("w") / col("norm")).as("u"))
       .localCheckpoint(true)
+  }
+
+  /** Unit-normalized TF-IDF postings: (doc_id, term, u).
+    *
+    * @param maxDfFraction drop terms in more than this fraction of the
+    *                      corpus (stop-word prune)
+    * @param maxDf         ABSOLUTE df cap — the 100 TB knob bounding the
+    *                      similarity join's per-probe fan-out (see class
+    *                      doc); default unbounded = exact postings
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               maxDfFraction: Double = 0.5,
+               maxDf: Long = Long.MaxValue): DataFrame = {
+    val n = docs.count() // one scalar job; the only driver-side value
+    postingsFromTf(termFrequencies(docs, idCol, textCol), n,
+      maxDfFraction, maxDf)
   }
 
   /** Top-1 most-similar corpus doc per probe doc, by TF-IDF cosine.

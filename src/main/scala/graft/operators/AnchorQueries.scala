@@ -560,10 +560,13 @@ object AnchorQueries {
           concat(lit("pr"), floor(col("doc_id") / 2), lit("a")),
           concat(lit("pr"), floor(col("doc_id") / 2), lit("b"))).as("text"))
       val probes = (0L until 10L).map(_ * 2)
-      val uncapped = TfIdf.postings(docs, "doc_id", "text",
-        maxDfFraction = 1.0)
-      val capped = TfIdf.postings(docs, "doc_id", "text",
-        maxDfFraction = 1.0, maxDf = maxDf)
+      // both configurations share the one tokenize-explode corpus scan
+      val n = docs.count()
+      val tf = TfIdf.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val uncapped = TfIdf.postingsFromTf(tf, n, maxDfFraction = 1.0)
+      val capped = TfIdf.postingsFromTf(tf, n, maxDfFraction = 1.0,
+        maxDf = maxDf)
       val tu = TfIdf.topSimilar(uncapped, probes)
         .select(col("probe_id"), col("neighbor_id").as("uncapped_neighbor"))
       val tc = TfIdf.topSimilar(capped, probes)
