@@ -146,4 +146,62 @@ object Sampling {
           * 65536.0, 1L).otherwise(0L))
       .drop("__dn")
   }
+
+  /** Temperature-reweighted domain sampling — the p^α mixture-flattening
+    * step of a pretraining data recipe (α < 1 upsamples tail domains
+    * relative to their natural share; α = 1 is proportional, α = 0
+    * uniform-per-domain). Domain d with n_d docs gets a target allocation
+    * ∝ n_d^α, materialized by deterministic largest-remainder rounding so
+    * the targets sum EXACTLY to `targetN`, then filled with the domain's
+    * lowest-md5-rank docs (the same engine-portable order every sampling
+    * op here uses).
+    *
+    * Cross-engine exactness: after the one α-power, every step is integer
+    * arithmetic — weights are quantized to round(w·10⁶) longs, targets
+    * come from `div`/`%` against the weight sum, and remainder ties break
+    * on domain name — so two engines agree bit-for-bit. α = 0.5 (the
+    * common "square-root sampling") uses `sqrt`, which IEEE 754 requires
+    * to be correctly rounded in every implementation; other α go through
+    * `pow`, where the last ulp is libm-dependent (the 10⁶ quantization
+    * absorbs it except on exact .5 boundaries — vanishingly unlikely, and
+    * why the ORACLED configuration is α = 0.5).
+    *
+    * 100 TB shape: one hash-agg for counts; the allocation windows run on
+    * the |domains|-row aggregate (bounded, like the anomaly stats frame);
+    * selection is a per-domain window rank — no global sort. A domain
+    * with n_d < target keeps all its rows; the shortfall is visible
+    * (target_n vs samp_rank) rather than silently rebalanced, which would
+    * make every domain's allocation data-dependent on every other's.
+    *
+    * Output: one row per input doc with `samp_rank` (md5 order within
+    * domain), `target_n` (the domain's allocation), `kept` (0/1). */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+                        alpha: Double, targetN: Long): DataFrame = {
+    require(alpha >= 0.0 && targetN >= 0, "alpha and targetN must be >= 0")
+    val wExpr =
+      if (alpha == 0.5) sqrt(col("__n_d").cast("double"))
+      else pow(col("__n_d").cast("double"), lit(alpha))
+    val whole = Window.partitionBy() // bounded: |domains| rows
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val alloc = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n_d"))
+      .withColumn("__w", round(wExpr * 1e6).cast("long"))
+      .withColumn("__denom", sum(col("__w")).over(whole))
+      .withColumn("__num", col("__w") * targetN)
+      .withColumn("__base", expr("__num div __denom"))
+      .withColumn("__rem", col("__num") % col("__denom"))
+      .withColumn("__deficit", lit(targetN) - sum(col("__base")).over(whole))
+      .withColumn("__fr", row_number().over(
+        Window.orderBy(col("__rem").desc, col(domainCol).asc)))
+      .withColumn("target_n",
+        (col("__base") + when(col("__fr") <= col("__deficit"), 1L)
+          .otherwise(0L)).cast("long"))
+      .select(col(domainCol), col("target_n"))
+    val rank = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(alloc), Seq(domainCol))
+      .withColumn("samp_rank", row_number().over(rank).cast("long"))
+      .withColumn("kept",
+        when(col("samp_rank") <= col("target_n"), 1L).otherwise(0L))
+  }
 }

@@ -67,6 +67,37 @@ object PipelineQueries {
            |   AS kept
            | FROM documents""".stripMargin.replace("\n", "")))
 
+  /** Temperature sampling ([[graft.ext.Sampling.temperatureSample]]) at
+    * α = 0.5 — square-root domain reweighting, the mixture-flattening
+    * recipe step. α = 0.5 is the ORACLED configuration on purpose: sqrt
+    * is IEEE-correctly-rounded in every engine, and everything after the
+    * root is integer arithmetic (10⁶-quantized weights, div/mod
+    * largest-remainder allocation, md5-rank fill), so the DuckDB mirror
+    * is bit-exact. General α is spec-pinned instead (SamplingSpec). */
+  val domainTemperature = Q(
+    "q_x_domain_temperature",
+    "Temperature (sqrt) domain sampling: largest-remainder targets + md5 fill",
+    (s, dir) => Sampling.temperatureSample(t(s, dir, "documents"),
+        "doc_id", "source", alpha = 0.5, targetN = 200L)
+      .select(col("doc_id"), col("source"), col("samp_rank"),
+        col("target_n"), col("kept")),
+    Some(s"""WITH cnt AS (SELECT source, count(*) AS n_d FROM documents GROUP BY 1),
+           | wt AS (SELECT source, n_d, CAST(round(sqrt(n_d) * 1000000) AS BIGINT) AS w FROM cnt),
+           | al AS (SELECT source, n_d, w, w * 200 AS num, sum(w) OVER () AS denom FROM wt),
+           | a2 AS (SELECT source, n_d, num // denom AS base, num % denom AS rem FROM al),
+           | a3 AS (SELECT source, n_d, base, rem,
+           |   200 - sum(base) OVER () AS deficit,
+           |   row_number() OVER (ORDER BY rem DESC, source) AS fr FROM a2),
+           | tgt AS (SELECT source,
+           |   CAST(base + CASE WHEN fr <= deficit THEN 1 ELSE 0 END AS BIGINT) AS target_n FROM a3),
+           | r AS (SELECT doc_id, source,
+           |   CAST(row_number() OVER (PARTITION BY source
+           |     ORDER BY $md5Doc, doc_id) AS BIGINT) AS samp_rank FROM documents)
+           | SELECT r.doc_id, r.source, r.samp_rank, t.target_n,
+           |   CAST(CASE WHEN r.samp_rank <= t.target_n THEN 1 ELSE 0 END AS BIGINT) AS kept
+           | FROM r JOIN tgt t ON r.source = t.source"""
+      .stripMargin.replace("\n", "")))
+
   /** Concat-and-chunk sequence packing: 512-token training sequences per
     * md5 shard; a doc knows which sequence it starts in and whether it
     * straddles into the next. */
@@ -149,6 +180,6 @@ object PipelineQueries {
            | FROM events GROUP BY event_type"""
       .stripMargin.replace("\n", "")))
 
-  val all: Seq[Q] = Seq(corpusShuffle, domainBalance, seqPack, mixtureEpochs,
-    incrementalAgg)
+  val all: Seq[Q] = Seq(corpusShuffle, domainBalance, domainTemperature,
+    seqPack, mixtureEpochs, incrementalAgg)
 }

@@ -107,6 +107,56 @@ class SamplingSpec extends AnyFunSuite {
     assert(byId.size < 4000)
   }
 
+  test("temperatureSample: exact-sum targets, tail upsampled, layout-independent") {
+    val spark0 = spark
+    import spark0.implicits._
+    // Zipf-ish domain sizes: 640 / 160 / 40 / 10
+    val df = (
+      (0 until 640).map(i => (i.toLong, "head")) ++
+      (640 until 800).map(i => (i.toLong, "mid")) ++
+      (800 until 840).map(i => (i.toLong, "tail")) ++
+      (840 until 850).map(i => (i.toLong, "rare"))).toDF("id", "dom")
+
+    val s = Sampling.temperatureSample(df, "id", "dom", alpha = 0.5,
+      targetN = 100L)
+    val targets = s.select(col("dom"), col("target_n")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // largest-remainder: targets sum EXACTLY to targetN
+    assert(targets.values.sum == 100L, s"targets: $targets")
+    // sqrt weights: 25.3 / 12.65 / 6.32 / 3.16 → shares ~53/27/13/7
+    // vs natural shares 75/19/5/1: head down-, tail/rare up-sampled
+    assert(targets("head") < 640 * 100 / 850)
+    assert(targets("tail") > 40 * 100 / 850)
+    assert(targets("rare") > 10 * 100 / 850)
+    // kept counts = min(target, n_d); all targets here fit availability
+    val kept = s.filter(col("kept") === 1L).groupBy(col("dom"))
+      .agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == targets.filter(_._2 > 0))
+    // layout independence
+    val a = s.select(col("id"), col("kept"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.temperatureSample(df.repartition(13), "id", "dom",
+        alpha = 0.5, targetN = 100L)
+      .select(col("id"), col("kept"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // alpha = 1 recovers ~proportional targets; alpha = 0 ~uniform
+    val prop = Sampling.temperatureSample(df, "id", "dom", 1.0, 100L)
+      .select(col("dom"), col("target_n")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(prop("head") - 75L) <= 1)
+    val unif = Sampling.temperatureSample(df, "id", "dom", 0.0, 100L)
+      .select(col("dom"), col("target_n")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unif.values.forall(v => v == 25L))
+    // over-subscribed domain keeps only its n_d rows, shortfall visible
+    val tight = Sampling.temperatureSample(df, "id", "dom", 0.0, 200L)
+    val rareKept = tight.filter(col("dom") === "rare" && col("kept") === 1L)
+      .count()
+    assert(rareKept == 10L) // target 50, only 10 rows exist
+  }
+
   test("stratified: per-stratum rates honored approximately") {
     val spark0 = spark
     import spark0.implicits._
