@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Bpe, Dedup, FuzzyJoin, Multimodal, Similarity, TextAnalysis, TfIdf}
@@ -41,35 +42,91 @@ object ExtensionQueries {
     * verify stage) and clusters it with a recursive-CTE transitive
     * closure + min-label. A mismatch in sketching, banding, bucket
     * capping, verify, or CC labeling all surface here. */
+  /** Shared DuckDB CTE chain rebuilding the minhash cluster labels from
+    * raw text (word-3-gram Jaccard ≥ 0.7 edges + recursive transitive
+    * closure + min-label): interpolated into every oracle that needs the
+    * cluster assignment (`q_x_dedup_minhash`, `q_x_dedup_keep_best`).
+    * Must follow a `WITH RECURSIVE` and be joined as
+    * `... LEFT JOIN lab l ON doc_id = l.doc_id` with
+    * `least(doc_id, coalesce(l.m, doc_id))` as the cluster id. */
+  private val minhashClusterCtes =
+    """d AS (SELECT doc_id,
+      |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+      | sh AS (SELECT doc_id, list_distinct(CASE
+      |   WHEN len(toks) = 0 THEN []
+      |   WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+      |   ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+      |   END) AS s FROM d),
+      | e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a, sh b
+      |   WHERE a.doc_id < b.doc_id AND (CASE
+      |     WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+      |     WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+      |     ELSE len(list_intersect(a.s, b.s)) * 1.0
+      |       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+      |     END) >= 0.7),
+      | ed AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      | reach AS (SELECT u, v FROM ed
+      |   UNION SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u
+      |   WHERE ed.v <> r.u),
+      | lab AS (SELECT u AS doc_id, min(v) AS m FROM reach GROUP BY u)"""
+      .stripMargin.replace("\n", "")
+
   val dedupMinhash = Q(
     "q_x_dedup_minhash",
     "MinHash+LSH near-dup clustering (sig→band→bucket→verify→CC)",
     (s, dir) => Dedup.minhash(
       Sources.table(s, dir, "documents"), "doc_id", "text"),
-    Some("""WITH RECURSIVE d AS (SELECT doc_id,
-           |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
-           | sh AS (SELECT doc_id, list_distinct(CASE
-           |   WHEN len(toks) = 0 THEN []
-           |   WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-           |   ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
-           |   END) AS s FROM d),
-           | e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a, sh b
-           |   WHERE a.doc_id < b.doc_id AND (CASE
-           |     WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
-           |     WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
-           |     ELSE len(list_intersect(a.s, b.s)) * 1.0
-           |       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-           |     END) >= 0.7),
-           | ed AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
-           | reach AS (SELECT u, v FROM ed
-           |   UNION SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u
-           |   WHERE ed.v <> r.u),
-           | lab AS (SELECT u AS doc_id, min(v) AS m FROM reach GROUP BY u)
+    Some(s"""WITH RECURSIVE $minhashClusterCtes
            | SELECT doc.doc_id,
            |   CAST(least(doc.doc_id, coalesce(l.m, doc.doc_id)) AS BIGINT) AS cluster_id,
            |   least(doc.doc_id, coalesce(l.m, doc.doc_id)) = doc.doc_id AS is_canonical
            | FROM documents doc LEFT JOIN lab l ON doc.doc_id = l.doc_id"""
       .stripMargin.replace("\n", "")), headline = true)
+
+  /** Quality-aware dedup policy — the representative selection a real
+    * corpus pipeline runs instead of keep-min-id: within each near-dup
+    * cluster keep the HIGHEST-quality document (the integer basis-point
+    * score from [[graft.ext.TextAnalysis.qualityColumns]]; ties break on
+    * doc_id). Pure composition of two oracled operators — minhash
+    * clustering × quality scoring — plus one per-cluster window (bounded
+    * by the largest cluster, the same partition bound domainQuota
+    * documents). DuckDB mirrors via the shared cluster CTEs and the
+    * identical exact-integer score, so the whole policy hash-matches. */
+  val dedupKeepBest = Q(
+    "q_x_dedup_keep_best",
+    "Near-dup dedup keeping the highest-quality doc per cluster",
+    (s, dir) => {
+      val docs = Sources.table(s, dir, "documents")
+      val clusters = Dedup.minhash(docs, "doc_id", "text")
+        .select(col("doc_id"), col("cluster_id"))
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityColumns(col("text")).last) // quality_score_bp
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality_score_bp").desc, col("doc_id").asc)
+      clusters.join(scored, "doc_id")
+        .withColumn("kept",
+          when(row_number().over(w) === 1, 1L).otherwise(0L))
+        .select(col("doc_id"), col("cluster_id"),
+          col("quality_score_bp"), col("kept"))
+    },
+    Some(s"""WITH RECURSIVE $minhashClusterCtes,
+           | q AS (SELECT doc_id,
+           |   CAST(floor(4000.0 * least(len(string_split(text, ' ')), 64) / 64.0) AS BIGINT)
+           |   + CAST(floor(3000.0 * least(5 * len(list_filter(string_split(text, ' '), t -> t IN
+           |     ('the','a','an','of','to','and','in','is','it','for','on','with','as','at','by','be'))),
+           |     len(string_split(text, ' '))) / greatest(len(string_split(text, ' ')), 1)) AS BIGINT)
+           |   + (CASE WHEN (length(replace(text, ' ', '')) * 1.0
+           |     / greatest(len(string_split(text, ' ')), 1)) BETWEEN 3.0 AND 10.0
+           |     THEN 3000 ELSE 0 END) AS quality_score_bp FROM documents),
+           | cl AS (SELECT doc.doc_id,
+           |   CAST(least(doc.doc_id, coalesce(l.m, doc.doc_id)) AS BIGINT) AS cluster_id
+           |   FROM documents doc LEFT JOIN lab l ON doc.doc_id = l.doc_id)
+           | SELECT cl.doc_id, cl.cluster_id, q.quality_score_bp,
+           |   CAST(CASE WHEN row_number() OVER (PARTITION BY cl.cluster_id
+           |     ORDER BY q.quality_score_bp DESC, cl.doc_id) = 1
+           |     THEN 1 ELSE 0 END AS BIGINT) AS kept
+           | FROM cl JOIN q USING (doc_id)"""
+      .stripMargin.replace("\n", "")))
 
   /** SimHash near-dup clustering (hamming ≤ 3 via chunk pigeonhole).
     *
@@ -1232,7 +1289,8 @@ object ExtensionQueries {
     None)
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupSimhashAnchor, dedupVerify,
+    dedupExact, dedupMinhash, dedupKeepBest, dedupSimhash,
+    dedupSimhashAnchor, dedupVerify,
     dedupIncremental,
     ngramJaccardTop1,
     editDistance, decontaminate, decontaminateBloom, decontaminateSemantic,
