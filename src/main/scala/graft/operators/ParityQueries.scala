@@ -668,6 +668,27 @@ object ParityQueries {
            | CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
            | FROM g""".stripMargin.replace("\n", "")))
 
+  /** Whale-safe sessionization ([[graft.ext.Sessionize.shardedSessions]]):
+    * window partitions bounded at (user × day) with exact seam repair on
+    * the bounded boundary frame — the engineered escape hatch for the
+    * windows skew ceiling the skew smoke documents (AQE cannot split a
+    * window partition). Session numbers are IDENTICAL to q_w_sessionize's
+    * single-window form, so this query shares its DuckDB oracle verbatim:
+    * a hash match proves the sharded plan computes the same function. */
+  val sessionizeSharded = Q(
+    "q_w_sessionize_sharded",
+    "Whale-safe sessionization: (user, day)-bounded windows + seam repair",
+    (s, dir) => graft.ext.Sessionize.shardedSessions(
+        t(s, dir, "events"), "user_id", "ts", "event_id")
+      .select(col("event_id"), col("user_id"), col("session_idx")),
+    Some("""WITH g AS (SELECT event_id, user_id, ts,
+           | CASE WHEN lag(ts) OVER w IS NULL
+           |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+           | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           | SELECT event_id, user_id,
+           | CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           | FROM g""".stripMargin.replace("\n", "")))
+
   /** Grouped EXACT percentiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition, so the
     * rounded values hash-match. (percentile_approx is the scale path for
@@ -866,6 +887,7 @@ object ParityQueries {
     histogram,
     timeDims, epochRoundtrip, caseFiscal,
     cteTopK, windowRank, windowLagLead, windowNtile, sessionize,
+    sessionizeSharded,
     saltedJoinParity, pricingSummary, shippingPriority, forecastRevenue,
     localSupplierVolume, largeOrders)
 }

@@ -414,8 +414,9 @@ object ScaleSmokeMain {
   // Event/document headliners whose shuffle or window keys a whale
   // user_id / hot dedup cluster actually hits.
   private val skewQueries = Seq(
-    "q_w_sessionize", "q_w_session_window", "q_x_asof_join",
-    "q_x_asof_native", "q_x_range_join", "q_p9_pivot", "q_x_dedup_minhash")
+    "q_w_sessionize", "q_w_sessionize_sharded", "q_w_session_window",
+    "q_x_asof_join", "q_x_asof_native", "q_x_range_join", "q_p9_pivot",
+    "q_x_dedup_minhash")
 
   /** Skew robustness harness: the headline event/document queries at N×
     * uniform vs N× Zipf-headed (see `gen(skew = true)`), with straggler

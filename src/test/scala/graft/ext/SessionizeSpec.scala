@@ -1,0 +1,101 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The sharded sessionizer must compute the EXACT single-window session
+  * numbering while never partitioning a window by the bare user key. */
+class SessionizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def singleWindow(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    df.withColumn("__ns",
+        when(gapUs.isNull || gapUs > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("session_idx"))
+  }
+
+  private def assertMatches(df: DataFrame): Unit = {
+    val want = singleWindow(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Sessionize.shardedSessions(df, "user_id", "ts", "event_id")
+      .select(col("event_id"), col("user_id"), col("session_idx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  private def events(rows: Seq[(Long, Long, String)]): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.map { case (e, u, t) => (e, u, Timestamp.valueOf(t)) }
+      .toDF("event_id", "user_id", "ts")
+  }
+
+  test("seam cases: midnight span, midnight split, cascading single-session days") {
+    assertMatches(events(Seq(
+      // user 1: session spans midnight (10-min gap across the seam)
+      (1L, 1L, "2024-03-01 23:55:00"), (2L, 1L, "2024-03-02 00:05:00"),
+      // ...then a real split later the same day
+      (3L, 1L, "2024-03-02 09:00:00"),
+      // user 2: boundary events exactly at the 30-min gap (<= merges,
+      // mirroring the single-window strict-> split)
+      (4L, 2L, "2024-03-01 23:45:00"), (5L, 2L, "2024-03-02 00:15:00"),
+      // user 3: one event per day, each 23.9h apart -> never merges
+      (6L, 3L, "2024-03-01 12:00:00"), (7L, 3L, "2024-03-02 11:55:00"),
+      // user 4: CASCADE — single-session days chained by <=30-min seams
+      // (23:50 -> 00:10 -> ...) across three days
+      (8L, 4L, "2024-03-01 23:50:00"), (9L, 4L, "2024-03-02 00:10:00"),
+      (10L, 4L, "2024-03-02 23:50:00"), (11L, 4L, "2024-03-03 00:10:00"),
+      // user 5: inactive-day hole -> seam gap is days, no merge
+      (12L, 5L, "2024-03-01 23:59:00"), (13L, 5L, "2024-03-03 00:01:00"),
+      // user 6: ts tie at a seam-irrelevant point (tie broken by event_id)
+      (14L, 6L, "2024-03-01 10:00:00"), (15L, 6L, "2024-03-01 10:00:00"))))
+  }
+
+  test("whale key: numbering matches and no window partitions by bare user") {
+    val spark0 = spark
+    import spark0.implicits._
+    // one whale with 2000 events over 4 days (sessions every ~45 min),
+    // plus background users
+    val whale = (0 until 2000).map { i =>
+      (1000L + i, 7L,
+        Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")
+          .plusSeconds(i * 2700L)))
+    }
+    val others = (0 until 200).map { i =>
+      (5000L + i, (i % 20).toLong,
+        Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")
+          .plusSeconds(i * 7200L)))
+    }
+    val df = (whale ++ others).toDF("event_id", "user_id", "ts")
+    assertMatches(df)
+    // the scale property itself: every window in the plan partitions by
+    // MORE than the user key (the bucket rides along), so a whale's rows
+    // never collapse into one partition
+    val plan = Sessionize.shardedSessions(df, "user_id", "ts", "event_id")
+      .queryExecution.optimizedPlan.toString
+    val windowSpecs = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowSpecs.nonEmpty)
+    windowSpecs.foreach { l =>
+      assert(!l.matches(".*windowspecdefinition\\(user_id#\\d+L, ts.*"),
+        s"found a window partitioned by bare user_id:\n$l")
+    }
+  }
+
+  test("testdata parity at sf0.001") {
+    val df = graft.sources.Sources.table(spark, "/root/testdata/sf0.001",
+      "events").select(col("event_id"), col("user_id"), col("ts"))
+    assertMatches(df)
+  }
+}
