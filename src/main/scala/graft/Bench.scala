@@ -99,7 +99,14 @@ object Bench {
       else 0.0
       "\"" + k + f"\":$cv%.2f"
     }.mkString("{", ",", "}")
-    val label = sys.env.getOrElse("SPARK_GRAFT_RUN_LABEL", "")
+    // JSON-escape the free-form label: an unescaped quote/backslash would
+    // reintroduce the exact parsed:null failure this file exists to avoid
+    val label = sys.env.getOrElse("SPARK_GRAFT_RUN_LABEL", "").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"label":"$label","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"passes":$rawJson,"cv":$cvJson}"""
     // Belt-and-braces for the driver's parser (BENCH_r04/r05 both recorded

@@ -156,12 +156,18 @@ object Sampling {
     * lowest-md5-rank docs (the same engine-portable order every sampling
     * op here uses).
     *
-    * Cross-engine exactness: after the one α-power, every step is integer
-    * arithmetic — weights are quantized to round(w·10⁶) longs, targets
-    * come from `div`/`%` against the weight sum, and remainder ties break
-    * on domain name — so two engines agree bit-for-bit. α = 0.5 (the
-    * common "square-root sampling") uses `sqrt`, which IEEE 754 requires
-    * to be correctly rounded in every implementation; other α go through
+    * Cross-engine exactness: after the one α-power, every step is exact
+    * integer arithmetic — weights are quantized to round(w·10⁶) longs,
+    * targets come from `div`/`%` in DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB) against the weight sum, and remainder ties break on domain
+    * name — so two engines agree bit-for-bit. The wide types matter at
+    * the scale this operator targets: w·targetN in long arithmetic wraps
+    * once quantized weights meet targets in the millions (the same
+    * overflow class q_x_event_anomaly's z² test guards against); 38
+    * digits cover any physical corpus (w ≤ 10⁶·n_d^α ≤ 10¹⁹ at 10¹³
+    * docs, × targetN ≤ 10¹³ → 10³² ≪ 10³⁸). α = 0.5 (the common
+    * "square-root sampling") uses `sqrt`, which IEEE 754 requires to be
+    * correctly rounded in every implementation; other α go through
     * `pow`, where the last ulp is libm-dependent (the 10⁶ quantization
     * absorbs it except on exact .5 boundaries — vanishingly unlikely, and
     * why the ORACLED configuration is α = 0.5).
@@ -186,9 +192,10 @@ object Sampling {
     val alloc = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("__n_d"))
       .withColumn("__w", round(wExpr * 1e6).cast("long"))
-      .withColumn("__denom", sum(col("__w")).over(whole))
-      .withColumn("__num", col("__w") * targetN)
-      .withColumn("__base", expr("__num div __denom"))
+      .withColumn("__denom",
+        sum(col("__w").cast("decimal(38,0)")).over(whole))
+      .withColumn("__num", col("__w").cast("decimal(38,0)") * targetN)
+      .withColumn("__base", expr("__num div __denom")) // IntegralDivide → long
       .withColumn("__rem", col("__num") % col("__denom"))
       .withColumn("__deficit", lit(targetN) - sum(col("__base")).over(whole))
       .withColumn("__fr", row_number().over(

@@ -37,23 +37,35 @@ object TextAnalysis {
       greatest(nTokens, lit(1L)))
     val punctRatio = nPunct.cast("double") / greatest(nChars, lit(1L))
     val stopRatio = nStop.cast("double") / greatest(nTokens, lit(1L))
-    // composite: reward mid-length docs with some stopwords, sane token len.
-    // Scored in integer BASIS POINTS (0..10000) with exact int arithmetic —
-    // a float composite straddles round() boundaries across engines.
-    // /64 is a power of two → exact in IEEE; the /nTokens quotient is
-    // correctly rounded identically by any IEEE engine, so floor() agrees.
-    val score =
-      floor(lit(4000.0) * least(nTokens, lit(64L)) / lit(64.0)).cast("long") +
-      floor(lit(3000.0) * least(nStop * lit(5L), nTokens) /
-        greatest(nTokens, lit(1L))).cast("long") +
-      when(meanTokLen.between(3.0, 10.0), 3000L).otherwise(0L)
     Seq(
       nChars.as("n_chars"),
       nTokens.as("n_tokens"),
       round(punctRatio, 4).as("punct_ratio"),
       round(stopRatio, 4).as("stopword_ratio"),
       round(meanTokLen, 4).as("mean_token_len"),
-      score.as("quality_score_bp"))
+      qualityScoreBp(text))
+  }
+
+  /** The composite quality score alone, aliased `quality_score_bp` — for
+    * consumers that rank by quality (e.g. keep-best dedup) without the
+    * full metrics frame. Rewards mid-length docs with some stopwords and
+    * sane token length, scored in integer BASIS POINTS (0..10000) with
+    * exact int arithmetic — a float composite straddles round()
+    * boundaries across engines. /64 is a power of two → exact in IEEE;
+    * the /nTokens quotient is correctly rounded identically by any IEEE
+    * engine, so floor() agrees. */
+  def qualityScoreBp(text: Column): Column = {
+    val tokens = split(text, " ", -1)
+    val nTokens = size(tokens).cast("long")
+    val nStop = size(filter(tokens,
+      t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    val meanTokLen = (length(regexp_replace(text, " ", "")).cast("double") /
+      greatest(nTokens, lit(1L)))
+    (floor(lit(4000.0) * least(nTokens, lit(64L)) / lit(64.0)).cast("long") +
+      floor(lit(3000.0) * least(nStop * lit(5L), nTokens) /
+        greatest(nTokens, lit(1L))).cast("long") +
+      when(meanTokLen.between(3.0, 10.0), 3000L).otherwise(0L))
+      .as("quality_score_bp")
   }
 
   /** Language-ID heuristic: stopword-profile hit counts per language +

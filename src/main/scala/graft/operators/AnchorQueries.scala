@@ -553,12 +553,20 @@ object AnchorQueries {
     * postings build whose weights/norms shift under pruning, surfaces
     * as rows. Factored out so the spec can feed it a cap aggressive
     * enough to drop the planted terms as a positive control. */
+  /** Planted rare-term corpus: each consecutive doc pair (2k, 2k+1) gets
+    * two shared pair-unique tokens appended (df = 2 exactly). Shared by
+    * the capped-TfIdf anchor and the scale smoke's capped configuration
+    * (`ScaleSmokeMain` `x_tfidf_capped_top1`) — the smoke's meaning
+    * depends on measuring EXACTLY the frame the anchor certifies, so the
+    * construction lives in one place. */
+  private[graft] def plantedPairDocs(docs0: DataFrame): DataFrame =
+    docs0.select(col("doc_id"), concat_ws(" ", col("text"),
+      concat(lit("pr"), floor(col("doc_id") / 2), lit("a")),
+      concat(lit("pr"), floor(col("doc_id") / 2), lit("b"))).as("text"))
+
   private[operators] def tfidfCappedViolations(docs0: DataFrame,
                                                maxDf: Long): DataFrame = {
-      val docs = docs0
-        .select(col("doc_id"), concat_ws(" ", col("text"),
-          concat(lit("pr"), floor(col("doc_id") / 2), lit("a")),
-          concat(lit("pr"), floor(col("doc_id") / 2), lit("b"))).as("text"))
+      val docs = plantedPairDocs(docs0)
       val probes = (0L until 10L).map(_ * 2)
       // both configurations share the one tokenize-explode corpus scan
       val n = docs.count()

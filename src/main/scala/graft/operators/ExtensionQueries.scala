@@ -100,7 +100,7 @@ object ExtensionQueries {
       val clusters = Dedup.minhash(docs, "doc_id", "text")
         .select(col("doc_id"), col("cluster_id"))
       val scored = docs.select(col("doc_id"),
-        TextAnalysis.qualityColumns(col("text")).last) // quality_score_bp
+        TextAnalysis.qualityScoreBp(col("text")))
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("quality_score_bp").desc, col("doc_id").asc)
       clusters.join(scored, "doc_id")

@@ -83,7 +83,8 @@ object PipelineQueries {
         col("target_n"), col("kept")),
     Some(s"""WITH cnt AS (SELECT source, count(*) AS n_d FROM documents GROUP BY 1),
            | wt AS (SELECT source, n_d, CAST(round(sqrt(n_d) * 1000000) AS BIGINT) AS w FROM cnt),
-           | al AS (SELECT source, n_d, w, w * 200 AS num, sum(w) OVER () AS denom FROM wt),
+           | al AS (SELECT source, n_d, w, CAST(w AS HUGEINT) * 200 AS num,
+           |   sum(CAST(w AS HUGEINT)) OVER () AS denom FROM wt),
            | a2 AS (SELECT source, n_d, num // denom AS base, num % denom AS rem FROM al),
            | a3 AS (SELECT source, n_d, base, rem,
            |   200 - sum(base) OVER () AS deficit,

@@ -36,11 +36,14 @@ object EventsStream {
   /** Open the unbounded events source over a directory of parquet files,
     * normalizing `ts` to session-TZ TimestampType. readStream needs an
     * explicit schema, so the batch reader sniffs the footer type once at
-    * open (one driver-side metadata read — not a per-batch cost). An
-    * empty directory at open falls back to the session-TZ micros schema
-    * (the no-op normalization case) so the stream can start before the
-    * first file lands; a TIMESTAMP(NANOS) footer without the session-level
-    * nanos conf rethrows the same actionable message as Sources.table. */
+    * open (one driver-side metadata read — not a per-batch cost). The
+    * sniff means the source needs at least one file at open: the ts
+    * encoding varies by testdata round (int64 nanos / UTC micros / naive
+    * micros), so no fallback schema is universally right — guessing one
+    * would let the stream start and then misread (or die mid-batch on)
+    * the first real file. An empty directory therefore fails FAST with
+    * an actionable message, as does a TIMESTAMP(NANOS) footer without
+    * the session-level nanos conf (same hint as Sources.table). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val tsType =
       try spark.read.parquet(dir).schema("ts").dataType
@@ -53,7 +56,10 @@ object EventsStream {
               s"${graft.GraftSession.NanosConf}=true)", e)
         case e: Exception if e.getMessage != null &&
             e.getMessage.toLowerCase.contains("unable to infer schema") =>
-          TimestampType
+          throw new IllegalStateException(
+            s"events stream dir $dir has no parquet yet: the source " +
+              s"sniffs the ts encoding from a footer at open — seed the " +
+              s"directory with one file (or start after first arrival)", e)
       }
     val base = spark.readStream.schema(rawSchema(tsType)).parquet(dir)
     tsType match {

@@ -63,10 +63,9 @@ object ScaleSmokeMain {
     * them). */
   private val extraQueries: Map[String, (SparkSession, String) => DataFrame] =
     Map("x_tfidf_capped_top1" -> { (s, dir) =>
-      val docs = graft.sources.Sources.table(s, dir, "documents")
-        .select(col("doc_id"), concat_ws(" ", col("text"),
-          concat(lit("pr"), floor(col("doc_id") / 2), lit("a")),
-          concat(lit("pr"), floor(col("doc_id") / 2), lit("b"))).as("text"))
+      // same planted frame the anchor certifies — shared constructor
+      val docs = graft.operators.AnchorQueries.plantedPairDocs(
+        graft.sources.Sources.table(s, dir, "documents"))
       val unit = graft.ext.TfIdf.postings(docs, "doc_id", "text",
         maxDfFraction = 1.0, maxDf = 20)
       graft.ext.TfIdf.topSimilar(unit, (0L until 10L).map(_ * 2))
@@ -209,9 +208,17 @@ object ScaleSmokeMain {
     }
     val scalable = Set("documents.parquet", "events.parquet",
       "embeddings.parquet")
+    // Probe against the SCALED dir: a TPC-H-table query throws on the
+    // missing path and self-excludes. LogicalRDD leaves (eager
+    // localCheckpoints — tfidf postings, simhash membership, BPE vocab)
+    // count as scalable-neutral: the checkpoint was built IN this probe
+    // from the scaled dir, so its inputs already passed the path test —
+    // treating it as foreign (the first census did) silently dropped
+    // every checkpoint-backed query from the "nobody in the long tail
+    // degenerates" claim.
     def scansOnlyScalable(name: String): Boolean =
       try {
-        val df = Catalog.byName(name).run(spark, src)
+        val df = Catalog.byName(name).run(spark, scaled)
         val leaves = df.queryExecution.optimizedPlan.collectLeaves()
         val paths = leaves.flatMap {
           case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -222,9 +229,13 @@ object ScaleSmokeMain {
             }
           case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
             Seq.empty // literal frames (probe lists etc.) scale-free
+          case _: org.apache.spark.sql.execution.LogicalRDD =>
+            Seq.empty // eager checkpoint of data read from `scaled` above
           case _ => Seq("?")
         }
-        paths.nonEmpty && paths.forall(scalable)
+        val rddLeaves = leaves.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+        (paths.nonEmpty || rddLeaves) && paths.forall(scalable)
       } catch { case _: Throwable => false }
 
     val names = Catalog.all.map(_.name)
@@ -438,6 +449,22 @@ object ScaleSmokeMain {
     * the whale's row share, which is why per-user state paths must keep
     * per-row cost O(1) (and why quota/shard operators shard BY something
     * finer than the natural key). */
+  /** (max, median) task millis accumulated in `durations` since its last
+    * clear; short drain pause because the listener bus posts task events
+    * asynchronously. Shared by the skew sweep and the mitigation probes
+    * so both report the same statistic. */
+  private def taskStats(
+      durations: java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long])
+      : (Long, Long) = {
+    Thread.sleep(500)
+    val ds = durations.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).sorted
+    if (ds.isEmpty) (0L, 0L) else (ds.last, ds(ds.length / 2))
+  }
+
+  private def maxMedRatio(mx: Long, med: Long): String =
+    if (med > 0) f"${mx.toDouble / med}%.1f" else "-"
+
   private def skewRun(uniform: String, skewed: String): Unit = {
     val spark = session()
     val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
@@ -447,14 +474,6 @@ object ScaleSmokeMain {
     })
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // (max, median) task millis since the last clear; short drain pause
-    // because the listener bus posts task events asynchronously
-    def taskStats(): (Long, Long) = {
-      Thread.sleep(500)
-      val ds = durations.toArray(Array.empty[java.lang.Long])
-        .map(_.longValue).sorted
-      if (ds.isEmpty) (0L, 0L) else (ds.last, ds(ds.length / 2))
-    }
     def timed(run: (SparkSession, String) => DataFrame,
               dir: String): (Double, Long, Long) = {
       GraftSession.dropCachedBlocks(spark)
@@ -462,11 +481,10 @@ object ScaleSmokeMain {
       val t0 = System.nanoTime()
       force(run(spark, dir))
       val dt = (System.nanoTime() - t0) / 1e9
-      val (mx, med) = taskStats()
+      val (mx, med) = taskStats(durations)
       (dt, mx, med)
     }
-    def ratio(mx: Long, med: Long): String =
-      if (med > 0) f"${mx.toDouble / med}%.1f" else "-"
+    def ratio(mx: Long, med: Long): String = maxMedRatio(mx, med)
 
     // ---- query sweep: straggler profile under a Zipf head ----
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
@@ -501,14 +519,7 @@ object ScaleSmokeMain {
       spark: SparkSession,
       durations: java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long],
       skewed: String): Unit = {
-    def taskStats(): (Long, Long) = {
-      Thread.sleep(500)
-      val ds = durations.toArray(Array.empty[java.lang.Long])
-        .map(_.longValue).sorted
-      if (ds.isEmpty) (0L, 0L) else (ds.last, ds(ds.length / 2))
-    }
-    def ratio(mx: Long, med: Long): String =
-      if (med > 0) f"${mx.toDouble / med}%.1f" else "-"
+    def ratio(mx: Long, med: Long): String = maxMedRatio(mx, med)
     if (sys.env.contains("SPARK_GRAFT_DEBUG"))
       spark.sparkContext.setLogLevel("DEBUG")
     // The per-user dim is MATERIALIZED to parquet first — the realistic
@@ -558,7 +569,7 @@ object ScaleSmokeMain {
         val t0 = System.nanoTime()
         d.collect()
         val dt = (System.nanoTime() - t0) / 1e9
-        val (mx, med) = taskStats()
+        val (mx, med) = taskStats(durations)
         val plan = d.queryExecution.executedPlan.toString
         val engaged = plan.contains("skew=true")
         println(f"[scale-smoke] $label%-42s: $dt%6.2f s, " +
