@@ -93,6 +93,29 @@ class SessionizeSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket granularity is correctness-neutral: hour buckets == single window") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 90 events at 25-minute spacing: EVERY hour seam merges (25 min <=
+    // 30-min gap) so one long session cascades through ~37 hour buckets —
+    // maximum stress on the seam arithmetic — then a 2-hour hole starts a
+    // second session that itself crosses more seams
+    val rows = (0 until 90).map { i =>
+      val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      val off = if (i < 60) i * 1500L else 60 * 1500L + 7200L + (i - 60) * 1500L
+      (i.toLong, 1L, Timestamp.from(base.plusSeconds(off)))
+    }
+    val df = rows.toDF("event_id", "user_id", "ts")
+    val want = singleWindow(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hourly = Sessionize.shardedSessions(df, "user_id", "ts", "event_id",
+        bucket = date_trunc("hour", _))
+      .select(col("event_id"), col("session_idx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hourly == want)
+    assert(want.values.max == 2L) // sanity: the stress frame has 2 sessions
+  }
+
   test("testdata parity at sf0.001") {
     val df = graft.sources.Sources.table(spark, "/root/testdata/sf0.001",
       "events").select(col("event_id"), col("user_id"), col("ts"))
