@@ -187,11 +187,21 @@ object Sampling {
     val wExpr =
       if (alpha == 0.5) sqrt(col("__n_d").cast("double"))
       else pow(col("__n_d").cast("double"), lit(alpha))
+    // Overflow guard: pow(n_d, alpha)·10⁶ can exceed double range for
+    // large alpha, and a non-ANSI cast of ±Inf/NaN to long SILENTLY
+    // saturates — corrupting the weight ordering with no error. Quantized
+    // weights must land in [0, 9.2e18) (long range with margin) or the
+    // job fails loudly. Never fires for sane (alpha, corpus) pairs.
+    val wGuard = (q: Column) =>
+      when(q.isNotNull && q >= 0 && q < lit(9.2e18), q.cast("long"))
+        .otherwise(raise_error(concat(
+          lit("temperatureSample: quantized weight out of long range for domain "),
+          col(domainCol).cast("string"))).cast("long"))
     val whole = Window.partitionBy() // bounded: |domains| rows
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val alloc = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("__n_d"))
-      .withColumn("__w", round(wExpr * 1e6).cast("long"))
+      .withColumn("__w", wGuard(round(wExpr * 1e6)))
       .withColumn("__denom",
         sum(col("__w").cast("decimal(38,0)")).over(whole))
       .withColumn("__num", col("__w").cast("decimal(38,0)") * targetN)

@@ -52,18 +52,18 @@ object Sessionize {
                         date_trunc("day", _)): DataFrame = {
     val user = col(userCol)
     val ts = col(tsCol)
-    val tie = col(tieCol)
 
-    // phase 1: local sessionize inside each (user, bucket) cell
-    val wCell = Window.partitionBy(user, col("__bucket"))
-      .orderBy(ts.asc, tie.asc)
-    val gap = unix_micros(ts) - unix_micros(lag(ts, 1).over(wCell))
-    val loc = df.withColumn("__bucket", bucket(ts))
-      .withColumn("__ns", when(gap.isNull || gap > gapUs, 1L).otherwise(0L))
-      .withColumn("__lsid", sum(col("__ns")).over(
-        wCell.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // phase 1 feeds BOTH the seam-offset aggregate and the final join;
+    // materialize it once (the simhashDedup `memb` idiom) — uncached, the
+    // dominant corpus scan + per-cell window ran twice (the ~2× wall
+    // overhead PERF_NOTES measured on the sharded form).
+    val loc = localSessions(df, userCol, tsCol, tieCol, gapUs, bucket)
+      .localCheckpoint(true)
 
-    // phase 2: seam repair on the bounded (user, bucket) boundary frame
+    // phase 2: seam repair on the bounded (user, bucket) boundary frame.
+    // This window DOES partition by the bare user key — safely: it runs
+    // over the per-(user, bucket) aggregate, one row per active bucket,
+    // so a whale contributes days-not-events rows.
     val wSeam = Window.partitionBy(user).orderBy(col("__bucket").asc)
     val offsets = loc.groupBy(user, col("__bucket"))
       .agg(min(ts).as("__first_ts"), max(ts).as("__last_ts"),
@@ -83,5 +83,26 @@ object Sessionize {
     loc.join(offsets, Seq(userCol, "__bucket"))
       .withColumn("session_idx", col("__lsid") + col("__off"))
       .drop("__bucket", "__ns", "__lsid", "__off")
+  }
+
+  /** Phase 1: local sessionize inside each (user, bucket) cell — the
+    * corpus-scale pass, and the one whose windows must NEVER partition by
+    * the bare user key (SessionizeSpec plan-asserts this frame directly;
+    * `shardedSessions` checkpoints it, which truncates it out of the
+    * final plan). Adds `__bucket`, `__ns`, `__lsid`. */
+  private[ext] def localSessions(df: DataFrame, userCol: String,
+                                 tsCol: String, tieCol: String,
+                                 gapUs: Long,
+                                 bucket: Column => Column): DataFrame = {
+    val user = col(userCol)
+    val ts = col(tsCol)
+    val tie = col(tieCol)
+    val wCell = Window.partitionBy(user, col("__bucket"))
+      .orderBy(ts.asc, tie.asc)
+    val gap = unix_micros(ts) - unix_micros(lag(ts, 1).over(wCell))
+    df.withColumn("__bucket", bucket(ts))
+      .withColumn("__ns", when(gap.isNull || gap > gapUs, 1L).otherwise(0L))
+      .withColumn("__lsid", sum(col("__ns")).over(
+        wCell.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 }

@@ -51,11 +51,22 @@ object TfIdf {
     .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /** Weights + norms over a precomputed [[termFrequencies]] frame; `n`
-    * is the corpus document count. See [[postings]] for the knobs. */
+    * is the corpus document count. See [[postings]] for the knobs.
+    *
+    * @param dfOver optional frame to compute document frequencies from
+    *               when it differs from `tf` — e.g. an instrument that
+    *               builds postings for a BOUNDED doc slice but needs df
+    *               (and therefore idf and the `maxDf` cut) taken against
+    *               the FULL corpus, so the cap semantics under test are
+    *               the at-scale ones (see AnchorQueries
+    *               `tfidfCappedViolations`). Defaults to `tf`.
+    */
   def postingsFromTf(tf: DataFrame, n: Long,
                      maxDfFraction: Double = 0.5,
-                     maxDf: Long = Long.MaxValue): DataFrame = {
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+                     maxDf: Long = Long.MaxValue,
+                     dfOver: Option[DataFrame] = None): DataFrame = {
+    val dfreq = dfOver.getOrElse(tf)
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <=
         lit(math.min(maxDf, math.max(1L, (n * maxDfFraction).toLong))))
     val w = tf.join(dfreq, "term")

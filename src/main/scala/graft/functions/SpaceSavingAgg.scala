@@ -96,15 +96,18 @@ final class SpaceSavingAgg(val capacity: Int = 64)
         m(b(i)) = (c + b(i + 1), e + b(i + 2))
         i += 3
       }
-      // items tracked only in a: charge b's bound
+      // items tracked only in a: charge b's bound. Membership against b
+      // goes through a sorted key array + binary search — O(cap·log cap)
+      // total, vs the O(cap²) linear rescan this replaced.
       if (chargeB > 0L) {
+        val bKeys = new Array[Long](size(b))
+        i = 0
+        while (i < b.length) { bKeys(i / 3) = b(i); i += 3 }
+        java.util.Arrays.sort(bKeys)
         i = 0
         while (i < a.length) {
           val key = a(i)
-          var inB = false
-          var j = 0
-          while (j < b.length && !inB) { inB = b(j) == key; j += 3 }
-          if (!inB) {
+          if (java.util.Arrays.binarySearch(bKeys, key) < 0) {
             val (c, e) = m(key)
             m(key) = (c + chargeB, e + chargeB)
           }

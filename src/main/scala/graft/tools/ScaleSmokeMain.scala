@@ -150,26 +150,38 @@ object ScaleSmokeMain {
       "q_tpch_q21_waiting" -> src, "q_tpch_q9_profit" -> src,
       "q_tpch_q18_large_orders" -> src)
     println(f"${"query"}%-24s ${"dir"}%-6s ${"wall_s"}%7s ${"spill_mem"}%10s ${"spill_disk"}%10s ${"peak_task"}%10s ${"status"}%8s")
+    // After an OutOfMemoryError the JVM's executor state is undefined —
+    // subsequent rows' spill/peak numbers would be garbage — so an OOM
+    // prints its row and ABORTS the remaining cases (exit 1; rerun with a
+    // larger heap or a lower forced threshold).
+    var oomAbort = false
     cases.foreach { case (name, dir) =>
-      val run = extraQueries.getOrElse(name, Catalog.byName(name).run)
-      GraftSession.dropCachedBlocks(spark)
-      spillMem.set(0); spillDisk.set(0); peakTask.set(0)
-      val t0 = System.nanoTime()
-      val status =
-        try {
-          run(spark, dir).write.format("noop").mode("overwrite").save()
-          "ok"
-        } catch {
-          case e: Throwable =>
-            if (e.toString.contains("OutOfMemory")) "OOM"
-            else s"FAIL:${e.getClass.getSimpleName}"
+      if (!oomAbort) {
+        val run = extraQueries.getOrElse(name, Catalog.byName(name).run)
+        GraftSession.dropCachedBlocks(spark)
+        spillMem.set(0); spillDisk.set(0); peakTask.set(0)
+        val t0 = System.nanoTime()
+        val status =
+          try {
+            run(spark, dir).write.format("noop").mode("overwrite").save()
+            "ok"
+          } catch {
+            case e: Throwable =>
+              if (e.toString.contains("OutOfMemory")) "OOM"
+              else s"FAIL:${e.getClass.getSimpleName}"
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener drain
+        val tag = if (dir == scaled) "10x" else "1x"
+        println(f"$name%-24s $tag%-6s $dt%7.1f ${spillMem.get / 1e6}%9.1fM ${spillDisk.get / 1e6}%9.1fM ${peakTask.get / 1e6}%9.1fM $status%8s")
+        if (status == "OOM") {
+          println(s"[scale-smoke] OOM in $name — JVM state undefined, aborting remaining cases")
+          oomAbort = true
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // listener drain
-      val tag = if (dir == scaled) "10x" else "1x"
-      println(f"$name%-24s $tag%-6s $dt%7.1f ${spillMem.get / 1e6}%9.1fM ${spillDisk.get / 1e6}%9.1fM ${peakTask.get / 1e6}%9.1fM $status%8s")
+      }
     }
     spark.stop()
+    if (oomAbort) sys.exit(1)
   }
 
   /** Full-suite shuffle census: EVERY registered batch query that touches

@@ -79,16 +79,27 @@ class SessionizeSpec extends AnyFunSuite {
     }
     val df = (whale ++ others).toDF("event_id", "user_id", "ts")
     assertMatches(df)
-    // the scale property itself: every window in the plan partitions by
-    // MORE than the user key (the bucket rides along), so a whale's rows
-    // never collapse into one partition
-    val plan = Sessionize.shardedSessions(df, "user_id", "ts", "event_id")
+    // the scale property itself: phase 1 — the corpus-scale pass — never
+    // runs a window whose PARTITION list is exactly the user column, so a
+    // whale's rows never collapse into one partition. (Exception by
+    // design: the phase-2 seam window partitions by bare user_id, but
+    // over the bounded per-(user, bucket) aggregate — one row per active
+    // bucket, days-not-events for a whale — and phase 1 is
+    // checkpoint-truncated out of the full plan anyway, so the corpus
+    // pass is what must be asserted here.) The rejection matches the
+    // partition-spec portion only: partition columns precede the first
+    // sort order, so `user_id` followed immediately by an ASC/DESC-tagged
+    // argument means the partition list was the bare user key — whatever
+    // the order key is.
+    val plan = Sessionize.localSessions(df, "user_id", "ts", "event_id",
+        1800000000L, date_trunc("day", _))
       .queryExecution.optimizedPlan.toString
     val windowSpecs = plan.linesIterator
       .filter(_.contains("windowspecdefinition(")).toSeq
     assert(windowSpecs.nonEmpty)
     windowSpecs.foreach { l =>
-      assert(!l.matches(".*windowspecdefinition\\(user_id#\\d+L, ts.*"),
+      assert(!l.matches(
+        ".*windowspecdefinition\\(user_id#\\d+L?, [^,]* (ASC|DESC).*"),
         s"found a window partitioned by bare user_id:\n$l")
     }
   }

@@ -27,8 +27,11 @@ class StreamCrashRecoverySpec extends AnyFunSuite {
                       name: String): Unit = {
     val tmp = Files.createTempDirectory("crash-batch")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).filter(_.getFileName.toString
-      .matches("part-.*\\.parquet")).findFirst().get()
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(_.getFileName.toString
+        .matches("part-.*\\.parquet")).findFirst().get()
+      finally listing.close()
     Files.move(part, srcDir.resolve(s"$name.parquet"))
   }
 
