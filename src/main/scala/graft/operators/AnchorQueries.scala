@@ -609,11 +609,42 @@ object AnchorQueries {
     noRows("probe_id" -> "BIGINT", "uncapped_neighbor" -> "BIGINT",
       "capped_neighbor" -> "BIGINT"))
 
+  /** Golden-snapshot determinism pins ([[Golden]]): the three rows-only
+    * queries recompute their canonical fingerprint and compare against
+    * the committed [[GoldenSnapshots]] record for this testdata dir —
+    * pinning cross-run/cross-layout determinism where DuckDB can't
+    * follow the values (JVM codec outputs, engine-specific centroids).
+    * Their invariant anchors remain (`q_x_phash_anchor`,
+    * `q_x_multimodal_anchor`, `q_x_kmeans_anchor`): invariants catch
+    * broken semantics, these catch silent value drift. */
+  private def golden(name: String, doc: String, query: String,
+                     snapshots: Map[String, (Long, String)]): Q =
+    anchor(name, doc,
+      (s, dir) => Golden.violations(Catalog.byName(query).run(s, dir),
+        dir, snapshots),
+      noRows("reason" -> "VARCHAR", "got" -> "VARCHAR",
+        "want" -> "VARCHAR"))
+
+  val imagePhashGolden = golden(
+    "q_x_phash_golden",
+    "image-hash output matches committed fingerprint (expect 0 rows)",
+    "q_x_image_phash", GoldenSnapshots.imagePhash)
+
+  val multimodalGolden = golden(
+    "q_x_multimodal_golden",
+    "multimodal features match committed fingerprint (expect 0 rows)",
+    "q_x_multimodal_features", GoldenSnapshots.multimodalFeatures)
+
+  val kmeansGolden = golden(
+    "q_x_kmeans_golden",
+    "k-means cluster profile matches committed fingerprint (expect 0 rows)",
+    "q_x_kmeans_sizes", GoldenSnapshots.kmeansSizes)
+
   val all: Seq[Q] = Seq(
     percentileApproxAnchor, annLshAnchor, annIvfAnchor, embNearDupAnchor,
     vocabCmAnchor, winnowAnchor, sourceSignatureAnchor,
     dedupIncrementalAnchor, decontaminateBloomAnchor,
     decontaminateSemanticAnchor, kmeansAnchor, bpeEncodeAnchor,
     multimodalAnchor, imagePhashAnchor, heavyHittersAnchor,
-    tfidfCappedAnchor)
+    tfidfCappedAnchor, imagePhashGolden, multimodalGolden, kmeansGolden)
 }

@@ -1,0 +1,32 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.{Catalog, Golden}
+import graft.sources.Sources
+
+/** Prints the canonical [[graft.operators.Golden]] fingerprints of the
+  * rows-only queries for one testdata dir, as ready-to-paste Scala map
+  * entries for [[graft.operators.GoldenSnapshots]]. Run once per
+  * committed scale factor after any INTENDED output-affecting change to
+  * the codecs or the k-means init:
+  *
+  * {{{ sbt "runMain graft.tools.GoldenDumpMain /root/testdata/sf0.01" }}}
+  */
+object GoldenDumpMain {
+  def main(args: Array[String]): Unit = {
+    val Array(dir) = args
+    val spark = GraftSession.builder("graft-golden-dump",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val keyed = Seq(
+      "q_x_image_phash" -> "documents",
+      "q_x_multimodal_features" -> "documents",
+      "q_x_kmeans_sizes" -> "embeddings")
+    keyed.foreach { case (q, table) =>
+      val key = Sources.table(spark, dir, table).count()
+      val fp = Golden.fingerprint(Catalog.byName(q).run(spark, dir)).head()
+      println(s"[golden] $q: ${key}L -> (${fp.getLong(0)}L, \"${fp.getString(1)}\")")
+    }
+    spark.stop()
+  }
+}
