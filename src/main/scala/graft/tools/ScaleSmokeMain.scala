@@ -16,6 +16,7 @@ import graft.operators.Catalog
   * Usage:
   *   runMain graft.tools.ScaleSmokeMain gen <srcSfDir> <outDir> <N>
   *   runMain graft.tools.ScaleSmokeMain genskew <srcSfDir> <outDir> <N>
+  *   runMain graft.tools.ScaleSmokeMain gensf <srcSfDir> <outDir> <N>   (ALL tables)
   *   runMain graft.tools.ScaleSmokeMain run <srcSfDir> <scaledDir>
   *   runMain graft.tools.ScaleSmokeMain bpe <srcSfDir> <k>
   *   runMain graft.tools.ScaleSmokeMain stream <srcSfDir> <scaledDir>
@@ -74,6 +75,7 @@ object ScaleSmokeMain {
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: src :: out :: n :: Nil => gen(src, out, n.toInt)
     case "genskew" :: src :: out :: n :: Nil => gen(src, out, n.toInt, skew = true)
+    case "gensf" :: src :: out :: n :: Nil => gensf(src, out, n.toInt)
     case "run" :: src :: scaled :: Nil => run(src, scaled)
     case "bpe" :: src :: k :: Nil => bpe(src, k.toInt)
     case "stream" :: src :: scaled :: Nil => stream(src, scaled)
@@ -646,9 +648,13 @@ object ScaleSmokeMain {
     *    of one replica-constant template (pairwise word-3-gram Jaccard
     *    ≈ 0.9 ≥ the 0.7 threshold) — one giant dedup cluster per replica,
     *    the hot-LSH-bucket regime the `maxBucket` cap exists for. */
-  private def gen(src: String, out: String, n: Int,
-                  skew: Boolean = false): Unit = {
-    val spark = session()
+  /** The three scalable-table N× replica frames (documents, events,
+    * embeddings) — the honesty-preserving construction described in the
+    * object doc, shared by `gen`/`genskew` and the persisted-SF
+    * generator [[gensf]]. */
+  private def scalableReplicas(spark: SparkSession, src: String, n: Int,
+                               skew: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val events = spark.read.parquet(s"$src/events.parquet") // ts stays long nanos
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
@@ -703,10 +709,70 @@ object ScaleSmokeMain {
             lit(2)) === 0, -v).otherwise(v).cast("float")))
     })
 
+    (docsN, eventsN, embsN)
+  }
+
+  private def gen(src: String, out: String, n: Int,
+                  skew: Boolean = false): Unit = {
+    val spark = session()
+    val (docsN, eventsN, embsN) = scalableReplicas(spark, src, n, skew)
     docsN.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     eventsN.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     embsN.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"[scale-smoke] wrote ${n}x tables to $out")
+    spark.stop()
+  }
+
+  /** Persist a COMPLETE N×-scaled testdata dir — every table, not just
+    * the three `gen` replicates — so the full canonical bench and the
+    * DuckDB oracle run against a real on-disk scale factor (sf0.1 × 10 =
+    * "sf1") instead of in-memory replicas. TPC-H tables replicate with
+    * FK-CONSISTENT key shifts (replica i adds i·stride to each key and
+    * to every foreign reference, strides > any 10×-scaled key), so join
+    * cardinalities scale the way a larger TPC-H generation would:
+    * every order keeps exactly one customer, every lineitem one
+    * order/part/supplier. The fixed-size dimensions (region, nation —
+    * constant in TPC-H at every SF) copy through unchanged, and
+    * nationkey references don't shift. Attribute values (names, prices,
+    * dates) repeat across replicas — fine for the oracle gate, which
+    * compares Spark vs DuckDB on the SAME files. */
+  private def gensf(src: String, out: String, n: Int): Unit = {
+    val spark = session()
+    def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String, parts: Int = 32): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+
+    val custStride = 1000000L
+    val suppStride = 100000L
+    val partStride = 1000000L
+    val orderStride = 10000000L
+
+    def shifted(t: String, shifts: Map[String, Long]): DataFrame = {
+      val base = rd(t)
+      (0 until n).map { i =>
+        shifts.foldLeft(base) { case (d, (c, stride)) =>
+          d.withColumn(c, col(c) + lit(i * stride))
+        }
+      }.reduce(_.unionAll(_))
+    }
+
+    wr(rd("region"), "region", 1)
+    wr(rd("nation"), "nation", 1)
+    wr(shifted("customer", Map("c_custkey" -> custStride)), "customer", 4)
+    wr(shifted("supplier", Map("s_suppkey" -> suppStride)), "supplier", 1)
+    wr(shifted("part", Map("p_partkey" -> partStride)), "part", 4)
+    wr(shifted("orders", Map("o_orderkey" -> orderStride,
+      "o_custkey" -> custStride)), "orders")
+    wr(shifted("lineitem", Map("l_orderkey" -> orderStride,
+      "l_partkey" -> partStride, "l_suppkey" -> suppStride)), "lineitem")
+
+    val (docsN, eventsN, embsN) = scalableReplicas(spark, src, n,
+      skew = false)
+    wr(docsN, "documents")
+    wr(eventsN, "events")
+    wr(embsN, "embeddings")
+    println(s"[scale-smoke] wrote complete ${n}x testdata to $out")
     spark.stop()
   }
 

@@ -32,7 +32,22 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for f in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(f)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+        # driver testdata tables are single files; generated scale dirs
+        # (ScaleSmokeMain gensf) are parquet DIRECTORIES of part files
+        src = f"read_parquet('{f}')" if os.path.isfile(f) \
+            else f"read_parquet('{f}/*.parquet')"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM {src}")
+        if name == "events":
+            # scaled events keep ts as raw int64 nanos (so Spark reads it
+            # through the same Sources.table nanos path as the original);
+            # rebuild the view with TIMESTAMP_NS to match the sf* files
+            cols = {r[0]: r[1] for r in
+                    con.execute("DESCRIBE events").fetchall()}
+            if cols.get("ts") == "BIGINT":
+                con.execute("DROP VIEW events")
+                con.execute(
+                    f"CREATE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp_ns(ts) AS ts) FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
