@@ -20,7 +20,8 @@ object StreamingQueries {
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-q")
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet"))
+      // absolutize: a relative target would resolve against the temp dir
+      java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
     stage
   }
 
@@ -31,10 +32,18 @@ object StreamingQueries {
 
   /** Stage the fixture, run the streaming transform built on it, clean the
     * staging dir once the query has drained (the file source only reads
-    * during the run; the returned frame is materialized off it). */
+    * during the run; the returned frame is materialized off it). The
+    * driver testdata keeps events as a single FILE (which the file
+    * source can't open in place — hence the symlink dir); a generated
+    * scale dir (ScaleSmokeMain gensf) writes a parquet DIRECTORY of part
+    * files, streamable directly with no staging. */
   private def withStagedEvents(dir: String)(f: String => DataFrame): DataFrame = {
-    val stage = stageEvents(dir)
-    try f(stage.toString) finally unstage(stage)
+    val evp = java.nio.file.Paths.get(dir, "events.parquet")
+    if (java.nio.file.Files.isDirectory(evp)) f(evp.toString)
+    else {
+      val stage = stageEvents(dir)
+      try f(stage.toString) finally unstage(stage)
+    }
   }
 
   /** Stateful streaming ops allocate one state store PER shuffle partition

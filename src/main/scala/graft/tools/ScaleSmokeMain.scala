@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.Catalog
+import graft.operators.{Catalog, Golden}
 
 /** Scale-up smoke harness: synthesize an N× copy of the
   * documents/events/embeddings tables and time the headline
@@ -83,6 +83,8 @@ object ScaleSmokeMain {
     case "skew" :: uniform :: skewed :: Nil => skewRun(uniform, skewed)
     case "census" :: src :: scaled :: n :: Nil => census(src, scaled, n.toInt)
     case "mem" :: src :: scaled :: Nil => mem(src, scaled)
+    case "spill" :: dir :: Nil => spillRun(dir)
+    case "streamskew" :: uniform :: skewed :: Nil => streamSkew(uniform, skewed)
     case "skewdemo" :: skewed :: Nil =>
       val spark = session()
       val durations =
@@ -102,7 +104,9 @@ object ScaleSmokeMain {
           "stream <srcSfDir> <scaledDir> | bloom <srcSfDir> <workDir> | " +
           "skew <uniformNxDir> <skewedNxDir> | " +
           "census <srcSfDir> <scaledDir> <N> | " +
-          "mem <srcSfDir> <scaledDir>   (run under a small -Xmx)")
+          "mem <srcSfDir> <scaledDir>   (run under a small -Xmx) | " +
+          "spill <sfDir>   (run with SPARK_DRIVER_MEM=3g) | " +
+          "streamskew <uniformNxDir> <skewedNxDir>")
       sys.exit(2)
   }
 
@@ -184,6 +188,96 @@ object ScaleSmokeMain {
     }
     spark.stop()
     if (oomAbort) sys.exit(1)
+  }
+
+  /** The spill-path heavyweights: one per operator family whose 100 TB
+    * failure mode is "working set outgrows the execution pool" — banded
+    * LSH dedup (hash agg + self-join), a whole-corpus window, the
+    * SMJ-heavy and hash-agg-heavy TPC-H shapes, and the stateful
+    * stream-stream join. */
+  private val spillCases = Seq(
+    "q_x_dedup_minhash", "q_w_sessionize", "q_tpch_q21_waiting",
+    "q_tpch_q18_large_orders", "q_s_stream_join")
+
+  /** Forced-spill smoke: the claim `mem` could NOT test. The 10× corpus
+    * never pressures even a 3 GiB heap (zero spill measured), so "spills
+    * and finishes rather than OOMs" stayed an argument. Here the
+    * EXECUTION POOL is shrunk out from under the same queries —
+    * `spark.memory.fraction` cut ~15× below default at session build —
+    * so the task memory manager genuinely refuses allocations and the
+    * hash-agg / sort / window / shuffle paths hit their real spill
+    * machinery (UnsafeExternalSorter & co.), not a forced row-count
+    * threshold. Protocol: phase A runs every case under a normal pool
+    * and records the [[Golden.fingerprint]] of each result; phase B
+    * rebuilds the context with the starved pool, re-runs, and compares
+    * fingerprints — bitwise-equal output, nonzero spill bytes, no OOM is
+    * the pass condition. Launch with SPARK_DRIVER_MEM=3g against the
+    * persisted sf1 dir (gensf) so data-per-task is meaningful. */
+  private def spillRun(dir: String): Unit = {
+    val heapMb = Runtime.getRuntime.maxMemory / (1 << 20)
+    println(s"[scale-smoke] spill smoke under ${heapMb} MB heap at $dir")
+
+    val ref = session()
+    val want = spillCases.map { name =>
+      val r = Golden.fingerprint(Catalog.byName(name).run(ref, dir)).head()
+      GraftSession.dropCachedBlocks(ref)
+      name -> ((r.getLong(0), r.getString(1)))
+    }.toMap
+    println(s"[scale-smoke] reference fingerprints collected (normal pool)")
+    ref.stop()
+
+    val fraction = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.04")
+    val spark = GraftSession.builder("graft-spill-smoke", "32")
+      .config("spark.memory.fraction", fraction)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"[scale-smoke] rebuilt context with spark.memory.fraction=$fraction")
+
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
+    val peakTask = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          peakTask.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        }
+      }
+    })
+
+    println(f"${"query"}%-24s ${"wall_s"}%7s ${"spill_mem"}%10s ${"spill_disk"}%10s ${"peak_task"}%10s ${"fp"}%6s ${"status"}%8s")
+    var failed = false
+    spillCases.foreach { name =>
+      GraftSession.dropCachedBlocks(spark)
+      spillMem.set(0); spillDisk.set(0); peakTask.set(0)
+      val t0 = System.nanoTime()
+      var fpTag = "-"
+      val status =
+        try {
+          val r = Golden.fingerprint(Catalog.byName(name).run(spark, dir)).head()
+          val got = (r.getLong(0), r.getString(1))
+          fpTag = if (got == want(name)) "match" else "DRIFT"
+          if (got != want(name)) failed = true
+          "ok"
+        } catch {
+          case e: Throwable =>
+            failed = true
+            if (e.toString.contains("OutOfMemory")) "OOM"
+            else s"FAIL:${e.getClass.getSimpleName}"
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener drain
+      println(f"$name%-24s $dt%7.1f ${spillMem.get / 1e6}%9.1fM ${spillDisk.get / 1e6}%9.1fM ${peakTask.get / 1e6}%9.1fM $fpTag%6s $status%8s")
+      if (status == "OOM") {
+        println(s"[scale-smoke] OOM in $name — the claim under test is FALSIFIED; aborting")
+        spark.stop(); sys.exit(1)
+      }
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
   }
 
   /** Full-suite shuffle census: EVERY registered batch query that touches
@@ -415,6 +509,88 @@ object ScaleSmokeMain {
       val (i1, r1, m1) = measure(label, src, mk, mode)
       val (in, rn, mn) = measure(label, scaled, mk, mode)
       println(f"$label%-12s $i1%9d $r1%9d ${m1 / 1e6}%7.1f $in%9d $rn%9d ${mn / 1e6}%7.1f ${if (r1 > 0) f"${rn.toDouble / r1}%.1f" else "-"}%6s")
+    }
+    spark.stop()
+  }
+
+  /** Streaming skew smoke: the batch surface got the adversarial-skew
+    * treatment (whale key, AQE plan assertions, salted joins); this runs
+    * the STATEFUL streams against the same whale — `genskew` redirects
+    * ~20% of ALL events to one `user_id`, the hot key for the
+    * stream-stream join, the per-user session state, and the dedup
+    * shuffle — and records what a cluster operator would watch: wall
+    * time, micro-batches, peak state rows/bytes (watermark-bounded claim)
+    * and the per-task duration max/median (single-partition-straggle
+    * claim). Both dirs must be gen-written Nx parquet DIRECTORIES so the
+    * file source streams them in place. */
+  private def streamSkew(uniform: String, skewed: String): Unit = {
+    val spark = session()
+    val durations =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) durations.add(te.taskInfo.duration)
+    })
+
+    def measure(label: String, dir: String, mk: DataFrame => DataFrame,
+                mode: String): (Double, Int, Long, Long, Long, Long, Long) = {
+      val evp = java.nio.file.Paths.get(dir, "events.parquet")
+      require(java.nio.file.Files.isDirectory(evp),
+        s"$evp must be a gen-written parquet directory")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val events = graft.streaming.EventsStream.readEvents(spark, evp.toString)
+        val name = s"skew_${label}_${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val q = mk(events).writeStream.format("memory").queryName(name)
+          .outputMode(mode).start()
+        try {
+          try q.processAllAvailable() finally q.stop()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500) // listener drain
+          val ps = q.recentProgress.toSeq
+          def stateSum(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+            ps.map(p => Option(p.stateOperators).map(_.map(f).sum).getOrElse(0L))
+          val ds = {
+            val it = durations.iterator()
+            val b = Seq.newBuilder[Long]
+            while (it.hasNext) b += it.next()
+            durations.clear()
+            b.result().sorted
+          }
+          (wall, ps.count(_.numInputRows > 0),
+            ps.map(_.numInputRows).sum,
+            (0L +: stateSum(_.numRowsTotal)).max,
+            (0L +: stateSum(_.memoryUsedBytes)).max,
+            if (ds.nonEmpty) ds(ds.size / 2) else 0L,
+            if (ds.nonEmpty) ds.last else 0L)
+        } finally spark.catalog.dropTempView(name)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
+    val ops: Seq[(String, DataFrame => DataFrame, String)] = Seq(
+      ("ss_join",
+        (e: DataFrame) => graft.streaming.EventsStream.clickToPurchaseJoin(e),
+        "append"),
+      ("sessions",
+        (e: DataFrame) => graft.streaming.EventsStream
+          .sessionWindows(e, gapMinutes = 30).toDF(),
+        "append"),
+      ("dedup",
+        (e: DataFrame) => graft.streaming.EventsStream
+          .dedupStream(e, Seq("user_id", "event_type")),
+        "append"))
+
+    println(f"${"op"}%-10s ${"dir"}%-6s ${"wall_s"}%7s ${"batches"}%8s ${"in_rows"}%9s ${"state_rows"}%10s ${"state_MB"}%9s ${"task_med"}%9s ${"task_max"}%9s ${"mx/md"}%6s")
+    ops.foreach { case (label, mk, mode) =>
+      Seq("uni" -> uniform, "whale" -> skewed).foreach { case (tag, dir) =>
+        durations.clear()
+        val (wall, nb, in, sr, sb, med, mx) = measure(label, dir, mk, mode)
+        val ratio = if (med > 0) f"${mx.toDouble / med}%.1f" else "-"
+        println(f"$label%-10s $tag%-6s $wall%7.1f $nb%8d $in%9d $sr%10d ${sb / 1e6}%8.1fM ${med}%8dms ${mx}%8dms $ratio%6s")
+      }
     }
     spark.stop()
   }
