@@ -56,7 +56,24 @@ object Dedup {
     */
   def minhash(df: DataFrame, idCol: String, textCol: String,
               numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
-              threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
+              threshold: Double = 0.7, maxBucket: Int = 64): DataFrame =
+    withMinhashEdges(df, idCol, textCol, numHashes, bands, shingleN,
+      threshold, maxBucket) { (ids, edges) =>
+      connectedComponents(ids.select(col("id")), edges)
+        .withColumnRenamed("id", idCol)
+    }
+
+  /** The sketch→band→bucket→verify pipeline up to (but not including)
+    * clustering: builds the verified edge set and hands `(ids, edges)` to
+    * `f` while the candidate-pair cache is still live (components
+    * consume `edges` eagerly — take or checkpoint — so the cache drops
+    * as soon as `f` returns). Package-visible so the scale smoke can
+    * drive BOTH clustering paths over one edge set. */
+  private[graft] def withMinhashEdges[T](
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
+      threshold: Double = 0.7, maxBucket: Int = 64)(
+      f: (DataFrame, DataFrame) => T): T = {
     val ids = df.select(col(idCol).as("id"), col(textCol).as("text"))
 
     // fanOut only wraps the CPU-bound sketch pass; localCheckpoint
@@ -100,10 +117,9 @@ object Dedup {
         .filter(array_jaccard(col("sh_a"), col("sh_b")) >= threshold)
         .select(col("a"), col("b"))
 
-      // connectedComponents consumes `edges` eagerly (take or checkpoint),
-      // so the cache can be dropped as soon as it returns
-      connectedComponents(ids.select(col("id")), edges)
-        .withColumnRenamed("id", idCol)
+      // `f` consumes `edges` eagerly (take or checkpoint), so the cache
+      // can be dropped as soon as it returns
+      f(ids, edges)
     } finally cand.unpersist(blocking = false)
   }
 
@@ -322,9 +338,14 @@ object Dedup {
     distributedCC(nodes, edges.localCheckpoint(true), maxIter)
   }
 
-  /** Distributed min-label propagation (the >smallEdgeLimit path). */
-  private[ext] def distributedCC(nodes: DataFrame, edges: DataFrame,
-                                 maxIter: Int): DataFrame = {
+  /** Distributed min-label propagation (the >smallEdgeLimit path).
+    * `onIter` fires after each completed propagation round (the scale
+    * smoke records per-iteration shuffle through it); both paths label a
+    * component by its minimum node id, so driver and distributed results
+    * are identical frames. */
+  private[graft] def distributedCC(nodes: DataFrame, edges: DataFrame,
+                                   maxIter: Int,
+                                   onIter: Int => Unit = _ => ()): DataFrame = {
     // symmetric adjacency
     val adj = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -351,6 +372,7 @@ object Dedup {
       converged = stepped.filter(col("label") =!= col("old")).limit(1).count() == 0
       labels = stepped.select(col("id"), col("label"))
       iter += 1
+      onIter(iter)
     }
     // singletons (no edges) cluster to themselves
     nodes.select(col("id"))

@@ -83,8 +83,10 @@ object ScaleSmokeMain {
     case "skew" :: uniform :: skewed :: Nil => skewRun(uniform, skewed)
     case "census" :: src :: scaled :: n :: Nil => census(src, scaled, n.toInt)
     case "mem" :: src :: scaled :: Nil => mem(src, scaled)
-    case "spill" :: dir :: Nil => spillRun(dir)
+    case "spill" :: dir :: Nil => spillRun(dir, None)
+    case "spill" :: dir :: skew :: Nil => spillRun(dir, Some(skew))
     case "streamskew" :: uniform :: skewed :: Nil => streamSkew(uniform, skewed)
+    case "cc" :: skewed :: Nil => ccRun(skewed)
     case "skewdemo" :: skewed :: Nil =>
       val spark = session()
       val durations =
@@ -105,8 +107,8 @@ object ScaleSmokeMain {
           "skew <uniformNxDir> <skewedNxDir> | " +
           "census <srcSfDir> <scaledDir> <N> | " +
           "mem <srcSfDir> <scaledDir>   (run under a small -Xmx) | " +
-          "spill <sfDir>   (run with SPARK_DRIVER_MEM=3g) | " +
-          "streamskew <uniformNxDir> <skewedNxDir>")
+          "spill <sfDir> [skewedNxDir]   (run with SPARK_DRIVER_MEM=3g) | " +
+          "streamskew <uniformNxDir> <skewedNxDir> | cc <skewedNxDir>")
       sys.exit(2)
   }
 
@@ -196,8 +198,8 @@ object ScaleSmokeMain {
     * SMJ-heavy and hash-agg-heavy TPC-H shapes, and the stateful
     * stream-stream join. */
   private val spillCases = Seq(
-    "q_x_dedup_minhash", "q_w_sessionize", "q_tpch_q21_waiting",
-    "q_tpch_q18_large_orders", "q_s_stream_join")
+    "q_x_dedup_minhash", "q_w_sessionize", "q_x_ppl_buckets",
+    "q_tpch_q21_waiting", "q_tpch_q18_large_orders", "q_s_stream_join")
 
   /** Forced-spill smoke: the claim `mem` could NOT test. The 10× corpus
     * never pressures even a 3 GiB heap (zero spill measured), so "spills
@@ -213,25 +215,68 @@ object ScaleSmokeMain {
     * fingerprints — bitwise-equal output, nonzero spill bytes, no OOM is
     * the pass condition. Launch with SPARK_DRIVER_MEM=3g against the
     * persisted sf1 dir (gensf) so data-per-task is meaningful. */
-  private def spillRun(dir: String): Unit = {
+  private def spillRun(dir: String, skew: Option[String]): Unit = {
     val heapMb = Runtime.getRuntime.maxMemory / (1 << 20)
     println(s"[scale-smoke] spill smoke under ${heapMb} MB heap at $dir")
 
+    // (label, catalog query, data dir). The optional skewed dir adds the
+    // one shape whose WINDOW genuinely outgrows a starved pool: the
+    // whale-user session window (one ~20%-of-corpus partition in one
+    // task) — per-user and per-language windows at uniform sf1 are
+    // bounded by construction and rightly never spill.
+    val cases: Seq[(String, String, String)] =
+      spillCases.map(q => (q, q, dir)) ++
+        skew.map(sk => ("q_w_sessionize[whale]", "q_w_sessionize", sk)).toSeq
+
     val ref = session()
-    val want = spillCases.map { name =>
-      val r = Golden.fingerprint(Catalog.byName(name).run(ref, dir)).head()
+    val want = cases.map { case (label, q, d) =>
+      val r = Golden.fingerprint(Catalog.byName(q).run(ref, d)).head()
       GraftSession.dropCachedBlocks(ref)
-      name -> ((r.getLong(0), r.getString(1)))
+      label -> ((r.getLong(0), r.getString(1)))
     }.toMap
     println(s"[scale-smoke] reference fingerprints collected (normal pool)")
     ref.stop()
 
-    val fraction = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.04")
+    // A starved pool still has to honor Tungsten's floor: consumers
+    // acquire page-granular chunks, so cores × page must fit the
+    // EXECUTION share or the allocator throws before the spill machinery
+    // gets a chance (measured here: fraction 0.04-0.05 under default 0.5
+    // storageFraction dies with AGGREGATE_OUT_OF_MEMORY on a 1 MiB
+    // RowBasedKeyValueBatch page — the minhash localCheckpoint blocks
+    // squat on the protected storage half of the pool). The smoke
+    // therefore pins the same sizing rule a real cluster applies —
+    // 1 MiB pages, storageFraction 0.1 so cached blocks evict to disk
+    // instead of starving tasks, fraction 0.1 ≈ 8 MB per task — and the
+    // claim under test stays honest: given the documented per-task
+    // minimum, working sets far beyond the pool spill and finish.
+    val fraction = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.05")
     val spark = GraftSession.builder("graft-spill-smoke", "32")
       .config("spark.memory.fraction", fraction)
+      .config("spark.memory.storageFraction", "0.1")
+      .config("spark.buffer.pageSize", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(s"[scale-smoke] rebuilt context with spark.memory.fraction=$fraction")
+    // The window/SMJ paths buffer per-partition rows in an
+    // ExternalAppendOnlyUnsafeRowArray that only BECOMES a spillable
+    // sorter past `in.memory.threshold` rows and force-spills it past
+    // `spill.threshold` — the bounded-partition designs (per-user
+    // windows ~100 rows at sf1, binned joins) keep real buffers far
+    // below any threshold, so a per-user window (≈100 rows/partition at
+    // sf1) structurally CANNOT spill — its zero row below is the
+    // bounded-partition design holding, not an untested path. The
+    // whale-window shape that genuinely outgrows its share is the
+    // per-language ntile (q_x_ppl_buckets, ~10⁵-row partitions at sf1);
+    // 2000-row thresholds convert those to real sorters that then spill
+    // under the starved pool. Don't push the thresholds lower: each
+    // spill reader holds a ~1 MiB read-ahead buffer on the JVM heap, so
+    // 64-row force-spill (measured) kills the 3 GiB JVM with thousands
+    // of reader buffers — file-count, not pool pressure.
+    Seq("spark.sql.windowExec.buffer.in.memory.threshold",
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold",
+      "spark.sql.windowExec.buffer.spill.threshold",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+      .foreach(spark.conf.set(_, "2000"))
+    println(s"[scale-smoke] rebuilt context with spark.memory.fraction=$fraction, storageFraction=0.1, 1 MiB pages, window/SMJ buffer thresholds 2000")
 
     val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
     val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
@@ -250,17 +295,17 @@ object ScaleSmokeMain {
 
     println(f"${"query"}%-24s ${"wall_s"}%7s ${"spill_mem"}%10s ${"spill_disk"}%10s ${"peak_task"}%10s ${"fp"}%6s ${"status"}%8s")
     var failed = false
-    spillCases.foreach { name =>
+    cases.foreach { case (label, q, d) =>
       GraftSession.dropCachedBlocks(spark)
       spillMem.set(0); spillDisk.set(0); peakTask.set(0)
       val t0 = System.nanoTime()
       var fpTag = "-"
       val status =
         try {
-          val r = Golden.fingerprint(Catalog.byName(name).run(spark, dir)).head()
+          val r = Golden.fingerprint(Catalog.byName(q).run(spark, d)).head()
           val got = (r.getLong(0), r.getString(1))
-          fpTag = if (got == want(name)) "match" else "DRIFT"
-          if (got != want(name)) failed = true
+          fpTag = if (got == want(label)) "match" else "DRIFT"
+          if (got != want(label)) failed = true
           "ok"
         } catch {
           case e: Throwable =>
@@ -270,9 +315,9 @@ object ScaleSmokeMain {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // listener drain
-      println(f"$name%-24s $dt%7.1f ${spillMem.get / 1e6}%9.1fM ${spillDisk.get / 1e6}%9.1fM ${peakTask.get / 1e6}%9.1fM $fpTag%6s $status%8s")
+      println(f"$label%-24s $dt%7.1f ${spillMem.get / 1e6}%9.1fM ${spillDisk.get / 1e6}%9.1fM ${peakTask.get / 1e6}%9.1fM $fpTag%6s $status%8s")
       if (status == "OOM") {
-        println(s"[scale-smoke] OOM in $name — the claim under test is FALSIFIED; aborting")
+        println(s"[scale-smoke] OOM in $label — the claim under test is FALSIFIED; aborting")
         spark.stop(); sys.exit(1)
       }
     }
@@ -509,6 +554,67 @@ object ScaleSmokeMain {
       val (i1, r1, m1) = measure(label, src, mk, mode)
       val (in, rn, mn) = measure(label, scaled, mk, mode)
       println(f"$label%-12s $i1%9d $r1%9d ${m1 / 1e6}%7.1f $in%9d $rn%9d ${mn / 1e6}%7.1f ${if (r1 > 0) f"${rn.toDouble / r1}%.1f" else "-"}%6s")
+    }
+    spark.stop()
+  }
+
+  /** Connected-components fallback smoke: the >2M-edge distributed
+    * min-label path (`Dedup.distributedCC`) is spec-tested but was absent
+    * from the scale evidence. One verified minhash edge set is built over
+    * the skewed N× corpus (giant planted clusters — the worst CC shape:
+    * long label-propagation chains inside whale components), then BOTH
+    * clustering paths consume it: the driver union-find (the ≤limit fast
+    * path) and the distributed propagation (forced, as if the edges had
+    * overflowed the limit). Pass = identical cluster fingerprints
+    * (both label by component-min id), convergence in ≤ maxIter, and
+    * per-iteration shuffle recorded as bounded. */
+  private def ccRun(skewed: String): Unit = {
+    val spark = session()
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(
+          m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead)
+      }
+    })
+    val docs = graft.sources.Sources.table(spark, skewed, "documents")
+    graft.ext.Dedup.withMinhashEdges(docs, "doc_id", "text") { (ids, edges) =>
+      val edgeSet = edges.localCheckpoint(true)
+      val nEdges = edgeSet.count()
+      val nodes = ids.select(col("id"))
+      println(s"[scale-smoke] verified edge set: $nEdges edges")
+
+      def fp(df: DataFrame): (Long, String) = {
+        val r = Golden.fingerprint(df).head()
+        (r.getLong(0), r.getString(1))
+      }
+
+      shuffleBytes.set(0)
+      var t0 = System.nanoTime()
+      val fpDriver = fp(graft.ext.Dedup.connectedComponents(nodes, edgeSet))
+      val wallDriver = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val shufDriver = shuffleBytes.get()
+
+      val perIter = Seq.newBuilder[Long]
+      shuffleBytes.set(0)
+      t0 = System.nanoTime()
+      val fpDist = fp(graft.ext.Dedup.distributedCC(nodes, edgeSet,
+        maxIter = 15, onIter = _ => perIter += shuffleBytes.get()))
+      val wallDist = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val shufDist = shuffleBytes.get()
+      val iters = perIter.result()
+      val deltas = (0L +: iters).sliding(2).map(w => w(1) - w(0)).toSeq
+
+      println(f"${"path"}%-12s ${"wall_s"}%7s ${"shuffle"}%9s ${"iters"}%6s")
+      println(f"${"driver-uf"}%-12s $wallDriver%7.1f ${shufDriver / 1e6}%8.1fM ${"-"}%6s")
+      println(f"${"distributed"}%-12s $wallDist%7.1f ${shufDist / 1e6}%8.1fM ${iters.size}%6d")
+      println(s"[scale-smoke] per-iteration shuffle MB: " +
+        deltas.map(d => f"${d / 1e6}%.1f").mkString(", "))
+      println(s"[scale-smoke] fingerprints ${if (fpDriver == fpDist) "MATCH" else s"DRIFT: $fpDriver vs $fpDist"}")
+      if (fpDriver != fpDist || iters.size >= 15) sys.exit(1)
     }
     spark.stop()
   }
