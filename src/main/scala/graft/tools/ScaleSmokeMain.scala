@@ -579,20 +579,39 @@ object ScaleSmokeMain {
       }
     })
     val docs = graft.sources.Sources.table(spark, skewed, "documents")
-    graft.ext.Dedup.withMinhashEdges(docs, "doc_id", "text") { (ids, edges) =>
+    // The production maxBucket=64 cap DROPS the ~1000-member whale
+    // buckets outright (cap filtering keeps or drops whole buckets), so
+    // the verified edge set stays tiny (~1.5k edges on the skewed 10×
+    // corpus) — fine for dedup, useless for stressing CC. A cap above
+    // the whale bucket size re-admits the giant planted clusters as
+    // dense cliques (~10⁵ verified edges per replica — past the 2M
+    // production limit, i.e. the regime where connectedComponents would
+    // choose the distributed path on its own); clustering semantics are
+    // identical at any cap (both paths label by component-min), so the
+    // comparison stays exact.
+    val maxBucket = sys.env.getOrElse("SPARK_GRAFT_CC_MAXBUCKET", "2048").toInt
+    println(s"[scale-smoke] building edges with maxBucket=$maxBucket")
+    graft.ext.Dedup.withMinhashEdges(docs, "doc_id", "text",
+      maxBucket = maxBucket) { (ids, edges) =>
       val edgeSet = edges.localCheckpoint(true)
       val nEdges = edgeSet.count()
       val nodes = ids.select(col("id"))
-      println(s"[scale-smoke] verified edge set: $nEdges edges")
+      println(s"[scale-smoke] verified edge set: $nEdges edges" +
+        (if (nEdges > 2000000L) " (ABOVE the 2M production limit — " +
+          "the distributed path is the one production would take)" else ""))
 
       def fp(df: DataFrame): (Long, String) = {
         val r = Golden.fingerprint(df).head()
         (r.getLong(0), r.getString(1))
       }
 
+      // smallEdgeLimit raised so THIS run stays on the driver union-find
+      // even when the edge set exceeds the production 2M limit — the
+      // point is an exact cross-check of the two paths on one input
       shuffleBytes.set(0)
       var t0 = System.nanoTime()
-      val fpDriver = fp(graft.ext.Dedup.connectedComponents(nodes, edgeSet))
+      val fpDriver = fp(graft.ext.Dedup.connectedComponents(nodes, edgeSet,
+        smallEdgeLimit = 50000000L))
       val wallDriver = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
       val shufDriver = shuffleBytes.get()
