@@ -658,8 +658,13 @@ object ScaleSmokeMain {
         if (te.taskInfo != null) durations.add(te.taskInfo.duration)
     })
 
+    // noop sink ON PURPOSE: the whale join EMITS quadratically many rows
+    // (every hot-key click × in-window hot-key purchase), so a memory
+    // sink turns the smoke into a driver-heap test; the metrics — state
+    // rows/bytes, task durations, output cardinality — are what's under
+    // study, and the sink progress reports them all.
     def measure(label: String, dir: String, mk: DataFrame => DataFrame,
-                mode: String): (Double, Int, Long, Long, Long, Long, Long) = {
+                mode: String): (Double, Int, Long, Long, Long, Long, Long, Long) = {
       val evp = java.nio.file.Paths.get(dir, "events.parquet")
       require(java.nio.file.Files.isDirectory(evp),
         s"$evp must be a gen-written parquet directory")
@@ -667,31 +672,30 @@ object ScaleSmokeMain {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val events = graft.streaming.EventsStream.readEvents(spark, evp.toString)
-        val name = s"skew_${label}_${System.nanoTime()}"
         val t0 = System.nanoTime()
-        val q = mk(events).writeStream.format("memory").queryName(name)
+        val q = mk(events).writeStream.format("noop")
           .outputMode(mode).start()
-        try {
-          try q.processAllAvailable() finally q.stop()
-          val wall = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(500) // listener drain
-          val ps = q.recentProgress.toSeq
-          def stateSum(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
-            ps.map(p => Option(p.stateOperators).map(_.map(f).sum).getOrElse(0L))
-          val ds = {
-            val it = durations.iterator()
-            val b = Seq.newBuilder[Long]
-            while (it.hasNext) b += it.next()
-            durations.clear()
-            b.result().sorted
-          }
-          (wall, ps.count(_.numInputRows > 0),
-            ps.map(_.numInputRows).sum,
-            (0L +: stateSum(_.numRowsTotal)).max,
-            (0L +: stateSum(_.memoryUsedBytes)).max,
-            if (ds.nonEmpty) ds(ds.size / 2) else 0L,
-            if (ds.nonEmpty) ds.last else 0L)
-        } finally spark.catalog.dropTempView(name)
+        try q.processAllAvailable() finally q.stop()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener drain
+        val ps = q.recentProgress.toSeq
+        def stateSum(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+          ps.map(p => Option(p.stateOperators).map(_.map(f).sum).getOrElse(0L))
+        val ds = {
+          val it = durations.iterator()
+          val b = Seq.newBuilder[Long]
+          while (it.hasNext) b += it.next()
+          durations.clear()
+          b.result().sorted
+        }
+        (wall, ps.count(_.numInputRows > 0),
+          ps.map(_.numInputRows).sum,
+          ps.map(p => Option(p.sink).map(_.numOutputRows).getOrElse(0L))
+            .filter(_ > 0).sum,
+          (0L +: stateSum(_.numRowsTotal)).max,
+          (0L +: stateSum(_.memoryUsedBytes)).max,
+          if (ds.nonEmpty) ds(ds.size / 2) else 0L,
+          if (ds.nonEmpty) ds.last else 0L)
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
@@ -708,13 +712,13 @@ object ScaleSmokeMain {
           .dedupStream(e, Seq("user_id", "event_type")),
         "append"))
 
-    println(f"${"op"}%-10s ${"dir"}%-6s ${"wall_s"}%7s ${"batches"}%8s ${"in_rows"}%9s ${"state_rows"}%10s ${"state_MB"}%9s ${"task_med"}%9s ${"task_max"}%9s ${"mx/md"}%6s")
+    println(f"${"op"}%-10s ${"dir"}%-6s ${"wall_s"}%7s ${"batches"}%8s ${"in_rows"}%9s ${"out_rows"}%9s ${"state_rows"}%10s ${"state_MB"}%9s ${"task_med"}%9s ${"task_max"}%9s ${"mx/md"}%6s")
     ops.foreach { case (label, mk, mode) =>
       Seq("uni" -> uniform, "whale" -> skewed).foreach { case (tag, dir) =>
         durations.clear()
-        val (wall, nb, in, sr, sb, med, mx) = measure(label, dir, mk, mode)
+        val (wall, nb, in, out, sr, sb, med, mx) = measure(label, dir, mk, mode)
         val ratio = if (med > 0) f"${mx.toDouble / med}%.1f" else "-"
-        println(f"$label%-10s $tag%-6s $wall%7.1f $nb%8d $in%9d $sr%10d ${sb / 1e6}%8.1fM ${med}%8dms ${mx}%8dms $ratio%6s")
+        println(f"$label%-10s $tag%-6s $wall%7.1f $nb%8d $in%9d $out%9d $sr%10d ${sb / 1e6}%8.1fM ${med}%8dms ${mx}%8dms $ratio%6s")
       }
     }
     spark.stop()
