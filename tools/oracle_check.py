@@ -6,9 +6,20 @@ view named after the table, run the oracle SQL, load the Spark result
 parquet, sort columns by name, sort rows by all columns, and compare
 values (hash after normalization). Usage:
 
-    python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
+    python3 tools/oracle_check.py SF_DIR OUT_DIR [options]
+
+Options (all optional; defaults reproduce the original single-process
+sweep):
+    --timeout N     per-query wall budget in seconds; each oracle runs in
+                    its own subprocess so a DuckDB plan that is hours-scale
+                    at a big SF (e.g. the minhash-family LSH SQL at sf1)
+                    yields a TIMEOUT row instead of wedging the sweep
+    --only a,b,c    check only these queries
+    --skip a,b,c    skip these queries (recorded as SKIPPED)
+    --json PATH     also write {name: {status, detail, secs}} incrementally
+                    after every query, so progress survives a killed run
 """
-import sys, json, glob, os
+import sys, json, glob, os, time, argparse, subprocess
 import duckdb
 import pandas as pd
 import numpy as np
@@ -28,7 +39,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
     return df
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
     for f in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(f)[:-len(".parquet")]
@@ -48,51 +59,98 @@ def main(sf_dir, out_dir):
                 con.execute(
                     f"CREATE VIEW events AS SELECT * REPLACE "
                     f"(make_timestamp_ns(ts) AS ts) FROM {src}")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    return con
+
+def check_one(con, name, sql, out_dir):
+    """Returns (status, detail) for one query; status OK/MISSING/ERROR/
+    SCHEMA/ROWS/VALUES."""
+    spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not spark_files:
+        return "MISSING", "no spark output"
+    try:
+        got = normalize(pd.concat([pd.read_parquet(f) for f in spark_files]))
+        want = normalize(con.execute(sql).df())
+    except Exception as e:
+        return "ERROR", str(e)
+    if list(got.columns) != list(want.columns):
+        return "SCHEMA", f"spark={list(got.columns)} duckdb={list(want.columns)}"
+    if len(got) != len(want):
+        return "ROWS", f"spark={len(got)} duckdb={len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            eq = (g.astype("float64").fillna(np.nan)).combine(
+                w.astype("float64").fillna(np.nan),
+                lambda a, b: (np.isnan(a) and np.isnan(b)) or a == b)
+        else:
+            eq = (g.isna() & w.isna()) | (g == w)
+        if not bool(eq.all()):
+            idx = (~eq).idxmax()
+            return "VALUES", f"col={c} spark={g[idx]!r} duckdb={w[idx]!r}"
+    return "OK", f"{len(got)} rows"
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir"); ap.add_argument("out_dir")
+    ap.add_argument("--timeout", type=float, default=None)
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--skip", default=None)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--one", default=None, help=argparse.SUPPRESS)  # internal
+    args = ap.parse_args()
+
+    oracle = json.load(open(f"{args.out_dir}/oracle_sql.json"))
+    if args.one is not None:
+        # child mode: one query, exit code encodes pass/fail
+        con = connect(args.sf_dir)
+        status, detail = check_one(con, args.one, oracle[args.one], args.out_dir)
+        print(f"{status} {detail}", flush=True)
+        return 0 if status == "OK" else 1
+
+    only = set(args.only.split(",")) if args.only else None
+    skip = set(args.skip.split(",")) if args.skip else set()
+    results = {}
+    def bank(name, status, detail, secs):
+        results[name] = {"status": status, "detail": detail,
+                         "secs": round(secs, 2)}
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(results, f, indent=1, sort_keys=True)
+
+    con = None if args.timeout else connect(args.sf_dir)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not spark_files:
-            print(f"MISSING  {name}: no spark output")
-            n_fail += 1
+        if only is not None and name not in only:
             continue
-        try:
-            got = normalize(pd.concat([pd.read_parquet(f) for f in spark_files]))
-            want = normalize(con.execute(sql).df())
-        except Exception as e:
-            print(f"ERROR    {name}: {e}")
-            n_fail += 1
+        if name in skip:
+            print(f"SKIPPED  {name}", flush=True)
+            bank(name, "SKIPPED", "excluded via --skip", 0.0)
             continue
-        if list(got.columns) != list(want.columns):
-            print(f"SCHEMA   {name}: spark={list(got.columns)} duckdb={list(want.columns)}")
-            n_fail += 1
-            continue
-        if len(got) != len(want):
-            print(f"ROWS     {name}: spark={len(got)} duckdb={len(want)}")
-            n_fail += 1
-            continue
-        bad = None
-        for c in got.columns:
-            g, w = got[c], want[c]
-            if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
-                eq = (g.astype("float64").fillna(np.nan)).combine(
-                    w.astype("float64").fillna(np.nan),
-                    lambda a, b: (np.isnan(a) and np.isnan(b)) or a == b)
-            else:
-                eq = (g.isna() & w.isna()) | (g == w)
-            if not bool(eq.all()):
-                idx = (~eq).idxmax()
-                bad = (c, g[idx], w[idx])
-                break
-        if bad:
-            c, gv, wv = bad
-            print(f"VALUES   {name}: col={c} spark={gv!r} duckdb={wv!r}")
-            n_fail += 1
+        t0 = time.time()
+        if args.timeout:
+            # subprocess isolation: DuckDB has no reliable mid-query
+            # interrupt, so a fresh process per query is the only way to
+            # enforce a wall budget without leaking a runaway plan
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   args.sf_dir, args.out_dir, "--one", name]
+            try:
+                p = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=args.timeout)
+                out = (p.stdout or "").strip() or "ERROR empty child output"
+                status, _, detail = out.partition(" ")
+            except subprocess.TimeoutExpired:
+                status, detail = "TIMEOUT", f"oracle exceeded {args.timeout:.0f}s"
         else:
-            print(f"OK       {name} ({len(got)} rows)")
+            status, detail = check_one(con, name, sql, args.out_dir)
+        secs = time.time() - t0
+        print(f"{status:8s} {name}: {detail} [{secs:.1f}s]", flush=True)
+        bank(name, status, detail, secs)
+        if status == "OK":
             n_pass += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed", flush=True)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main())
