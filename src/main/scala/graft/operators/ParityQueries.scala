@@ -242,17 +242,29 @@ object ParityQueries {
     * the exact per-group count (0.02 rsd → 10% band, a ≥5σ margin). The
     * sketch is deterministic for a given dataset, so this either always
     * passes or exposes a real estimator/merge bug — driver-visible via a
-    * 0-row oracle, complementing ApproxAggSpec's tighter in-JVM pin. */
+    * 0-row oracle, complementing ApproxAggSpec's tighter in-JVM pin.
+    *
+    * The exact and approximate aggregates run as SEPARATE aggregations
+    * joined on the 3-row group frame rather than one mixed agg: combining
+    * a DISTINCT aggregate with a non-distinct one forces Catalyst's
+    * Expand plan (row count × 2 before the first exchange), which made
+    * this instrument the most expensive row of the sf1 suite. Split, the
+    * exact side shuffles only the distinct (group, value) pairs and the
+    * HLL side ships 3 sketches — same semantics, no Expand. */
   val approxDistinctAnchor = Q(
     "q_a6_approx_distinct_anchor",
     "HLL++ estimate within 10% of exact per group (violations; expect 0 rows)",
-    (s, dir) => t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(count_distinct(col("l_partkey")).as("exact_parts"),
-           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-      .filter(abs(col("approx_parts") - col("exact_parts")) >
-        col("exact_parts") * 0.10)
-      .select(col("l_returnflag"), col("exact_parts"), col("approx_parts")),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_partkey")).as("exact_parts"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      exact.join(approx, Seq("l_returnflag"))
+        .filter(abs(col("approx_parts") - col("exact_parts")) >
+          col("exact_parts") * 0.10)
+        .select(col("l_returnflag"), col("exact_parts"), col("approx_parts"))
+    },
     Some("""SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
            | CAST(NULL AS BIGINT) AS exact_parts,
            | CAST(NULL AS BIGINT) AS approx_parts WHERE 1 = 0"""
