@@ -212,4 +212,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("StringStartsWith(p_name,red)"),
       s"name prefix filter not pushed:\n$p")
   }
+
+  test("HLL anchor: split aggregations, no Expand over the fact input") {
+    // Mixing count_distinct with approx_count_distinct in ONE agg plans
+    // Expand (input rows × 2 before the first exchange) — 3× the sf1 wall.
+    // The anchor runs them as separate aggregations joined on the 3-row
+    // group frame; pin the shape so a refactor can't fold them back.
+    val p = plan("q_a6_approx_distinct_anchor")
+    assert(!p.contains("Expand"), s"mixed-distinct Expand regressed:\n$p")
+  }
 }
