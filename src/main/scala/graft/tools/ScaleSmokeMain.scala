@@ -87,6 +87,7 @@ object ScaleSmokeMain {
     case "spill" :: dir :: skew :: Nil => spillRun(dir, Some(skew))
     case "streamskew" :: uniform :: skewed :: Nil => streamSkew(uniform, skewed)
     case "cc" :: skewed :: Nil => ccRun(skewed)
+    case "xcheck" :: dir :: queries => xcheck(dir, queries)
     case "skewdemo" :: skewed :: Nil =>
       val spark = session()
       val durations =
@@ -942,6 +943,46 @@ object ScaleSmokeMain {
     val s = GraftSession.builder("graft-scale-smoke", "32").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Layout-independence cross-check for queries whose ORACLE is
+    * compute-infeasible at a large SF (the DuckDB minhash-family SQL at
+    * sf1): run each query under two deliberately different physical
+    * layouts — the canonical session vs one with a different shuffle
+    * fan-out, scan split size, and broadcast threshold (so scan
+    * partitioning, exchange placement, and join strategies all move) —
+    * and require bitwise-equal [[Golden.fingerprint]]s. This is the same
+    * evidence class the spill smoke uses (exact result invariance under
+    * a changed execution), aimed at the determinism half of correctness:
+    * a query whose answer depends on partition layout, task order, or a
+    * broadcast-vs-shuffle flip fails it. */
+  private def xcheck(dir: String, queries: List[String]): Unit = {
+    val ref = session()
+    val want = queries.map { q =>
+      val r = Golden.fingerprint(Catalog.byName(q).run(ref, dir)).head()
+      GraftSession.dropCachedBlocks(ref)
+      q -> ((r.getLong(0), r.getString(1)))
+    }
+    ref.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val alt = GraftSession.builder("graft-xcheck-alt", "32")
+      .config("spark.sql.shuffle.partitions", "53")
+      .config("spark.sql.files.maxPartitionBytes", (8 << 20).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (256 << 10).toString)
+      .getOrCreate()
+    alt.sparkContext.setLogLevel("WARN")
+    var bad = 0
+    want.foreach { case (q, (n, h)) =>
+      val r = Golden.fingerprint(Catalog.byName(q).run(alt, dir)).head()
+      GraftSession.dropCachedBlocks(alt)
+      val ok = r.getLong(0) == n && r.getString(1) == h
+      if (!ok) bad += 1
+      println(f"[scale-smoke] xcheck $q%-28s rows=$n%8d " +
+        s"${if (ok) "MATCH" else s"MISMATCH alt=(${r.getLong(0)},${r.getString(1)}) want=($n,$h)"}")
+    }
+    alt.stop()
+    println(s"[scale-smoke] xcheck ${want.size - bad}/${want.size} layouts agree")
+    if (bad > 0) sys.exit(1)
   }
 
   /** With `skew = true`, the N× tables get a Zipf-style head instead of
