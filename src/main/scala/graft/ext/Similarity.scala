@@ -105,10 +105,17 @@ object Similarity {
                      iters: Int = 10, maxSample: Int = 100000,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Array[Array[Float]] = {
+    // orderBy before limit → TakeOrderedAndProject (bounded distributed
+    // heap, no global sort): the sample SET and its order are functions of
+    // the ids alone. A bare limit+collect would take whatever partitions
+    // answer first — single-partition tables hide it (xcheck MATCHes at
+    // sf1), but a multi-partition corpus would make the "first k" centroid
+    // init, and thus every downstream cluster id, run-nondeterministic.
     val sample = emb
       .filter(col(idCol) % sampleEvery === 0)
-      .select(col(vecCol)).limit(maxSample)
-      .collect().map(_.getSeq[Float](0).toArray)
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(maxSample)
+      .collect().map(_.getSeq[Float](1).toArray)
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
     def cos(a: Array[Float], b: Array[Float]): Double = {
