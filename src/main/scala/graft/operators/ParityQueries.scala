@@ -158,13 +158,18 @@ object ParityQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name").as("region_name"),
                  year(col("o_orderdate")).cast("long").as("o_year"))
+        // revenue sums per-row INTEGER CENTS (the q_tpch_q9_profit idiom):
+        // sum(double) is order-sensitive, and at sf1 the ulp drift between
+        // two partition layouts crossed the cent boundary (caught by the
+        // xcheck sweep); an integer sum is exact under any layout/engine.
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("revenue"),
+          (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100.0, 0).cast("long")) / 100.0).as("revenue"),
           count(lit(1)).as("n_items"))
     },
     Some("""SELECT r_name AS region_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+           |   AS BIGINT)) / 100.0 AS revenue,
            | count(*) AS n_items
            | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            | JOIN customer ON o_custkey = c_custkey

@@ -510,19 +510,25 @@ object TpchQueries {
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        // volumes sum per-row INTEGER CENTS (the q_tpch_q9_profit idiom):
+        // the sf1 xcheck sweep caught sum(double)'s layout-sensitive ulp
+        // drift crossing the rounding boundary; integer sums are exact.
         .agg(
-          round(sum(when(col("supp_nation") === "NATION_7", vol)
-            .otherwise(0.0)), 2).as("nation_volume"),
-          round(sum(vol), 2).as("total_volume"))
+          (sum(when(col("supp_nation") === "NATION_7",
+            round(vol * 100.0, 0).cast("long")).otherwise(0L)) / 100.0)
+            .as("nation_volume"),
+          (sum(round(vol * 100.0, 0).cast("long")) / 100.0)
+            .as("total_volume"))
         .select(col("o_year"), col("nation_volume"), col("total_volume"),
           round(col("nation_volume") / col("total_volume"), 4).as("mkt_share"))
     },
     Some("""WITH v AS (SELECT
            |   CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-           |   round(sum(CASE WHEN n2.n_name = 'NATION_7'
-           |     THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
-           |     AS nation_volume,
-           |   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_volume
+           |   sum(CASE WHEN n2.n_name = 'NATION_7'
+           |     THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+           |       AS BIGINT) ELSE 0 END) / 100.0 AS nation_volume,
+           |   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+           |     AS BIGINT)) / 100.0 AS total_volume
            | FROM lineitem
            | JOIN orders ON l_orderkey = o_orderkey
            | JOIN part ON l_partkey = p_partkey
