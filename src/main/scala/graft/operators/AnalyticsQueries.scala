@@ -277,9 +277,9 @@ object AnalyticsQueries {
     (s, dir) => t(s, dir, "orders")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("revenue")),
+        ExactMoney.fixedSum(col("o_totalprice")).as("revenue")),
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           | round(sum(o_totalprice), 2) AS revenue
+           | sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS revenue
            | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
       .stripMargin.replace("\n", "")))
 

@@ -196,10 +196,12 @@ object ParityQueries {
     (s, dir) => t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-           round(sum(col("value")), 2).as("sum_value"),
-           round(avg(col("value")), 2).as("avg_value")),
-    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
-           | round(avg(value), 2) AS avg_value FROM events GROUP BY event_type"""
+           ExactMoney.fixedSum(col("value")).as("sum_value"),
+           round(ExactMoney.fixedAvg(col("value")), 2).as("avg_value")),
+    Some("""SELECT event_type, count(*) AS n,
+           | sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS sum_value,
+           | round(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0
+           |   / count(value), 2) AS avg_value FROM events GROUP BY event_type"""
       .stripMargin.replace("\n", "")))
 
   /** A3 — GROUPING SETS ((a),(a,b)) (Fiddle F53): multi-granularity counts
@@ -413,25 +415,28 @@ object ParityQueries {
       .filter(col("l_shipdate") <=
         lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
+      // money sums/avgs go through ExactMoney (per-row integer cents →
+      // exact long sum): layout/merge-order independent at any scale.
+      // quantity is integral, so its double sum/avg is already exact.
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        ExactMoney.fixedSum(col("l_extendedprice")).as("sum_base_price"),
+        ExactMoney.fixedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        ExactMoney.fixedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(ExactMoney.fixedAvg(col("l_extendedprice")), 2).as("avg_price"),
+        round(ExactMoney.fixedAvg(col("l_discount"), 4), 4).as("avg_disc"),
         count(lit(1)).as("count_order")),
     Some("""SELECT l_returnflag, l_linestatus,
            | round(sum(l_quantity), 2) AS sum_qty,
-           | round(sum(l_extendedprice), 2) AS sum_base_price,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-           | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+           | sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_base_price,
+           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) / 100.0 AS sum_disc_price,
+           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0) AS BIGINT)) / 100.0 AS sum_charge,
            | round(avg(l_quantity), 2) AS avg_qty,
-           | round(avg(l_extendedprice), 2) AS avg_price,
-           | round(avg(l_discount), 4) AS avg_disc,
+           | round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 / count(l_extendedprice), 2) AS avg_price,
+           | round(sum(CAST(round(l_discount * 10000.0) AS BIGINT)) / 10000.0 / count(l_discount), 4) AS avg_disc,
            | count(*) AS count_order
            | FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
            | GROUP BY l_returnflag, l_linestatus"""
@@ -455,14 +460,16 @@ object ParityQueries {
         .groupBy(col("l_orderkey"),
           date_trunc("day", col("o_orderdate")).as("o_orderdate"),
           col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(ExactMoney.fixedSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     },
     Some("""SELECT l_orderkey, date_trunc('day', o_orderdate) AS o_orderdate,
            | o_orderpriority,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+           |   AS BIGINT)) / 100.0 AS revenue
            | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            | JOIN customer ON o_custkey = c_custkey
            | WHERE c_mktsegment = 'BUILDING'
@@ -486,9 +493,10 @@ object ParityQueries {
           lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
         col("l_discount").between(0.03, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+      .agg(ExactMoney.fixedSum(col("l_extendedprice") * col("l_discount"))
         .as("revenue")),
-    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    Some("""SELECT sum(CAST(round(l_extendedprice * l_discount * 100.0)
+           |   AS BIGINT)) / 100.0 AS revenue
            | FROM lineitem
            | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
            |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -607,10 +615,12 @@ object ParityQueries {
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(ExactMoney.fixedSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
     },
-    Some("""SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    Some("""SELECT n_name, sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+           |   * 100.0) AS BIGINT)) / 100.0 AS revenue
            | FROM lineitem
            | JOIN orders ON l_orderkey = o_orderkey
            | JOIN customer ON o_custkey = c_custkey
@@ -765,9 +775,9 @@ object ParityQueries {
     (s, dir) => t(s, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("revenue")),
+        ExactMoney.fixedSum(col("o_totalprice")).as("revenue")),
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           | round(sum(o_totalprice), 2) AS revenue
+           | sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS revenue
            | FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
       .stripMargin.replace("\n", "")))
 
@@ -862,10 +872,10 @@ object ParityQueries {
           saltBy = col("l_orderkey"))
         .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice")), 2).as("revenue"))
+          ExactMoney.fixedSum(col("l_extendedprice")).as("revenue"))
     },
     Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
-           | round(sum(l_extendedprice), 2) AS revenue
+           | sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS revenue
            | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
            | GROUP BY 1""".stripMargin.replace("\n", "")))
 

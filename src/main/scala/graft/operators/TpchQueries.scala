@@ -76,13 +76,15 @@ object TpchQueries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"),
           round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(ExactMoney.fixedSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     },
     Some("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+           |   AS BIGINT)) / 100.0 AS revenue
            | FROM lineitem
            | JOIN orders ON l_orderkey = o_orderkey
            | JOIN customer ON o_custkey = c_custkey
@@ -144,18 +146,20 @@ object TpchQueries {
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .agg(
-          round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)), 2)
+          (sum(when(col("p_type") === "PROMO",
+            round(rev * 100.0, 0).cast("long")).otherwise(0L)) / 100.0)
             .as("promo_revenue"),
-          round(sum(rev), 2).as("total_revenue"))
+          ExactMoney.fixedSum(rev).as("total_revenue"))
         .select(col("promo_revenue"), col("total_revenue"),
           round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 2)
             .as("promo_pct"))
     },
     Some("""WITH a AS (SELECT
-           |   round(sum(CASE WHEN p_type = 'PROMO'
-           |     THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
-           |     AS promo_revenue,
-           |   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+           |   sum(CASE WHEN p_type = 'PROMO'
+           |     THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+           |       AS BIGINT) ELSE 0 END) / 100.0 AS promo_revenue,
+           |   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+           |     AS BIGINT)) / 100.0 AS total_revenue
            | FROM lineitem JOIN part ON l_partkey = p_partkey
            | WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
            |   AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00')
@@ -221,10 +225,12 @@ object TpchQueries {
           col("l_quantity").between(20, 30))
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .filter(cond)
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(ExactMoney.fixedSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
     },
-    Some("""SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    Some("""SELECT sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+           |   AS BIGINT)) / 100.0 AS revenue
            | FROM lineitem JOIN part ON l_partkey = p_partkey
            | WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 5
            |     AND l_quantity BETWEEN 1 AND 11)
@@ -251,9 +257,12 @@ object TpchQueries {
       t(s, dir, "customer").createOrReplaceTempView("q22_customer")
       t(s, dir, "orders").createOrReplaceTempView("q22_orders")
       s.sql("""SELECT substring(c_name, 17, 2) AS cntry,
-              |   count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+              |   count(*) AS numcust,
+              |   sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 100.0
+              |     AS totacctbal
               | FROM q22_customer
-              | WHERE c_acctbal > (SELECT avg(c_acctbal) FROM q22_customer
+              | WHERE c_acctbal > (SELECT sum(CAST(round(c_acctbal * 100.0)
+              |       AS BIGINT)) / 100.0 / count(*) FROM q22_customer
               |     WHERE c_acctbal > 0.0)
               |   AND NOT EXISTS (SELECT 1 FROM q22_orders
               |     WHERE o_custkey = c_custkey
@@ -261,9 +270,12 @@ object TpchQueries {
               | GROUP BY substring(c_name, 17, 2)""".stripMargin)
     },
     Some("""SELECT substring(c_name, 17, 2) AS cntry,
-           | count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+           | count(*) AS numcust,
+           |   sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 100.0
+           |   AS totacctbal
            | FROM customer
-           | WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+           | WHERE c_acctbal > (SELECT sum(CAST(round(c_acctbal * 100.0)
+           |     AS BIGINT)) / 100.0 / count(*) FROM customer
            |   WHERE c_acctbal > 0.0)
            |   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
            |     AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
@@ -318,9 +330,11 @@ object TpchQueries {
       l.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
         .withColumn("avg_qty", avg(col("l_quantity")).over(perPart))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+        .agg(round(sum(round(col("l_extendedprice") * 100.0, 0).cast("long"))
+          / 100.0 / 7.0, 2).as("avg_yearly"))
     },
-    Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    Some("""SELECT round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+           |   / 100.0 / 7.0, 2) AS avg_yearly
            | FROM lineitem,
            |   (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
            |    FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -360,12 +374,14 @@ object TpchQueries {
         .filter(pairCond)
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(ExactMoney.fixedSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
     },
     Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            | CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+           |   AS BIGINT)) / 100.0 AS revenue
            | FROM lineitem
            | JOIN orders ON l_orderkey = o_orderkey
            | JOIN supplier ON l_suppkey = s_suppkey
@@ -452,7 +468,8 @@ object TpchQueries {
         .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
           col("l_shipdate") < ts("1997-04-01 00:00:00"))
         .groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(ExactMoney.fixedSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("total_revenue"))
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
       rev.join(broadcast(mx), col("total_revenue") === col("mx"))
@@ -462,7 +479,8 @@ object TpchQueries {
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     },
     Some("""WITH rev AS (SELECT l_suppkey,
-           |   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+           |   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+           |     AS BIGINT)) / 100.0 AS total_revenue
            | FROM lineitem
            | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
            |   AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
