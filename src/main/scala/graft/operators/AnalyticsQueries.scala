@@ -279,7 +279,7 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"),
         ExactMoney.fixedSum(col("o_totalprice")).as("revenue")),
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           | sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS revenue
+           | sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0e0 AS revenue
            | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
       .stripMargin.replace("\n", "")))
 

@@ -169,7 +169,7 @@ object ParityQueries {
     },
     Some("""SELECT r_name AS region_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
            | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
-           |   AS BIGINT)) / 100.0 AS revenue,
+           |   AS BIGINT)) / 100.0e0 AS revenue,
            | count(*) AS n_items
            | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            | JOIN customer ON o_custkey = c_custkey
@@ -199,8 +199,8 @@ object ParityQueries {
            ExactMoney.fixedSum(col("value")).as("sum_value"),
            round(ExactMoney.fixedAvg(col("value")), 2).as("avg_value")),
     Some("""SELECT event_type, count(*) AS n,
-           | sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS sum_value,
-           | round(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0
+           | sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0e0 AS sum_value,
+           | round(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0e0
            |   / count(value), 2) AS avg_value FROM events GROUP BY event_type"""
       .stripMargin.replace("\n", "")))
 
@@ -431,12 +431,12 @@ object ParityQueries {
         count(lit(1)).as("count_order")),
     Some("""SELECT l_returnflag, l_linestatus,
            | round(sum(l_quantity), 2) AS sum_qty,
-           | sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_base_price,
-           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) / 100.0 AS sum_disc_price,
-           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0) AS BIGINT)) / 100.0 AS sum_charge,
+           | sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0e0 AS sum_base_price,
+           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) / 100.0e0 AS sum_disc_price,
+           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0) AS BIGINT)) / 100.0e0 AS sum_charge,
            | round(avg(l_quantity), 2) AS avg_qty,
-           | round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 / count(l_extendedprice), 2) AS avg_price,
-           | round(sum(CAST(round(l_discount * 10000.0) AS BIGINT)) / 10000.0 / count(l_discount), 4) AS avg_disc,
+           | round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0e0 / count(l_extendedprice), 2) AS avg_price,
+           | round(sum(CAST(round(l_discount * 10000.0) AS BIGINT)) / 10000.0e0 / count(l_discount), 4) AS avg_disc,
            | count(*) AS count_order
            | FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
            | GROUP BY l_returnflag, l_linestatus"""
@@ -469,7 +469,7 @@ object ParityQueries {
     Some("""SELECT l_orderkey, date_trunc('day', o_orderdate) AS o_orderdate,
            | o_orderpriority,
            | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
-           |   AS BIGINT)) / 100.0 AS revenue
+           |   AS BIGINT)) / 100.0e0 AS revenue
            | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            | JOIN customer ON o_custkey = c_custkey
            | WHERE c_mktsegment = 'BUILDING'
@@ -496,7 +496,7 @@ object ParityQueries {
       .agg(ExactMoney.fixedSum(col("l_extendedprice") * col("l_discount"))
         .as("revenue")),
     Some("""SELECT sum(CAST(round(l_extendedprice * l_discount * 100.0)
-           |   AS BIGINT)) / 100.0 AS revenue
+           |   AS BIGINT)) / 100.0e0 AS revenue
            | FROM lineitem
            | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
            |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -620,7 +620,7 @@ object ParityQueries {
           .as("revenue"))
     },
     Some("""SELECT n_name, sum(CAST(round(l_extendedprice * (1.0 - l_discount)
-           |   * 100.0) AS BIGINT)) / 100.0 AS revenue
+           |   * 100.0) AS BIGINT)) / 100.0e0 AS revenue
            | FROM lineitem
            | JOIN orders ON l_orderkey = o_orderkey
            | JOIN customer ON o_custkey = c_custkey
@@ -777,7 +777,7 @@ object ParityQueries {
       .agg(count(lit(1)).as("n"),
         ExactMoney.fixedSum(col("o_totalprice")).as("revenue")),
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           | sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS revenue
+           | sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0e0 AS revenue
            | FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
       .stripMargin.replace("\n", "")))
 
@@ -875,7 +875,7 @@ object ParityQueries {
           ExactMoney.fixedSum(col("l_extendedprice")).as("revenue"))
     },
     Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
-           | sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS revenue
+           | sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0e0 AS revenue
            | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
            | GROUP BY 1""".stripMargin.replace("\n", "")))
 

@@ -84,7 +84,7 @@ object TpchQueries {
     },
     Some("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
            | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
-           |   AS BIGINT)) / 100.0 AS revenue
+           |   AS BIGINT)) / 100.0e0 AS revenue
            | FROM lineitem
            | JOIN orders ON l_orderkey = o_orderkey
            | JOIN customer ON o_custkey = c_custkey
@@ -157,9 +157,9 @@ object TpchQueries {
     Some("""WITH a AS (SELECT
            |   sum(CASE WHEN p_type = 'PROMO'
            |     THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
-           |       AS BIGINT) ELSE 0 END) / 100.0 AS promo_revenue,
+           |       AS BIGINT) ELSE 0 END) / 100.0e0 AS promo_revenue,
            |   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
-           |     AS BIGINT)) / 100.0 AS total_revenue
+           |     AS BIGINT)) / 100.0e0 AS total_revenue
            | FROM lineitem JOIN part ON l_partkey = p_partkey
            | WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
            |   AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00')
@@ -230,7 +230,7 @@ object TpchQueries {
           .as("revenue"))
     },
     Some("""SELECT sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
-           |   AS BIGINT)) / 100.0 AS revenue
+           |   AS BIGINT)) / 100.0e0 AS revenue
            | FROM lineitem JOIN part ON l_partkey = p_partkey
            | WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 5
            |     AND l_quantity BETWEEN 1 AND 11)
@@ -258,11 +258,11 @@ object TpchQueries {
       t(s, dir, "orders").createOrReplaceTempView("q22_orders")
       s.sql("""SELECT substring(c_name, 17, 2) AS cntry,
               |   count(*) AS numcust,
-              |   sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 100.0
+              |   sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 100.0e0
               |     AS totacctbal
               | FROM q22_customer
               | WHERE c_acctbal > (SELECT sum(CAST(round(c_acctbal * 100.0)
-              |       AS BIGINT)) / 100.0 / count(*) FROM q22_customer
+              |       AS BIGINT)) / 100.0e0 / count(*) FROM q22_customer
               |     WHERE c_acctbal > 0.0)
               |   AND NOT EXISTS (SELECT 1 FROM q22_orders
               |     WHERE o_custkey = c_custkey
@@ -271,11 +271,11 @@ object TpchQueries {
     },
     Some("""SELECT substring(c_name, 17, 2) AS cntry,
            | count(*) AS numcust,
-           |   sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 100.0
+           |   sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 100.0e0
            |   AS totacctbal
            | FROM customer
            | WHERE c_acctbal > (SELECT sum(CAST(round(c_acctbal * 100.0)
-           |     AS BIGINT)) / 100.0 / count(*) FROM customer
+           |     AS BIGINT)) / 100.0e0 / count(*) FROM customer
            |   WHERE c_acctbal > 0.0)
            |   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
            |     AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
@@ -334,7 +334,7 @@ object TpchQueries {
           / 100.0 / 7.0, 2).as("avg_yearly"))
     },
     Some("""SELECT round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
-           |   / 100.0 / 7.0, 2) AS avg_yearly
+           |   / 100.0e0 / 7.0, 2) AS avg_yearly
            | FROM lineitem,
            |   (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
            |    FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -381,7 +381,7 @@ object TpchQueries {
     Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            | CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
            | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
-           |   AS BIGINT)) / 100.0 AS revenue
+           |   AS BIGINT)) / 100.0e0 AS revenue
            | FROM lineitem
            | JOIN orders ON l_orderkey = o_orderkey
            | JOIN supplier ON l_suppkey = s_suppkey
@@ -480,7 +480,7 @@ object TpchQueries {
     },
     Some("""WITH rev AS (SELECT l_suppkey,
            |   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
-           |     AS BIGINT)) / 100.0 AS total_revenue
+           |     AS BIGINT)) / 100.0e0 AS total_revenue
            | FROM lineitem
            | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
            |   AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -544,9 +544,9 @@ object TpchQueries {
            |   CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
            |   sum(CASE WHEN n2.n_name = 'NATION_7'
            |     THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
-           |       AS BIGINT) ELSE 0 END) / 100.0 AS nation_volume,
+           |       AS BIGINT) ELSE 0 END) / 100.0e0 AS nation_volume,
            |   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
-           |     AS BIGINT)) / 100.0 AS total_volume
+           |     AS BIGINT)) / 100.0e0 AS total_volume
            | FROM lineitem
            | JOIN orders ON l_orderkey = o_orderkey
            | JOIN part ON l_partkey = p_partkey
@@ -604,7 +604,7 @@ object TpchQueries {
     Some("""SELECT n_name AS nation,
            | CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
            | sum(CAST(round((l_extendedprice * (1.0 - l_discount)
-           |   - p_retailprice * l_quantity) * 100.0) AS BIGINT)) / 100.0
+           |   - p_retailprice * l_quantity) * 100.0) AS BIGINT)) / 100.0e0
            |   AS sum_profit
            | FROM lineitem
            | JOIN part ON l_partkey = p_partkey
