@@ -97,6 +97,56 @@ object TfIdf {
       maxDfFraction, maxDf)
   }
 
+  /** Okapi BM25 top-1 retrieval: each probe document (its terms as the
+    * query, term frequency as query weight) scores every corpus document
+    * sharing at least one term through the same inverted-index join shape
+    * as [[topSimilar]] — never all-pairs — and keeps the best match.
+    *
+    *   score(q,d) = Σ_t qtf(t) · idf(t) · tf(t,d)·(k1+1)
+    *                              / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    *   idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene form —
+    *                never negative, unlike the classic log odds)
+    *
+    * BM25's saturation (k1) and length normalization (b) are what the
+    * curation literature actually retrieves with when ranking corpus
+    * documents against a quality prototype — TF-IDF cosine overweights
+    * repeated terms and long documents. Same 100 TB shape as the cosine
+    * path: one corpus scan for tf, two hash-aggs (df, doclen), a 1-row
+    * broadcast for avgdl, bounded broadcast probes, and the same
+    * `maxDfFraction`/`maxDf` fan-out caps applied to df BEFORE the join.
+    * Ties break on the smaller neighbor id, deterministic cross-engine. */
+  def bm25TopMatch(docs: DataFrame, idCol: String, textCol: String,
+                   probeIds: Seq[Long], k1: Double = 1.2, b: Double = 0.75,
+                   maxDfFraction: Double = 1.0,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
+    val n = docs.count() // one scalar job; the only driver-side value
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(true)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <=
+        lit(math.min(maxDf, math.max(1L, (n * maxDfFraction).toLong))))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl")) // 1 row, broadcast below
+    val sat = tf.join(dfreq, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .select(col("doc_id"), col("term"),
+        (log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl")))).as("s"))
+    val probes = tf.filter(col("doc_id").isin(probeIds: _*))
+      .select(col("doc_id").as("probe_id"), col("term"), col("tf").as("qtf"))
+    val scores = broadcast(probes).join(sat, "term")
+      .filter(col("probe_id") =!= col("doc_id"))
+      .groupBy(col("probe_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(col("qtf") * col("s")).as("score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("score"), 2).as("score"))
+  }
+
   /** Top-1 most-similar corpus doc per probe doc, by TF-IDF cosine.
     * Probes and corpus share the postings frame; ties break on the
     * smaller neighbor id so the result is deterministic cross-engine. */

@@ -1137,6 +1137,41 @@ object ExtensionQueries {
            |   ORDER BY cosine DESC, neighbor_id) AS rn FROM sims) WHERE rn = 1"""
       .stripMargin.replace("\n", "")))
 
+  /** Okapi BM25 top-1 retrieval (ext.TfIdf.bm25TopMatch): the ranking
+    * the curation literature actually retrieves with — saturated tf (k1)
+    * and length normalization (b) — next to the cosine's raw tf·idf.
+    * DuckDB rebuilds the identical pipeline (same tokenize, Lucene idf,
+    * same association order in the saturation formula) so the top-1
+    * hash-matches; ties break on neighbor_id in both engines. Constants:
+    * k1=1.2, b=0.75 → k1+1 = 2.2 and 1−b = 0.25 EXACTLY in binary64, so
+    * the SQL literals are the same doubles the Scala side computes. */
+  val bm25Top1 = Q(
+    "q_x_bm25_top1",
+    "BM25 top-1 corpus match per probe doc (inverted-index join)",
+    (s, dir) => TfIdf.bm25TopMatch(Sources.table(s, dir, "documents"),
+      "doc_id", "text", (0L until 10L).toSeq),
+    Some("""WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+           | tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+           |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+           |   WHERE tok <> '' GROUP BY 1, 2),
+           | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+           | ad AS (SELECT avg(dl) AS avgdl FROM dl),
+           | sat AS (SELECT tf.doc_id, tf.term,
+           |     ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           |       * tf.tf * 2.2
+           |       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS s
+           |   FROM tf, dfreq, dl, ad, n
+           |   WHERE tf.term = dfreq.term AND tf.doc_id = dl.doc_id),
+           | sc AS (SELECT p.doc_id AS probe_id, sat.doc_id AS neighbor_id,
+           |     sum(p.tf * sat.s) AS score
+           |   FROM tf p JOIN sat ON p.term = sat.term AND p.doc_id <> sat.doc_id
+           |   WHERE p.doc_id < 10 GROUP BY 1, 2)
+           | SELECT probe_id, neighbor_id, round(score, 2) AS score
+           | FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+           |   ORDER BY score DESC, neighbor_id) AS rn FROM sc) WHERE rn = 1"""
+      .stripMargin.replace("\n", "")))
+
   /** Cross-doc duplicated 5-gram spans (TextAnalysis.dupSpans) — the
     * exact-substring dedup signal (Lee et al. 2022). DuckDB rebuilds the
     * same gram set via list slicing over unnested start positions. */
@@ -1307,6 +1342,6 @@ object ExtensionQueries {
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     corpusReport, jsonProps,
-    multimodal, imagePhash, tfidfTop1, dupSpans, kmeansSizes, pseudonymize,
-    pplBuckets, vocabCoverage, heavyHitters)
+    multimodal, imagePhash, tfidfTop1, bm25Top1, dupSpans, kmeansSizes,
+    pseudonymize, pplBuckets, vocabCoverage, heavyHitters)
 }

@@ -198,6 +198,39 @@ object StreamingQueries {
            | WHERE sid < max_sid OR epoch_ms("end") + 1800000 < wm"""
       .stripMargin.replace("\n", "")))
 
+  /** Streaming as-of attribution under the driver gate: each purchase
+    * pairs with the user's latest click at or before it (NULL if none) —
+    * the TOP-1 form of click→purchase attribution, whose output is one row
+    * per purchase where the interval join's is every pair (the measured
+    * hot-key blowup in PERF_NOTES "Stateful streams under a whale key").
+    * State comparisons are epoch-ms (the watermark grain), so the oracle
+    * orders the interleaved click/purchase timeline on epoch_ms with
+    * clicks first within a tie (click_ts <= purchase_ts includes equality)
+    * and event_id last (the operator's same-ms tiebreak), then takes the
+    * running last click id. Emission follows the sessionWindows contract:
+    * purchases strictly below the resting watermark (max event ms − 1 min)
+    * have emitted once the stream drains; later ones are still pending. */
+  val streamAsof = Q(
+    "q_s_stream_asof",
+    "Streaming as-of attribution (latest click per purchase) = batch window",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream.asofAttribution(src).toDF()
+      runToMemory(s, out, "append", "graft_stream_asof")
+    },
+    Some("""WITH m AS (SELECT max(epoch_ms(ts)) - 60000 AS wm FROM events),
+           | u AS (SELECT user_id, epoch_ms(ts) AS ms, event_id,
+           |   CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+           |   FROM events WHERE event_type IN ('click', 'purchase')),
+           | j AS (SELECT user_id, ms, event_id, kind,
+           |   last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+           |     OVER (PARTITION BY user_id ORDER BY ms, kind, event_id
+           |           ROWS UNBOUNDED PRECEDING) AS click_id
+           |   FROM u)
+           | SELECT j.user_id, j.event_id AS purchase_id, j.click_id
+           | FROM j CROSS JOIN m WHERE j.kind = 1 AND j.ms < m.wm"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin, streamEnrich,
-    streamSession)
+    streamSession, streamAsof)
 }

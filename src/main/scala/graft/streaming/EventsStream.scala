@@ -186,6 +186,88 @@ object EventsStream {
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Per-user buffered state for the streaming as-of join: the single
+    * finalized best click (latest (ms, id) proven complete by a past
+    * watermark), clicks not yet finalized, and purchases awaiting their
+    * watermark. All times are epoch MILLIS — the grain Spark's watermark
+    * machinery itself uses — so the oracle must compare on epoch_ms too. */
+  final case class AsofState(bestMs: Long, bestId: Long, hasBest: Boolean,
+                             clicks: List[(Long, Long)],
+                             purchases: List[(Long, Long)])
+  final case class AsofMatch(user_id: Long, purchase_id: Long,
+                             click_id: Option[Long])
+
+  /** Streaming as-of attribution — for every purchase, the LATEST click by
+    * the same user at or before the purchase (ties within one millisecond
+    * broken by max event_id; purchases with no prior click emit NULL).
+    *
+    * This is the linear-state answer to the interval join's semantic blowup
+    * (PERF_NOTES "Stateful streams under a whale key"): the interval join
+    * must EMIT every (click, purchase) pair in the window — a hot key's
+    * output is quadratic in its rate and lands on the one task owning the
+    * key — while top-1 attribution emits exactly one row per purchase and
+    * keeps O(watermark-lag rows) state per user, compacting every click
+    * older than the watermark into a single best candidate (any future
+    * purchase has event time >= watermark > those clicks, so only the
+    * latest can ever win).
+    *
+    * Exactness under out-of-order arrival: a purchase emits only once the
+    * watermark passes its event time, at which point every click at or
+    * before it has either arrived (buffered or compacted) or is LATE and
+    * dropped by the watermark contract on every engine. Emission order
+    * inside flush: ripe purchases match against the FULL candidate set
+    * first; only then do newly-final clicks compact — compacting first
+    * would let a click AFTER a pending purchase overwrite the one it
+    * should match. Timeout re-arms at the earliest pending purchase so
+    * idle users still flush when the watermark advances.
+    *
+    * Bounded-fixture emission contract (mirrors sessionWindows): after the
+    * final batch the watermark rests at max event ms − watermark delay, so
+    * exactly the purchases strictly below it emit — the oracle reproduces
+    * that predicate. */
+  def asofAttribution(events: DataFrame,
+                      watermark: String = "1 minute"): Dataset[AsofMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state: GroupState[AsofState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption
+            .getOrElse(AsofState(0L, 0L, hasBest = false, Nil, Nil))
+          if (!state.hasTimedOut) {
+            val (cl, pu) = batch.toList.partition(_.event_type == "click")
+            st = st.copy(
+              clicks = st.clicks ::: cl.map(e => (e.ts.getTime, e.event_id)),
+              purchases =
+                st.purchases ::: pu.map(e => (e.ts.getTime, e.event_id)))
+          }
+          val cand = st.clicks.sorted // ascending (ms, id)
+          val best0 = if (st.hasBest) List((st.bestMs, st.bestId)) else Nil
+          val (ripe, pending) = st.purchases.partition(_._1 < wm)
+          val out = ripe.sorted.map { case (pms, pid) =>
+            val pick = (best0 ::: cand.takeWhile(_._1 <= pms)).maxOption
+            AsofMatch(uid, pid, pick.map(_._2))
+          }
+          // compact: clicks now final under the watermark collapse to one
+          val (fin, keep) = cand.partition(_._1 < wm)
+          val newBest = (best0 ::: fin).maxOption
+          st = AsofState(newBest.map(_._1).getOrElse(0L),
+            newBest.map(_._2).getOrElse(0L), newBest.isDefined, keep, pending)
+          state.update(st)
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the unbounded-corpus counterpart of
     * Dedup.exact: the FIRST row per key within the watermark horizon
     * survives; later duplicates drop, and per-key state evicts once the

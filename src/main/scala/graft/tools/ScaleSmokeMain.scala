@@ -711,6 +711,14 @@ object ScaleSmokeMain {
       ("dedup",
         (e: DataFrame) => graft.streaming.EventsStream
           .dedupStream(e, Seq("user_id", "event_type")),
+        "append"),
+      // the shipped top-1 mitigation for ss_join's hot-key output blowup:
+      // one row per purchase, clicks compact to a single best candidate —
+      // out_rows and state must stay linear where ss_join's pairing is
+      // quadratic in the whale's rate
+      ("asof",
+        (e: DataFrame) => graft.streaming.EventsStream
+          .asofAttribution(e).toDF(),
         "append"))
 
     println(f"${"op"}%-10s ${"dir"}%-6s ${"wall_s"}%7s ${"batches"}%8s ${"in_rows"}%9s ${"out_rows"}%9s ${"state_rows"}%10s ${"state_MB"}%9s ${"task_med"}%9s ${"task_max"}%9s ${"mx/md"}%6s")

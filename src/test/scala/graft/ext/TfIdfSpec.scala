@@ -87,4 +87,40 @@ class TfIdfSpec extends AnyFunSuite {
     val uncapped = TfIdf.postings(d, "doc_id", "text", maxDfFraction = 0.5)
     assert(uncapped.filter(col("term") === "mid").count() == 6)
   }
+
+  test("bm25 top-1 finds the planted near-duplicate and scores by formula") {
+    val top = TfIdf.bm25TopMatch(docs, "doc_id", "text", Seq(0L))
+      .collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[Long]("neighbor_id") == 1L,
+      s"expected near-dup doc 1, got ${top.head}")
+    // hand-computed score for the (0, 1) pair: docs share apple/banana/
+    // cherry, each with qtf=1, tf=1, dl=4, avgdl=4 → the saturation term
+    // is (k1+1)/(1+k1) = 1 per shared term, so score = Σ idf(t) with
+    // idf = ln(1 + (5 - df + .5)/(df + .5))
+    def idf(dfr: Double) = math.log(1.0 + (5.0 - dfr + 0.5) / (dfr + 0.5))
+    val expected = idf(3) + idf(3) + idf(2) // apple df 3, banana df 3, cherry df 2
+    assert(math.abs(top.head.getAs[Double]("score")
+      - math.rint(expected * 100) / 100) < 1e-9)
+  }
+
+  test("bm25 length normalization prefers the concise match at equal overlap") {
+    val spark0 = spark
+    import spark0.implicits._
+    // both candidates share exactly the two probe terms once; the long
+    // doc pads with unique filler. b = 0.75 penalizes the padded doc's
+    // length, so the short one must win; with b = 0 the tie breaks on id
+    // (doc 1, the long one) since per-term weights equalize.
+    val d = Seq(
+      (0L, "alpha beta"),
+      (1L, "alpha beta f1 f2 f3 f4 f5 f6"),
+      (2L, "alpha beta")).toDF("doc_id", "text")
+    val norm = TfIdf.bm25TopMatch(d, "doc_id", "text", Seq(0L)).collect()
+    assert(norm.head.getAs[Long]("neighbor_id") == 2L,
+      s"length-normalized BM25 must prefer the short doc: ${norm.head}")
+    val flat = TfIdf.bm25TopMatch(d, "doc_id", "text", Seq(0L), b = 0.0)
+      .collect()
+    assert(flat.head.getAs[Long]("neighbor_id") == 1L,
+      s"with b=0 the equal scores must tie-break on id: ${flat.head}")
+  }
 }

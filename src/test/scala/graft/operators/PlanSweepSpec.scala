@@ -37,8 +37,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_x_dedup_incremental_anchor",// 1-in-25 probe docs broadcast vs corpus
     "q_x_decontaminate_semantic_anchor", // exact path embedded as ground truth
     "q_x_kmeans_anchor",           // single-row size-sum totals join
-    "q_x_heavy_hitters_anchor")    // single-row grand-total broadcast join
+    "q_x_heavy_hitters_anchor",    // single-row grand-total broadcast join
                                    // (same shape as q_x_kmeans_anchor)
+    "q_x_bm25_top1")               // single-row avgdl broadcast join (the
+                                   // corpus-mean length in BM25's length
+                                   // normalization; same shape as above)
 
   Catalog.all.filterNot(_.name.startsWith("q_s_")).foreach { q =>
     test(s"${q.name}: no CartesianProduct; BNLJ only by design") {

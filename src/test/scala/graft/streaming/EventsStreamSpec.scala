@@ -212,6 +212,56 @@ class EventsStreamSpec extends AnyFunSuite {
       "replayed or lost rows after checkpoint recovery")
   }
 
+  test("as-of attribution buffers out-of-order clicks across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-asof")
+    val base = 1700000000000L // epoch ms
+    def writeBatch(name: String,
+                   rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("asof-batch")
+      rows.toDF("event_id", "ms", "user_id", "event_type")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing
+        .filter(_.getFileName.toString.matches("part-.*\\.parquet"))
+        .findFirst().get()
+      finally listing.close()
+      Files.move(part, dir.resolve(s"$name.parquet"))
+    }
+
+    // batch 1: click c1 at B, purchase p1 at B+30s. Watermark after the
+    // batch is (B+30s) - 1min = B-30s, so p1 must stay PENDING: emitting
+    // it now would wrongly attribute c1.
+    writeBatch("b1", Seq((101L, base, 1L, "click"),
+      (201L, base + 30000, 1L, "purchase")))
+    val out = EventsStream.asofAttribution(
+      EventsStream.readEvents(spark, dir.toString)).toDF()
+    val q = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("asof_out").count() == 0,
+        "purchase above the watermark must not emit yet")
+
+      // batch 2: click c2 at B+20s — BEFORE p1 in event time but arriving
+      // a micro-batch later (out-of-order, above the old watermark) — plus
+      // a far-future click that drags the watermark past p1. The correct
+      // match is c2, provable only if the operator buffered p1 and c2.
+      writeBatch("b2", Seq((102L, base + 20000, 1L, "click"),
+        (103L, base + 7200000, 1L, "click")))
+      q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .select("user_id", "purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+      assert(got.toSeq == Seq((1L, 201L, Some(102L))),
+        s"expected p1 matched to the late-arriving earlier click, got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("session state accumulates across micro-batches") {
     val dir = stageDir()
     val sessions = EventsStream.sessionStats(
