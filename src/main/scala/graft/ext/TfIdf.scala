@@ -140,8 +140,13 @@ object TfIdf {
       .filter(col("probe_id") =!= col("doc_id"))
       .groupBy(col("probe_id"), col("doc_id").as("neighbor_id"))
       .agg(sum(col("qtf") * col("s")).as("score"))
+    // rank on the 1e-6-rounded score: EXACT score ties (replicated docs —
+    // a certainty in any deduplicating corpus) sum the same multiset of
+    // doubles in different orders, so raw sums for tied neighbors differ
+    // in the last ulp and the winner would be layout/engine-dependent;
+    // rounding collapses ulp noise into the deterministic id tie-break
     val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
+      .orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
     scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("probe_id"), col("neighbor_id"),
         round(col("score"), 2).as("score"))
@@ -149,7 +154,11 @@ object TfIdf {
 
   /** Top-1 most-similar corpus doc per probe doc, by TF-IDF cosine.
     * Probes and corpus share the postings frame; ties break on the
-    * smaller neighbor id so the result is deterministic cross-engine. */
+    * smaller neighbor id so the result is deterministic cross-engine.
+    * Ranking uses the 1e-6-rounded cosine for the same reason as
+    * [[bm25TopMatch]]: exactly-tied neighbors (replicated docs) sum the
+    * same doubles in different orders, and the raw-ulp winner would be
+    * layout- and engine-dependent. */
   def topSimilar(unit: DataFrame, probeIds: Seq[Long]): DataFrame = {
     val probes = unit.filter(col("doc_id").isin(probeIds: _*))
       .select(col("doc_id").as("probe_id"), col("term"), col("u").as("ua"))
@@ -160,7 +169,7 @@ object TfIdf {
       .groupBy("probe_id", "neighbor_id")
       .agg(sum(col("ua") * col("ub")).as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("probe_id"), col("neighbor_id"),
         round(col("cosine"), 2).as("cosine"))

@@ -1134,7 +1134,8 @@ object ExtensionQueries {
            |   WHERE a.doc_id < 10 GROUP BY 1, 2)
            | SELECT probe_id, neighbor_id, round(cosine, 2) AS cosine
            | FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-           |   ORDER BY cosine DESC, neighbor_id) AS rn FROM sims) WHERE rn = 1"""
+           |   ORDER BY round(cosine, 6) DESC, neighbor_id) AS rn FROM sims)
+           | WHERE rn = 1"""
       .stripMargin.replace("\n", "")))
 
   /** Okapi BM25 top-1 retrieval (ext.TfIdf.bm25TopMatch): the ranking
@@ -1169,7 +1170,8 @@ object ExtensionQueries {
            |   WHERE p.doc_id < 10 GROUP BY 1, 2)
            | SELECT probe_id, neighbor_id, round(score, 2) AS score
            | FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-           |   ORDER BY score DESC, neighbor_id) AS rn FROM sc) WHERE rn = 1"""
+           |   ORDER BY round(score, 6) DESC, neighbor_id) AS rn FROM sc)
+           | WHERE rn = 1"""
       .stripMargin.replace("\n", "")))
 
   /** Cross-doc duplicated 5-gram spans (TextAnalysis.dupSpans) — the

@@ -81,7 +81,8 @@ object ScaleSmokeMain {
     case "stream" :: src :: scaled :: Nil => stream(src, scaled)
     case "bloom" :: src :: work :: Nil => bloom(src, work)
     case "skew" :: uniform :: skewed :: Nil => skewRun(uniform, skewed)
-    case "census" :: src :: scaled :: n :: Nil => census(src, scaled, n.toInt)
+    case "census" :: src :: scaled :: n :: only =>
+      census(src, scaled, n.toInt, only.toSet)
     case "mem" :: src :: scaled :: Nil => mem(src, scaled)
     case "spill" :: dir :: Nil => spillRun(dir, None)
     case "spill" :: dir :: skew :: Nil => spillRun(dir, Some(skew))
@@ -341,7 +342,12 @@ object ScaleSmokeMain {
     * documents/events/embeddings (TPC-H-table queries can't run against
     * a scaled dir that doesn't replicate their tables; q_s_ streaming
     * queries are covered by the `stream` subcommand's state evidence). */
-  private def census(src: String, scaled: String, n: Int): Unit = {
+  /** @param only when non-empty, restrict the sweep to these query names
+    *             (still subject to the scans-only-scalable-tables probe) —
+    *             the cheap way to census a newly added query without the
+    *             full 90-query double sweep. */
+  private def census(src: String, scaled: String, n: Int,
+                     only: Set[String] = Set.empty): Unit = {
     val spark = session()
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -394,6 +400,7 @@ object ScaleSmokeMain {
 
     val names = Catalog.all.map(_.name)
       .filterNot(_.startsWith("q_s_"))
+      .filter(nm => only.isEmpty || only(nm))
       .filter(scansOnlyScalable)
     println(s"[census] ${names.size} of ${Catalog.all.size} queries scan " +
       s"only the replicated tables; data ratio $n, flag threshold ${n * 1.2}")
