@@ -104,6 +104,22 @@ class TfIdfSpec extends AnyFunSuite {
       - math.rint(expected * 100) / 100) < 1e-9)
   }
 
+  test("bm25 absolute maxDf cap bounds fan-out but keeps rare-term top-1") {
+    val spark0 = spark
+    import spark0.implicits._
+    // same corpus as the postings cap test: 'mid' (df 6 of 12) is the
+    // fan-out term the cap must drop; the planted pair (0, 1) rides its
+    // rare terms and must stay top-1 under maxDf = 2
+    val d = ((0L, "ra rb rc mid") +: (1L, "ra rb rd mid") +:
+      (2 to 5).map(i => (i.toLong, s"u$i mid")) ++:
+      (6 to 11).map(i => (i.toLong, s"v$i w$i"))).toDF("doc_id", "text")
+    val capped = TfIdf.bm25TopMatch(d, "doc_id", "text", Seq(0L),
+      maxDfFraction = 0.5, maxDf = 2).collect()
+    assert(capped.length == 1 &&
+      capped.head.getAs[Long]("neighbor_id") == 1L,
+      s"capped BM25 must keep the rare-term near-dup: ${capped.toSeq}")
+  }
+
   test("bm25 length normalization prefers the concise match at equal overlap") {
     val spark0 = spark
     import spark0.implicits._
