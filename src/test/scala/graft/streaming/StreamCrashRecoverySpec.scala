@@ -104,6 +104,64 @@ class StreamCrashRecoverySpec extends AnyFunSuite {
       s"replayed batch double-counted: got $got, want $want")
   }
 
+  test("as-of attribution: buffered state survives restart; file sink stays exactly-once") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val srcDir = Files.createTempDirectory("crash-asof-src")
+    val outDir = Files.createTempDirectory("crash-asof-out").toString
+    val ckpt = Files.createTempDirectory("crash-asof-ckpt").toString
+    val base = 1700000000000L
+
+    def batch(rows: Seq[(Long, Long, Long, String)]) =
+      rows.toDF("event_id", "ms", "user_id", "event_type")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+    val schema = batch(Seq((0L, base, 0L, "click"))).schema
+    def start() = {
+      val src = spark.readStream.schema(schema).parquet(srcDir.toString)
+      EventsStream.asofAttribution(src).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    def results() = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq.sorted
+
+    // phase 1: click c1 and a purchase still above the watermark — ALL
+    // of the answer-relevant state (buffered click + pending purchase)
+    // exists only in the state store when the query dies.
+    addFile(batch(Seq((101L, base, 1L, "click"),
+      (201L, base + 30000, 1L, "purchase"))), srcDir, "b1")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(results().isEmpty, "purchase above the watermark leaked early")
+
+    // phase 2: restart from the checkpoint; an out-of-order click BEFORE
+    // the pending purchase plus a second purchase, with a far click
+    // advancing the watermark past both. Correct attribution (p1→c2,
+    // p2→c2) requires the restored state to still hold c1, p1 and order
+    // c2 between them.
+    addFile(batch(Seq((102L, base + 20000, 1L, "click"),
+      (202L, base + 10800000, 1L, "purchase"),
+      (103L, base + 14400000, 1L, "click"))), srcDir, "b2")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(results() == Seq((1L, 201L, Some(102L)), (1L, 202L, Some(102L))),
+      s"state-restored attribution wrong: ${results()}")
+
+    // phase 3: restart again with only a watermark-advancing event — no
+    // purchase is pending, so nothing may re-emit (exactly-once output
+    // across two recoveries).
+    addFile(batch(Seq((104L, base + 86400000, 1L, "click"))), srcDir, "b3")
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(results() == Seq((1L, 201L, Some(102L)), (1L, 202L, Some(102L))),
+      s"restart re-emitted or lost rows: ${results()}")
+  }
+
   test("UpsertSink: kill after merge, before checkpoint commit; restart re-merge is a no-op") {
     val spark0 = spark
     import spark0.implicits._
