@@ -231,6 +231,39 @@ object StreamingQueries {
            | FROM j CROSS JOIN m WHERE j.kind = 1 AND j.ms < m.wm"""
       .stripMargin.replace("\n", "")))
 
+  /** Streaming windowed heavy hitters under the driver gate: the
+    * SpaceSaving summary as an hourly streaming aggregate. With 5
+    * distinct event types against capacity 16 every partial summary
+    * stays under capacity, where SpaceSaving is EXACT by construction
+    * (err 0, counts true, merge-order-independent) — so the decoded
+    * sketch must hash-equal DuckDB's plain per-window GROUP BY. This is
+    * the regime pin for the streaming sketch path; the over-capacity
+    * est/err guarantees are covered by SpaceSavingSpec and the batch
+    * anchor. The sketch triples decode via array builtins (no UDF) and
+    * hashes join back to tokens through the static type dim. */
+  val streamHeavy = Q(
+    "q_s_stream_heavy",
+    "Streaming windowed SpaceSaving top-k = exact counts under capacity",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream.windowedHeavyHitters(src)
+      val raw = runToMemory(s, out, "complete", "graft_stream_heavy")
+      val entries = raw.filter(size(col("sk")) > 0)
+        .select(col("window_start"), explode(expr(
+          "transform(sequence(0, int(size(sk)/3) - 1), " +
+            "i -> struct(sk[3*i] AS h, sk[3*i+1] AS est))")).as("e"))
+        .select(col("window_start"), col("e.h").as("h"),
+          col("e.est").as("n"))
+      val dim = graft.sources.Sources.table(s, dir, "events")
+        .select(col("event_type")).distinct()
+        .select(col("event_type"), xxhash64(col("event_type")).as("h"))
+      entries.join(broadcast(dim), "h")
+        .select(col("window_start"), col("event_type"), col("n"))
+    },
+    Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+           | count(*) AS n FROM events GROUP BY 1, 2"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin, streamEnrich,
-    streamSession, streamAsof)
+    streamSession, streamAsof, streamHeavy)
 }

@@ -100,6 +100,32 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming heavy hitters: the SpaceSaving summary
+    * ([[graft.functions.SpaceSavingAgg]]) as a windowed streaming
+    * aggregate — "which items are frequent per hour" over an unbounded
+    * stream with FIXED memory per window regardless of item cardinality.
+    * The aggregation state per (window) key is one 3·capacity-long
+    * buffer; partials combine map-side and across micro-batches through
+    * the state store with the merge rule's any-order guarantees. While
+    * every partial stays under capacity the summary is EXACT (err 0,
+    * counts true) — the oracle-checkable regime the driver gate pins;
+    * past capacity the est/err invariants take over (SpaceSavingSpec).
+    * Returns (window_start, sk) with the raw triple-layout summary;
+    * callers decode/join tokens downstream (the sketch column, not the
+    * token stream, is what crosses the wire — 3·capacity longs per
+    * window). */
+  def windowedHeavyHitters(events: DataFrame, capacity: Int = 16,
+                           windowLen: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame = {
+    val ss = udaf(new graft.functions.SpaceSavingAgg(capacity),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(ss(xxhash64(col("event_type"))).as("sk"))
+      .select(col("window.start").as("window_start"), col("sk"))
+  }
+
   final case class EventIn(event_id: Long, ts: java.sql.Timestamp,
                            user_id: Long, event_type: String, value: Double)
   final case class UserSession(user_id: Long, n_events: Long,

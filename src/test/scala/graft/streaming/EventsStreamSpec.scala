@@ -262,6 +262,52 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters over capacity keep the SpaceSaving guarantees") {
+    val dir = stageDir()
+    // capacity 2 against 5 event types forces eviction in every busy
+    // window — the regime the exact-count oracle (q_s_stream_heavy,
+    // capacity 16) never enters. The streamed summaries must still obey
+    // the SpaceSaving bounds per window.
+    val out = EventsStream.windowedHeavyHitters(
+      EventsStream.readEvents(spark, dir), capacity = 2)
+    val q = out.writeStream.format("memory").queryName("heavy_cap2")
+      .outputMode("complete").start()
+    val decoded = try {
+      q.processAllAvailable()
+      spark.table("heavy_cap2")
+        .select(col("window_start"), explode(expr(
+          "transform(sequence(0, int(size(sk)/3) - 1), " +
+            "i -> struct(sk[3*i] AS h, sk[3*i+1] AS est, sk[3*i+2] AS err))"))
+          .as("e"))
+        .select(col("window_start"), col("e.h"), col("e.est"), col("e.err"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    } finally q.stop()
+    val truth = Sources.table(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(date_trunc("hour", col("ts")).as("w"),
+        xxhash64(col("event_type")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val perWindow = decoded.groupBy(_._1)
+    assert(perWindow.nonEmpty)
+    perWindow.foreach { case (w, entries) =>
+      assert(entries.length <= 2, s"window $w tracks more than capacity")
+      entries.foreach { case (_, h, est, err) =>
+        val n = truth((w, h))
+        assert(est >= n && est - err <= n,
+          s"window $w item $h: est $est err $err violates bounds for true $n")
+      }
+      // no-missed-heavy: anything above N_w/capacity must be tracked
+      val nw = truth.collect { case ((tw, _), n) if tw == w => n }.sum
+      val trackedH = entries.map(_._2).toSet
+      truth.foreach { case ((tw, h), n) =>
+        if (tw == w && n > nw / 2) assert(trackedH(h),
+          s"window $w missed heavy item $h (true $n of $nw)")
+      }
+    }
+  }
+
   test("session state accumulates across micro-batches") {
     val dir = stageDir()
     val sessions = EventsStream.sessionStats(
