@@ -61,14 +61,22 @@ object TfIdf {
     *               the at-scale ones (see AnchorQueries
     *               `tfidfCappedViolations`). Defaults to `tf`.
     */
+  /** (term, df) document frequencies with the fan-out caps applied — the
+    * ONE definition of the cap rule (fraction prune with a floor of 1,
+    * then the absolute `maxDf` cut) that every retrieval path shares;
+    * the spec-pinned 100 TB mitigation must not fork per scorer. */
+  private def cappedDocFreq(tf: DataFrame, n: Long,
+                            maxDfFraction: Double,
+                            maxDf: Long): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <=
+        lit(math.min(maxDf, math.max(1L, (n * maxDfFraction).toLong))))
+
   def postingsFromTf(tf: DataFrame, n: Long,
                      maxDfFraction: Double = 0.5,
                      maxDf: Long = Long.MaxValue,
                      dfOver: Option[DataFrame] = None): DataFrame = {
-    val dfreq = dfOver.getOrElse(tf)
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <=
-        lit(math.min(maxDf, math.max(1L, (n * maxDfFraction).toLong))))
+    val dfreq = cappedDocFreq(dfOver.getOrElse(tf), n, maxDfFraction, maxDf)
     val w = tf.join(dfreq, "term")
       .withColumn("w", col("tf") * log(lit(n.toDouble) / col("df")))
     val norm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))
@@ -121,9 +129,7 @@ object TfIdf {
                    maxDf: Long = Long.MaxValue): DataFrame = {
     val n = docs.count() // one scalar job; the only driver-side value
     val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(true)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <=
-        lit(math.min(maxDf, math.max(1L, (n * maxDfFraction).toLong))))
+    val dfreq = cappedDocFreq(tf, n, maxDfFraction, maxDf)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val avgdl = dl.agg(avg(col("dl")).as("avgdl")) // 1 row, broadcast below
     val sat = tf.join(dfreq, "term").join(dl, "doc_id")

@@ -290,6 +290,16 @@ object EventsStream {
           state.update(st)
           if (pending.nonEmpty)
             state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+          else if (keep.nonEmpty)
+            // no purchase is waiting, but unfinalized clicks are: arm one
+            // wake-up for when the watermark passes the newest of them, so
+            // an idle user's buffer still compacts to the single best
+            // candidate (without this, a click burst followed by silence
+            // would be retained verbatim forever — state must converge to
+            // one compact row per user, the design floor shared with
+            // streaming dedup's key state)
+            state.setTimeoutTimestamp(
+              math.max(keep.map(_._1).max + 1, wm + 1))
           out.iterator
       }
   }

@@ -398,6 +398,10 @@ object ScaleSmokeMain {
         (paths.nonEmpty || rddLeaves) && paths.forall(scalable)
       } catch { case _: Throwable => false }
 
+    val unknown = only -- Catalog.all.map(_.name).toSet
+    require(unknown.isEmpty,
+      s"census: unknown query name(s) ${unknown.mkString(", ")} — a typo " +
+        "here would silently produce a 0-query sweep that reads as clean")
     val names = Catalog.all.map(_.name)
       .filterNot(_.startsWith("q_s_"))
       .filter(nm => only.isEmpty || only(nm))
