@@ -276,15 +276,28 @@ object EventsStream {
                 st.purchases ::: pu.map(e => (e.ts.getTime, e.event_id)))
           }
           val cand = st.clicks.sorted // ascending (ms, id)
-          val best0 = if (st.hasBest) List((st.bestMs, st.bestId)) else Nil
+          val best0 = if (st.hasBest) Some((st.bestMs, st.bestId)) else None
           val (ripe, pending) = st.purchases.partition(_._1 < wm)
+          // merge, not rescan: purchases ascending against the sorted
+          // click buffer with a running best — O(C + P log P). A
+          // per-purchase takeWhile scan is O(C·P), which under a whale
+          // key (one group holding 20% of the stream) turned this exact
+          // pass quadratic — measured 25 s for a 200k-event group before
+          // the rewrite, 2 s after (PERF_NOTES streaming-skew table).
+          // Advancing through the ascending buffer keeps the running
+          // best equal to the last click consumed — every buffered click
+          // outranks best0 (its ms survived the finalization cut that
+          // produced best0, so it is strictly newer), and consumed
+          // clicks ascend among themselves — so overwrite is exact.
+          val it = cand.iterator.buffered
+          var best = best0
           val out = ripe.sorted.map { case (pms, pid) =>
-            val pick = (best0 ::: cand.takeWhile(_._1 <= pms)).maxOption
-            AsofMatch(uid, pid, pick.map(_._2))
+            while (it.hasNext && it.head._1 <= pms) best = Some(it.next())
+            AsofMatch(uid, pid, best.map(_._2))
           }
           // compact: clicks now final under the watermark collapse to one
           val (fin, keep) = cand.partition(_._1 < wm)
-          val newBest = (best0 ::: fin).maxOption
+          val newBest = (best0.toList ::: fin).maxOption
           st = AsofState(newBest.map(_._1).getOrElse(0L),
             newBest.map(_._2).getOrElse(0L), newBest.isDefined, keep, pending)
           state.update(st)

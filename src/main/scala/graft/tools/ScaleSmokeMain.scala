@@ -86,7 +86,8 @@ object ScaleSmokeMain {
     case "mem" :: src :: scaled :: Nil => mem(src, scaled)
     case "spill" :: dir :: Nil => spillRun(dir, None)
     case "spill" :: dir :: skew :: Nil => spillRun(dir, Some(skew))
-    case "streamskew" :: uniform :: skewed :: Nil => streamSkew(uniform, skewed)
+    case "streamskew" :: uniform :: skewed :: only =>
+      streamSkew(uniform, skewed, only.toSet)
     case "cc" :: skewed :: Nil => ccRun(skewed)
     case "xcheck" :: dir :: queries => xcheck(dir, queries)
     case "skewdemo" :: skewed :: Nil =>
@@ -660,7 +661,11 @@ object ScaleSmokeMain {
     * and the per-task duration max/median (single-partition-straggle
     * claim). Both dirs must be gen-written Nx parquet DIRECTORIES so the
     * file source streams them in place. */
-  private def streamSkew(uniform: String, skewed: String): Unit = {
+  /** @param only when non-empty, run just these ops (e.g. `asof` at a
+    *             scale where ss_join's quadratic output can't finish) —
+    *             unknown names fail fast like census. */
+  private def streamSkew(uniform: String, skewed: String,
+                         only: Set[String] = Set.empty): Unit = {
     val spark = session()
     val durations =
       new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
@@ -732,8 +737,12 @@ object ScaleSmokeMain {
           .asofAttribution(e).toDF(),
         "append"))
 
+    val unknownOps = only -- ops.map(_._1).toSet
+    require(unknownOps.isEmpty,
+      s"streamskew: unknown op(s) ${unknownOps.mkString(", ")} of " +
+        s"${ops.map(_._1).mkString("/")}")
     println(f"${"op"}%-10s ${"dir"}%-6s ${"wall_s"}%7s ${"batches"}%8s ${"in_rows"}%9s ${"out_rows"}%9s ${"state_rows"}%10s ${"state_MB"}%9s ${"task_med"}%9s ${"task_max"}%9s ${"mx/md"}%6s")
-    ops.foreach { case (label, mk, mode) =>
+    ops.filter(o => only.isEmpty || only(o._1)).foreach { case (label, mk, mode) =>
       Seq("uni" -> uniform, "whale" -> skewed).foreach { case (tag, dir) =>
         durations.clear()
         val (wall, nb, in, out, sr, sb, med, mx) = measure(label, dir, mk, mode)
