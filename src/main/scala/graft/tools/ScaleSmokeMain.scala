@@ -560,7 +560,18 @@ object ScaleSmokeMain {
         "append"),
       ("ss_join",
         (e: DataFrame) => graft.streaming.EventsStream.clickToPurchaseJoin(e),
-        "append"))
+        "append"),
+      // state claim: ∝ users + watermark-lag buffer, never stream length
+      ("asof",
+        (e: DataFrame) => graft.streaming.EventsStream
+          .asofAttribution(e).toDF(),
+        "append"),
+      // state claim: one 3·capacity-long summary per open window,
+      // cardinality-independent
+      ("heavy",
+        (e: DataFrame) => graft.streaming.EventsStream
+          .windowedHeavyHitters(e),
+        "complete"))
 
     println(f"${"op"}%-12s ${"in_1x"}%9s ${"state_1x"}%9s ${"MB_1x"}%7s ${"in_Nx"}%9s ${"state_Nx"}%9s ${"MB_Nx"}%7s ${"stateR"}%6s")
     ops.foreach { case (label, mk, mode) =>
