@@ -50,17 +50,6 @@ object TfIdf {
     .filter(length(col("term")) > 0)
     .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
-  /** Weights + norms over a precomputed [[termFrequencies]] frame; `n`
-    * is the corpus document count. See [[postings]] for the knobs.
-    *
-    * @param dfOver optional frame to compute document frequencies from
-    *               when it differs from `tf` — e.g. an instrument that
-    *               builds postings for a BOUNDED doc slice but needs df
-    *               (and therefore idf and the `maxDf` cut) taken against
-    *               the FULL corpus, so the cap semantics under test are
-    *               the at-scale ones (see AnchorQueries
-    *               `tfidfCappedViolations`). Defaults to `tf`.
-    */
   /** (term, df) document frequencies with the fan-out caps applied — the
     * ONE definition of the cap rule (fraction prune with a floor of 1,
     * then the absolute `maxDf` cut) that every retrieval path shares;
@@ -72,6 +61,17 @@ object TfIdf {
       .filter(col("df") <=
         lit(math.min(maxDf, math.max(1L, (n * maxDfFraction).toLong))))
 
+  /** Weights + norms over a precomputed [[termFrequencies]] frame; `n`
+    * is the corpus document count. See [[postings]] for the knobs.
+    *
+    * @param dfOver optional frame to compute document frequencies from
+    *               when it differs from `tf` — e.g. an instrument that
+    *               builds postings for a BOUNDED doc slice but needs df
+    *               (and therefore idf and the `maxDf` cut) taken against
+    *               the FULL corpus, so the cap semantics under test are
+    *               the at-scale ones (see AnchorQueries
+    *               `tfidfCappedViolations`). Defaults to `tf`.
+    */
   def postingsFromTf(tf: DataFrame, n: Long,
                      maxDfFraction: Double = 0.5,
                      maxDf: Long = Long.MaxValue,

@@ -108,10 +108,11 @@ object ScaleSmokeMain {
           "run <srcSfDir> <scaledDir> | bpe <srcSfDir> <k> | " +
           "stream <srcSfDir> <scaledDir> | bloom <srcSfDir> <workDir> | " +
           "skew <uniformNxDir> <skewedNxDir> | " +
-          "census <srcSfDir> <scaledDir> <N> | " +
+          "census <srcSfDir> <scaledDir> <N> [q...] | " +
           "mem <srcSfDir> <scaledDir>   (run under a small -Xmx) | " +
           "spill <sfDir> [skewedNxDir]   (run with SPARK_DRIVER_MEM=3g) | " +
-          "streamskew <uniformNxDir> <skewedNxDir> | cc <skewedNxDir>")
+          "streamskew <uniformNxDir> <skewedNxDir> [op...] | " +
+          "cc <skewedNxDir>")
       sys.exit(2)
   }
 
@@ -399,12 +400,19 @@ object ScaleSmokeMain {
         (paths.nonEmpty || rddLeaves) && paths.forall(scalable)
       } catch { case _: Throwable => false }
 
-    val unknown = only -- Catalog.all.map(_.name).toSet
-    require(unknown.isEmpty,
-      s"census: unknown query name(s) ${unknown.mkString(", ")} — a typo " +
-        "here would silently produce a 0-query sweep that reads as clean")
-    val names = Catalog.all.map(_.name)
+    // validate against the POST-exclusion name set: a q_s_ streaming name
+    // is in the catalog but not censusable (the noop batch write can't
+    // run a stream), so accepting it would reproduce the silent-0-sweep
+    // failure this guard exists to prevent
+    val censusable = Catalog.all.map(_.name)
       .filterNot(_.startsWith("q_s_"))
+    val unknown = only -- censusable.toSet
+    require(unknown.isEmpty,
+      s"census: name(s) not censusable ${unknown.mkString(", ")} — " +
+        "either a typo or a q_s_ streaming query (use streamskew/stream " +
+        "for those); a bad name here would silently produce a 0-query " +
+        "sweep that reads as clean")
+    val names = censusable
       .filter(nm => only.isEmpty || only(nm))
       .filter(scansOnlyScalable)
     println(s"[census] ${names.size} of ${Catalog.all.size} queries scan " +
