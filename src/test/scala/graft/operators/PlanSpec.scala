@@ -221,4 +221,36 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_a6_approx_distinct_anchor")
     assert(!p.contains("Expand"), s"mixed-distinct Expand regressed:\n$p")
   }
+
+  test("runtime Bloom-filter join pruning stays available (100 TB lever)") {
+    // At production sizes Spark's InjectRuntimeFilter decorates the fact
+    // side of a selective shuffle join with a bloom-filter semi-join
+    // (might_contain), pruning the big scan before the exchange. The
+    // size thresholds (creation ≤ 100 MB build, application ≥ 10 GB
+    // scan) mean it can never fire at gate SFs, so this pins the
+    // capability itself: with thresholds scaled to the fixture, the
+    // session's config must still inject the filter — a conf regression
+    // (e.g. disabling the optimizer rule or AQE interplay) would
+    // silently cost exactly the at-scale scans the defaults target.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Sources.table(spark, sfDir, "lineitem")
+      val ord = graft.sources.Sources.table(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("BloomFilter"),
+        s"runtime bloom filter no longer injects:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
