@@ -754,7 +754,13 @@ object ScaleSmokeMain {
       ("asof",
         (e: DataFrame) => graft.streaming.EventsStream
           .asofAttribution(e).toDF(),
-        "append"))
+        "append"),
+      // keyed by window, not user — a whale USER cannot concentrate work
+      // or state; the row pins that expectation with measurements
+      ("heavy",
+        (e: DataFrame) => graft.streaming.EventsStream
+          .windowedHeavyHitters(e),
+        "complete"))
 
     val unknownOps = only -- ops.map(_._1).toSet
     require(unknownOps.isEmpty,
