@@ -157,6 +157,7 @@ object ScaleSmokeMain {
     val cases: Seq[(String, String)] = Seq(
       "q_x_dedup_minhash" -> scaled, "q_x_dedup_simhash" -> scaled,
       "q_x_tfidf_top1" -> scaled, "x_tfidf_capped_top1" -> scaled,
+      "q_x_bm25_top1" -> scaled,
       "q_w_sessionize" -> scaled, "q_x_resample_ffill" -> scaled,
       "q_x_corpus_shuffle" -> scaled, "q_x_seq_pack" -> scaled,
       "q_tpch_q21_waiting" -> src, "q_tpch_q9_profit" -> src,
