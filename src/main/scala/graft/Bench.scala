@@ -99,9 +99,26 @@ object Bench {
       else 0.0
       "\"" + k + f"\":$cv%.2f"
     }.mkString("{", ",", "}")
+    // Self-describing default: driver-initiated refreshes don't set
+    // SPARK_GRAFT_RUN_LABEL, and an empty label makes the bench_out.json
+    // working-tree drift unreadable — stamp run time + HEAD instead.
+    // `git rev-parse` is best-effort (bench may run outside a checkout).
+    def defaultLabel: String = {
+      val ts = java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+        java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+      val head =
+        try {
+          val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+            .redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+          if (p.waitFor() == 0 && out.nonEmpty) s"@$out" else ""
+        } catch { case _: Exception => "" }
+      s"auto $ts$head"
+    }
     // JSON-escape the free-form label: an unescaped quote/backslash would
     // reintroduce the exact parsed:null failure this file exists to avoid
-    val label = sys.env.getOrElse("SPARK_GRAFT_RUN_LABEL", "").flatMap {
+    val label = sys.env.get("SPARK_GRAFT_RUN_LABEL").filter(_.nonEmpty)
+      .getOrElse(defaultLabel).flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"

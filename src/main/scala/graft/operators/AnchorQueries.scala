@@ -435,11 +435,14 @@ object AnchorQueries {
     * list to the corpus must yield, for every word occurrence, pieces
     * that concatenate back to the word, counted in [1, len(word)]. Runs
     * the full induction→encode path (learnMerges on the FULL corpus
-    * vocabulary, then applyMerges over a 1-in-5 document slice — the
-    * invariant is per word occurrence, and the slice still exercises
-    * nearly the whole vocabulary at a fifth of the encode cost), so a
-    * broken merge-fold, a piece dropped at any depth, or a
-    * symbol-boundary bug becomes driver-visible rows. */
+    * vocabulary, then applyMerges over a BOUNDED document slice — the
+    * invariant is per word occurrence, and 500 docs already exercise the
+    * whole synthetic vocabulary), so a broken merge-fold, a piece dropped
+    * at any depth, or a symbol-boundary bug becomes driver-visible rows.
+    * The slice is an ABSOLUTE id cap (1-in-5 under id 2500), not a
+    * fraction: a fraction-only slice made this instrument the #3 most
+    * expensive bench row by round 8 — its cost grew with the corpus while
+    * the invariant it checks didn't. */
   val bpeEncodeAnchor = anchor(
     "q_x_bpe_encode_anchor",
     "BPE encode: pieces reassemble losslessly per word (expect 0 rows)",
@@ -447,7 +450,8 @@ object AnchorQueries {
       import graft.ext.Bpe
       val docs = t(s, dir, "documents")
       val (merges, _) = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), k = 4)
-      Bpe.applyMerges(docs.filter(col("doc_id") % 5 === 0),
+      Bpe.applyMerges(
+          docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 2500),
           "doc_id", "text", merges)
         .filter(array_join(col("pieces"), "") =!= col("word") ||
           col("n_pieces") < 1 || col("n_pieces") > length(col("word")))

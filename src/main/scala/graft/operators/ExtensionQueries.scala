@@ -1174,6 +1174,101 @@ object ExtensionQueries {
            | WHERE rn = 1"""
       .stripMargin.replace("\n", "")))
 
+  /** The PLANTED rare-term corpus + probe set shared by both capped
+    * retrieval gate rows: the synthetic vocabulary is universally common
+    * (df ≈ N at every SF), so the production absolute `maxDf` cap over
+    * the raw corpus would empty the postings rather than prune them —
+    * [[AnchorQueries.plantedPairDocs]] appends two pair-unique tokens
+    * (df = 2 exactly) per consecutive doc pair, giving the cap something
+    * to keep. Probes are the even member of the first ten pairs. The
+    * matching DuckDB CTE rebuilds the identical planted text. */
+  private val cappedProbes = (0L until 10L).map(_ * 2)
+  private val plantedDocsCte =
+    """docs2 AS (SELECT doc_id,
+      |   text || ' pr' || CAST(doc_id // 2 AS VARCHAR) || 'a pr'
+      |        || CAST(doc_id // 2 AS VARCHAR) || 'b' AS text
+      |   FROM documents)""".stripMargin.replace("\n", "")
+
+  /** The production `maxDf`-capped TF-IDF configuration as a first-class
+    * oracle-bearing gate row — the knob a 100 TB deployment actually runs
+    * with (ext.TfIdf class doc; the 10× census measured the uncapped
+    * join's shuffle at 36.7× vs 14.2× capped). maxDf = 20 drops every
+    * common term (df ≈ N ≥ 50 at the smallest SF) and keeps exactly the
+    * planted df=2 terms, so DuckDB reproduces the capped postings with
+    * one HAVING clause (the fraction prune's floor, min(maxDf, N), is 20
+    * here on both sides) and the top-1 hash-matches value-exact. The
+    * 0-row anchor (`q_x_tfidf_capped_anchor`) keeps certifying the
+    * cap-preserves-ranking INVARIANT; this row pins the capped VALUES. */
+  val tfidfCappedTop1 = Q(
+    "q_x_tfidf_capped_top1",
+    "TF-IDF cosine top-1 under the production maxDf posting cap",
+    (s, dir) => {
+      val docs = AnchorQueries.plantedPairDocs(
+        Sources.table(s, dir, "documents"))
+      val unit = TfIdf.postings(docs, "doc_id", "text",
+        maxDfFraction = 1.0, maxDf = 20)
+      TfIdf.topSimilar(unit, cappedProbes)
+    },
+    Some(s"""WITH $plantedDocsCte,
+           | n AS (SELECT count(*)::DOUBLE AS n FROM docs2),
+           | tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+           |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs2)
+           |   WHERE tok <> '' GROUP BY 1, 2),
+           | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+           |   HAVING count(*) <= 20),
+           | w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / dfreq.df) AS w
+           |   FROM tf, dfreq, n WHERE tf.term = dfreq.term),
+           | norm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+           | u AS (SELECT w.doc_id, w.term, w.w / norm.nrm AS u FROM w JOIN norm USING (doc_id)),
+           | sims AS (SELECT a.doc_id AS probe_id, b.doc_id AS neighbor_id, sum(a.u*b.u) AS cosine
+           |   FROM u a JOIN u b ON a.term = b.term AND a.doc_id <> b.doc_id
+           |   WHERE a.doc_id < 20 AND a.doc_id % 2 = 0 GROUP BY 1, 2)
+           | SELECT probe_id, neighbor_id, round(cosine, 2) AS cosine
+           | FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+           |   ORDER BY round(cosine, 6) DESC, neighbor_id) AS rn FROM sims)
+           | WHERE rn = 1"""
+      .stripMargin.replace("\n", "")))
+
+  /** BM25 retrieval under the same production `maxDf` cap — the capped
+    * counterpart of `q_x_bm25_top1`, over the planted rare-term frame.
+    * Unlike the cosine (where the capped score degenerates to 1.0), the
+    * capped BM25 score still varies per pair through the length
+    * normalization: `dl`/`avgdl` come from the FULL uncapped term stream
+    * (document length is a property of the document, not of the pruned
+    * index) on both engines, so the oracle checks the cap interacting
+    * with saturation + length norm, not just the postings cut. */
+  val bm25CappedTop1 = Q(
+    "q_x_bm25_capped_top1",
+    "BM25 top-1 under the production maxDf posting cap",
+    (s, dir) => TfIdf.bm25TopMatch(
+      AnchorQueries.plantedPairDocs(Sources.table(s, dir, "documents")),
+      "doc_id", "text", cappedProbes,
+      maxDfFraction = 1.0, maxDf = 20),
+    Some(s"""WITH $plantedDocsCte,
+           | n AS (SELECT count(*)::DOUBLE AS n FROM docs2),
+           | tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+           |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs2)
+           |   WHERE tok <> '' GROUP BY 1, 2),
+           | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+           |   HAVING count(*) <= 20),
+           | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+           | ad AS (SELECT avg(dl) AS avgdl FROM dl),
+           | sat AS (SELECT tf.doc_id, tf.term,
+           |     ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           |       * tf.tf * 2.2
+           |       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS s
+           |   FROM tf, dfreq, dl, ad, n
+           |   WHERE tf.term = dfreq.term AND tf.doc_id = dl.doc_id),
+           | sc AS (SELECT p.doc_id AS probe_id, sat.doc_id AS neighbor_id,
+           |     sum(p.tf * sat.s) AS score
+           |   FROM tf p JOIN sat ON p.term = sat.term AND p.doc_id <> sat.doc_id
+           |   WHERE p.doc_id < 20 AND p.doc_id % 2 = 0 GROUP BY 1, 2)
+           | SELECT probe_id, neighbor_id, round(score, 2) AS score
+           | FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+           |   ORDER BY round(score, 6) DESC, neighbor_id) AS rn FROM sc)
+           | WHERE rn = 1"""
+      .stripMargin.replace("\n", "")))
+
   /** Cross-doc duplicated 5-gram spans (TextAnalysis.dupSpans) — the
     * exact-substring dedup signal (Lee et al. 2022). DuckDB rebuilds the
     * same gram set via list slicing over unnested start positions. */
@@ -1344,6 +1439,7 @@ object ExtensionQueries {
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     corpusReport, jsonProps,
-    multimodal, imagePhash, tfidfTop1, bm25Top1, dupSpans, kmeansSizes,
+    multimodal, imagePhash, tfidfTop1, bm25Top1,
+    tfidfCappedTop1, bm25CappedTop1, dupSpans, kmeansSizes,
     pseudonymize, pplBuckets, vocabCoverage, heavyHitters)
 }

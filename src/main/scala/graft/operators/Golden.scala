@@ -34,10 +34,17 @@ import org.apache.spark.sql.functions._
 object Golden {
 
   /** One-row (n, hsum) canonical fingerprint of a result frame; `hsum`
-    * is the decimal sum rendered as a string. */
+    * is the decimal sum rendered as a string. NULL cells encode as a
+    * distinct U+0000 sentinel before the U+0001 join: `concat_ws` SKIPS
+    * null arguments, so without the coalesce two rows differing only in
+    * WHICH column is null (e.g. the null grouping columns of rollup/cube
+    * results fingerprinted by ScaleSmokeMain xcheck/spill) would hash
+    * identically and mask real drift. Null-free rows hash exactly as
+    * before, so committed [[GoldenSnapshots]] stay valid. */
   def fingerprint(df: DataFrame): DataFrame = df
     .select(xxhash64(concat_ws("\u0001",
-      df.columns.map(c => col(c).cast("string")): _*)).as("__h"))
+      df.columns.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as("__h"))
     .agg(count(lit(1)).cast("long").as("n"),
       coalesce(sum(col("__h").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).cast("string").as("hsum"))

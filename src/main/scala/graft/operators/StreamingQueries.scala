@@ -136,6 +136,40 @@ object StreamingQueries {
            |  AND date_trunc('microseconds', c.ts) >= date_trunc('microseconds', p.ts) - INTERVAL 24 HOUR"""
       .stripMargin.replace("\n", "")))
 
+  /** The BUDGETED interval join under the driver gate
+    * ([[graft.streaming.EventsStream.intervalJoinBudgeted]]): the same
+    * click→purchase pairs as `q_s_stream_join`, through the guardrailed
+    * operator a whale-keyed production stream should run — per-purchase
+    * candidate budget, overflow audit rows. The budget here (1M) sits far
+    * above any gate-SF per-purchase candidate count, so the emitted pairs
+    * are EXACTLY the batch join's for ripe purchases and `n_suppressed`
+    * is 0 everywhere — the oracle checks the pair semantics + emission
+    * contract; the budget/audit behavior under pressure is spec-pinned
+    * (EventsStreamSpec) and whale-measured (ScaleSmokeMain streamskew
+    * `ss_budget`). Watermark contract mirrors `q_s_stream_asof`: state
+    * comparisons are epoch-ms, purchases strictly below the resting
+    * watermark (max event ms − 1 min) have emitted once the stream
+    * drains. */
+  val streamJoinCapped = Q(
+    "q_s_stream_join_capped",
+    "Budgeted stream-stream interval join = batch self-join + zero audits",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream
+        .intervalJoinBudgeted(src, windowHours = 24,
+          maxPairsPerPurchase = 1 << 20).toDF()
+      runToMemory(s, out, "append", "graft_stream_join_cap")
+    },
+    Some("""WITH m AS (SELECT max(epoch_ms(ts)) - 60000 AS wm FROM events)
+           | SELECT c.user_id, c.event_id AS click_id,
+           |   p.event_id AS purchase_id, 0::BIGINT AS n_suppressed
+           | FROM events c JOIN events p ON c.user_id = p.user_id
+           |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+           |  AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+           |  AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 86400000
+           | CROSS JOIN m WHERE epoch_ms(p.ts) < m.wm"""
+      .stripMargin.replace("\n", "")))
+
   /** Stream-static enrichment under the driver gate: every streamed event
     * picks up its customer's market segment from the static broadcast dim;
     * result must hash-equal DuckDB's batch join. Stateless per-batch join
@@ -264,6 +298,6 @@ object StreamingQueries {
            | count(*) AS n FROM events GROUP BY 1, 2"""
       .stripMargin.replace("\n", "")))
 
-  val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin, streamEnrich,
-    streamSession, streamAsof, streamHeavy)
+  val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin,
+    streamJoinCapped, streamEnrich, streamSession, streamAsof, streamHeavy)
 }

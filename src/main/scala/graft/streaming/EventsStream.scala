@@ -191,7 +191,16 @@ object EventsStream {
     * Spark BOUND the join state: a buffered click can be evicted once the
     * purchase-side watermark passes click_ts + window (state ∝ watermark
     * horizon × arrival rate, NOT stream length). Inner join: emitted rows
-    * are exactly the batch join's — the oracle-checkable property. */
+    * are exactly the batch join's — the oracle-checkable property.
+    *
+    * SCALE HAZARD (measured, PERF_NOTES "Stateful streams under a whale
+    * key"): the pair OUTPUT is semantically quadratic in a hot key's rate
+    * — a user holding 20% of the stream emits 4.8 M pairs from 600 k
+    * events, all from the one task owning the key. Spark's built-in join
+    * has no per-key output guard, so a whale-keyed production stream gets
+    * a wedged task, not a diagnostic. Use [[intervalJoinBudgeted]] (same
+    * pair semantics, per-purchase candidate budget + audit overflow rows)
+    * or [[asofAttribution]] (top-1, linear) on skew-exposed streams. */
   def clickToPurchaseJoin(events: DataFrame,
                           windowHours: Int = 24,
                           watermark: String = "1 hour"): DataFrame = {
@@ -210,6 +219,106 @@ object EventsStream {
           expr(s"INTERVAL $windowHours HOURS"),
       "inner")
       .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** Per-user buffered state for [[intervalJoinBudgeted]]: clicks within
+    * the join-window horizon and purchases awaiting their watermark, both
+    * as (epoch-ms, event_id) — the same ms grain as [[AsofState]]. */
+  final case class IntervalJoinState(clicks: List[(Long, Long)],
+                                     purchases: List[(Long, Long)])
+
+  /** One attributed pair, or (click_id = None) an overflow AUDIT row
+    * carrying the count of pairs the per-purchase budget suppressed. */
+  final case class IntervalPair(user_id: Long, click_id: Option[Long],
+                                purchase_id: Long, n_suppressed: Long)
+
+  /** The budgeted interval join — [[clickToPurchaseJoin]]'s pair semantics
+    * with the per-key output guardrail every other fan-out operator in
+    * this repo already carries (`maxBucket`/`maxBlock`/`maxDf`): each
+    * purchase emits at most `maxPairsPerPurchase` pairs — the LATEST
+    * in-window clicks by (event-time ms, event_id), the ones attribution
+    * actually wants — plus ONE audit row (`click_id` null,
+    * `n_suppressed` = dropped pair count) when the budget truncates. A
+    * whale key's output is then O(purchases × budget) + audits instead of
+    * clicks × purchases, and the overflow is a DIAGNOSTIC the pipeline
+    * can alert on instead of a wedged task.
+    *
+    * Exactness (same watermark contract as [[asofAttribution]]): a
+    * purchase emits once the watermark passes its event time, at which
+    * point every in-window click has either arrived or is late-and-dropped
+    * on any engine; with the budget above the true max candidate count the
+    * emitted pairs are EXACTLY the batch inner join's (the oracle-checked
+    * configuration, `q_s_stream_join_capped`). Ripe purchases match
+    * against the full buffer BEFORE click eviction (a click whose
+    * window-horizon expired this batch can still be in-window for a
+    * purchase ripening this batch). Per-flush work is O(C log C +
+    * P·(log C + budget)) via binary search over the sorted click buffer —
+    * no per-purchase buffer scan, the shape that turned quadratic under
+    * the whale key before the as-of rewrite. State per user is clicks
+    * within the window horizon + purchases within the watermark lag. */
+  def intervalJoinBudgeted(events: DataFrame, windowHours: Int = 24,
+                           watermark: String = "1 minute",
+                           maxPairsPerPurchase: Int = Int.MaxValue)
+      : Dataset[IntervalPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowMs = windowHours * 3600000L
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IntervalJoinState, IntervalPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state: GroupState[IntervalJoinState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(IntervalJoinState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            val (cl, pu) = batch.toList.partition(_.event_type == "click")
+            st = IntervalJoinState(
+              st.clicks ::: cl.map(e => (e.ts.getTime, e.event_id)),
+              st.purchases ::: pu.map(e => (e.ts.getTime, e.event_id)))
+          }
+          val cand = st.clicks.sorted.toArray // ascending (ms, id)
+          // first index with ms >= / > target — the in-window candidate
+          // range per purchase is contiguous in the ms-sorted buffer
+          def bound(target: Long, strict: Boolean): Int = {
+            var lo = 0; var hi = cand.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              val cm = cand(mid)._1
+              if (cm < target || (strict && cm == target)) lo = mid + 1
+              else hi = mid
+            }
+            lo
+          }
+          val (ripe, pending) = st.purchases.partition(_._1 < wm)
+          val out = ripe.sorted.flatMap { case (pms, pid) =>
+            val lo = bound(pms - windowMs, strict = false)
+            val hi = bound(pms, strict = true) // clicks with ms <= pms
+            val from = math.max(lo, hi - maxPairsPerPurchase)
+            val pairs = (from until hi).map(i =>
+              IntervalPair(uid, Some(cand(i)._2), pid, 0L))
+            val suppressed = (from - lo).toLong
+            if (suppressed > 0)
+              pairs :+ IntervalPair(uid, None, pid, suppressed)
+            else pairs
+          }
+          // evict only now: c.ms + window < wm means no pending or future
+          // purchase (all have ms >= wm after the ripeness cut) can reach c
+          val keep = cand.view.filter(_._1 + windowMs >= wm).toList
+          if (keep.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(IntervalJoinState(keep, pending))
+            // wake at whichever comes first: the earliest pending purchase
+            // ripening, or the earliest retained click leaving its window
+            val wake = (pending.map(_._1) ++ keep.map(_._1 + windowMs)).min
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+          }
+          out.iterator
+      }
   }
 
   /** Per-user buffered state for the streaming as-of join: the single
@@ -331,56 +440,101 @@ object EventsStream {
 
   final case class DupHit(key: Long, event_id: Long, n_seen: Long)
 
+  /** Occurrence count + last-seen event-time ms per key — the timeout
+    * anchor that bounds [[duplicateAudit]] state. */
+  final case class DupAuditState(n: Long, lastMs: Long)
+
   /** The audit complement of dedupStream: emits one row PER DUPLICATE
     * occurrence (first sightings pass silently), with the running
     * occurrence number — the "what did we drop" stream a curation
-    * pipeline logs. Custom state (a count per key) via
-    * flatMapGroupsWithState; NoTimeout because the audit is exact over
-    * the stream's lifetime (swap in EventTimeTimeout to bound state by a
-    * horizon like dedupStream). */
-  def duplicateAudit(events: DataFrame, keyCol: String): Dataset[DupHit] = {
+    * pipeline logs. State is HORIZON-BOUNDED exactly like
+    * [[dedupStream]]'s `dropDuplicatesWithinWatermark` contract: the
+    * watermark delay is the audit guarantee window. A key's counter
+    * evicts (EventTimeTimeout) once the watermark passes its last-seen
+    * event time — i.e. after `watermark` of key silence — so a duplicate
+    * arriving beyond the horizon counts as a fresh first sighting, and
+    * state is bounded by keys active within the horizon, not stream
+    * lifetime. */
+  def duplicateAudit(events: DataFrame, keyCol: String,
+                     watermark: String = "365 days"): Dataset[DupHit] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col(keyCol).cast("long").as("key"), col("event_id"))
-      .as[(Long, Long)]
+    events.withWatermark("ts", watermark)
+      .select(col(keyCol).cast("long").as("key"), col("event_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, DupHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (key, rows, state: GroupState[Long]) =>
-          var n = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, eid) =>
-            n += 1
-            if (n > 1) Some(DupHit(key, eid, n)) else None
+      .flatMapGroupsWithState[DupAuditState, DupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[DupAuditState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(DupAuditState(0L, 0L))
+            val out = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+              .flatMap { case (_, eid, ts) =>
+                st = DupAuditState(st.n + 1, math.max(st.lastMs, ts.getTime))
+                if (st.n > 1) Some(DupHit(key, eid, st.n)) else None
+              }
+            state.update(st)
+            // evict once the watermark passes the key's last sighting
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          state.update(n)
-          out.iterator
       }
   }
 
+  /** Running stats + last-seen event-time ms — the timeout anchor that
+    * bounds [[sessionStats]] state. */
+  final case class UserStatsState(stats: UserSession, lastMs: Long)
+
   /** Stateful per-user running session stats via mapGroupsWithState:
-    * arbitrary state (count, value sum, last event type) maintained per key
-    * across micro-batches. */
-  def sessionStats(events: DataFrame): Dataset[UserSession] = {
+    * arbitrary state (count, value sum, last event type) maintained per
+    * key across micro-batches. State is HORIZON-BOUNDED
+    * (EventTimeTimeout): a user idle past the watermark delay emits one
+    * final snapshot and evicts, so the store holds users active within
+    * the horizon, not every user ever seen — the same design floor as
+    * every other state machine in this file. A returning user restarts
+    * from zero (running stats are a within-horizon view; lifetime totals
+    * belong to the batch/incremental-agg surface). */
+  def sessionStats(events: DataFrame,
+                   watermark: String = "365 days"): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withWatermark("ts", watermark)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .as[EventIn]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserSession, UserSession](
-        GroupStateTimeout.NoTimeout) {
-        case (userId, batch, state: GroupState[UserSession]) =>
-          val prev = state.getOption
-            .getOrElse(UserSession(userId, 0L, 0.0, ""))
-          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val next = UserSession(
-            userId,
-            prev.n_events + evs.size,
-            prev.total_value + evs.map(_.value).sum,
-            if (evs.nonEmpty) evs.last.event_type else prev.last_type)
-          state.update(next)
-          next
+      .mapGroupsWithState[UserStatsState, UserSession](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (userId, batch, state: GroupState[UserStatsState]) =>
+          if (state.hasTimedOut) {
+            // final snapshot, then evict — the update-mode sink already
+            // holds these values; the emit keeps mapGroups' one-row
+            // contract while freeing the store row
+            val fin = state.get.stats
+            state.remove()
+            fin
+          } else {
+            val prev = state.getOption
+              .getOrElse(UserStatsState(UserSession(userId, 0L, 0.0, ""), 0L))
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val next = UserStatsState(
+              UserSession(
+                userId,
+                prev.stats.n_events + evs.size,
+                prev.stats.total_value + evs.map(_.value).sum,
+                if (evs.nonEmpty) evs.last.event_type else prev.stats.last_type),
+              math.max(prev.lastMs,
+                evs.lastOption.map(_.ts.getTime).getOrElse(0L)))
+            state.update(next)
+            state.setTimeoutTimestamp(
+              math.max(next.lastMs, state.getCurrentWatermarkMs() + 1))
+            next.stats
+          }
       }
   }
 }

@@ -2,7 +2,6 @@ package graft.tools
 
 import graft.GraftSession
 import graft.operators.{Catalog, Golden}
-import graft.sources.Sources
 
 /** Prints the canonical [[graft.operators.Golden]] fingerprints of the
   * rows-only queries for one testdata dir, as ready-to-paste Scala map
@@ -18,14 +17,15 @@ object GoldenDumpMain {
     val spark = GraftSession.builder("graft-golden-dump",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val keyed = Seq(
-      "q_x_image_phash" -> "documents",
-      "q_x_multimodal_features" -> "documents",
-      "q_x_kmeans_sizes" -> "embeddings")
-    keyed.foreach { case (q, table) =>
-      val key = Sources.table(spark, dir, table).count()
+    // Snapshots are keyed by the testdata dir's BASENAME (Golden.violations
+    // looks entries up that way — row counts collide across sf0.001/sf0.01),
+    // so print exactly the Map[String, (Long, String)] entry to paste.
+    val key = new java.io.File(dir).getName
+    val queries = Seq(
+      "q_x_image_phash", "q_x_multimodal_features", "q_x_kmeans_sizes")
+    queries.foreach { q =>
       val fp = Golden.fingerprint(Catalog.byName(q).run(spark, dir)).head()
-      println(s"[golden] $q: ${key}L -> (${fp.getLong(0)}L, \"${fp.getString(1)}\")")
+      println(s"""[golden] $q: "$key" -> (${fp.getLong(0)}L, "${fp.getString(1)}")""")
     }
     spark.stop()
   }

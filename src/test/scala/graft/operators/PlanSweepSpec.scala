@@ -39,9 +39,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_x_kmeans_anchor",           // single-row size-sum totals join
     "q_x_heavy_hitters_anchor",    // single-row grand-total broadcast join
                                    // (same shape as q_x_kmeans_anchor)
-    "q_x_bm25_top1")               // single-row avgdl broadcast join (the
+    "q_x_bm25_top1",               // single-row avgdl broadcast join (the
                                    // corpus-mean length in BM25's length
                                    // normalization; same shape as above)
+    "q_x_bm25_capped_top1")        // same single-row avgdl join, capped cfg
 
   Catalog.all.filterNot(_.name.startsWith("q_s_")).foreach { q =>
     test(s"${q.name}: no CartesianProduct; BNLJ only by design") {

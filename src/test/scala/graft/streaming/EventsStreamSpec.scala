@@ -262,6 +262,148 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Shared fixture writer for the custom-batch stateful-op tests: one
+    * parquet file per micro-batch, rows as (event_id, epoch_ms, user_id,
+    * event_type). */
+  private def batchWriter(dir: java.nio.file.Path)
+      : (String, Seq[(Long, Long, Long, String)]) => Unit = {
+    import spark.implicits._
+    (name, rows) => {
+      val tmp = Files.createTempDirectory("graft-batch")
+      rows.toDF("event_id", "ms", "user_id", "event_type")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing
+        .filter(_.getFileName.toString.matches("part-.*\\.parquet"))
+        .findFirst().get()
+      finally listing.close()
+      Files.move(part, dir.resolve(s"$name.parquet"))
+    }
+  }
+
+  test("budgeted interval join: pairs capped per purchase, overflow audited") {
+    val dir = Files.createTempDirectory("graft-stream-budget")
+    val write = batchWriter(dir)
+    val base = 1700000000000L
+    // user 1: five in-window clicks before one purchase (budget 2 → the 2
+    // LATEST clicks pair, 3 suppressed into one audit row); user 2: one
+    // click before one purchase (under budget → no audit)
+    write("b1", Seq(
+      (101L, base, 1L, "click"), (102L, base + 10000, 1L, "click"),
+      (103L, base + 20000, 1L, "click"), (104L, base + 30000, 1L, "click"),
+      (105L, base + 40000, 1L, "click"), (201L, base + 60000, 1L, "purchase"),
+      (301L, base, 2L, "click"), (401L, base + 30000, 2L, "purchase")))
+    val out = EventsStream.intervalJoinBudgeted(
+      EventsStream.readEvents(spark, dir.toString),
+      maxPairsPerPurchase = 2).toDF()
+    val q = out.writeStream.format("memory").queryName("budget_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("budget_out").count() == 0,
+        "purchases above the watermark must not emit yet")
+      // watermark pusher: a far-future click on another user ripens both
+      write("b2", Seq((501L, base + 7200000, 3L, "click")))
+      q.processAllAvailable()
+      val got = spark.table("budget_out").collect().map(r =>
+        (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getLong(2), r.getLong(3))).toSet
+      val expected = Set(
+        (1L, Some(104L), 201L, 0L), (1L, Some(105L), 201L, 0L),
+        (1L, None, 201L, 3L),
+        (2L, Some(301L), 401L, 0L))
+      assert(got == expected, s"got $got")
+    } finally q.stop()
+  }
+
+  test("budgeted interval join evicts out-of-window clicks from state") {
+    val dir = Files.createTempDirectory("graft-stream-budget-evict")
+    val write = batchWriter(dir)
+    val base = 1700000000000L
+    // 1-hour join window: the click leaves its window horizon long before
+    // the second purchase arrives, so it must neither pair nor linger
+    write("b1", Seq((101L, base, 1L, "click"),
+      (201L, base + 1800000, 1L, "purchase")))
+    val out = EventsStream.intervalJoinBudgeted(
+      EventsStream.readEvents(spark, dir.toString), windowHours = 1).toDF()
+    val q = out.writeStream.format("memory").queryName("budget_evict")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // ripen p1 (in-window pair emits), push the watermark past the
+      // click's window horizon (base + 1h), then land a later purchase
+      write("b2", Seq((102L, base + 7200000, 2L, "click")))
+      q.processAllAvailable()
+      write("b3", Seq((202L, base + 7230000, 1L, "purchase"),
+        (103L, base + 10800000, 2L, "click")))
+      q.processAllAvailable()
+      val got = spark.table("budget_evict").collect().map(r =>
+        (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getLong(2), r.getLong(3))).toSet
+      // p1 pairs with the click; p2 (out of the click's window) emits
+      // nothing — and in particular no stale pair from retained state
+      assert(got == Set((1L, Some(101L), 201L, 0L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("duplicate audit: per-key state evicts past the watermark horizon") {
+    val dir = Files.createTempDirectory("graft-stream-audit-evict")
+    val write = batchWriter(dir)
+    val base = 1700000000000L
+    write("b1", Seq((1L, base, 7L, "click"), (2L, base + 1000, 7L, "click")))
+    val out = EventsStream.duplicateAudit(
+      EventsStream.readEvents(spark, dir.toString), "user_id",
+      watermark = "1 minute").toDF()
+    val q = out.writeStream.format("memory").queryName("audit_evict")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("audit_evict").count() == 1,
+        "second sighting within the horizon must audit")
+      // advance the watermark far past key 7's last sighting → its counter
+      // evicts; a fresh key-7 event is then a FIRST sighting again
+      write("b2", Seq((3L, base + 7200000, 8L, "click")))
+      q.processAllAvailable()
+      write("b3", Seq((4L, base + 7201000, 7L, "click")))
+      q.processAllAvailable()
+      val rows = spark.table("audit_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((7L, 2L, 2L)),
+        s"beyond-horizon return must restart the count, got $rows")
+    } finally q.stop()
+  }
+
+  test("session stats: idle users emit a final snapshot and evict") {
+    val dir = Files.createTempDirectory("graft-stream-stats-evict")
+    val write = batchWriter(dir)
+    val base = 1700000000000L
+    write("b1", Seq((1L, base, 7L, "click"), (2L, base + 1000, 7L, "view")))
+    val out = EventsStream.sessionStats(
+      EventsStream.readEvents(spark, dir.toString),
+      watermark = "1 minute").toDF()
+    val q = out.writeStream.format("memory").queryName("stats_evict")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // watermark passes user 7's last event → final snapshot + eviction;
+      // the user's return then restarts from zero (within-horizon view)
+      write("b2", Seq((3L, base + 7200000, 8L, "click")))
+      q.processAllAvailable()
+      write("b3", Seq((4L, base + 7201000, 7L, "purchase")))
+      q.processAllAvailable()
+      val u7 = spark.table("stats_evict").filter(col("user_id") === 7)
+        .collect().map(r => (r.getLong(1), r.getString(3)))
+      assert(u7.contains((2L, "view")), s"pre-eviction stats missing: ${u7.toSeq}")
+      assert(u7.contains((1L, "purchase")),
+        s"post-eviction return must restart from zero, got ${u7.toSeq}")
+      assert(!u7.exists(_._1 == 3L),
+        s"state survived past the horizon, got ${u7.toSeq}")
+    } finally q.stop()
+  }
+
   test("windowed heavy hitters over capacity keep the SpaceSaving guarantees") {
     val dir = stageDir()
     // capacity 2 against 5 event types forces eviction in every busy

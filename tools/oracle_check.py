@@ -118,13 +118,14 @@ def main():
                 json.dump(results, f, indent=1, sort_keys=True)
 
     con = None if args.timeout else connect(args.sf_dir)
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
             continue
         if name in skip:
             print(f"SKIPPED  {name}", flush=True)
             bank(name, "SKIPPED", "excluded via --skip", 0.0)
+            n_skip += 1
             continue
         t0 = time.time()
         if args.timeout:
@@ -149,7 +150,9 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
-    print(f"\n{n_pass} passed, {n_fail} failed", flush=True)
+    # skipped rows are counted in the summary so an all-skipped sweep
+    # can't read as a clean "0 passed, 0 failed" gate
+    print(f"\n{n_pass} passed, {n_fail} failed, {n_skip} skipped", flush=True)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
