@@ -436,10 +436,11 @@ object AnchorQueries {
     * that concatenate back to the word, counted in [1, len(word)]. Runs
     * the full induction→encode path (learnMerges on the FULL corpus
     * vocabulary, then applyMerges over a BOUNDED document slice — the
-    * invariant is per word occurrence, and 500 docs already exercise the
-    * whole synthetic vocabulary), so a broken merge-fold, a piece dropped
+    * invariant is per word occurrence, and 100 docs already exercise the
+    * whole synthetic vocabulary: 31 distinct words corpus-wide, all 31
+    * present in the slice), so a broken merge-fold, a piece dropped
     * at any depth, or a symbol-boundary bug becomes driver-visible rows.
-    * The slice is an ABSOLUTE id cap (1-in-5 under id 2500), not a
+    * The slice is an ABSOLUTE id cap (1-in-5 under id 500), not a
     * fraction: a fraction-only slice made this instrument the #3 most
     * expensive bench row by round 8 — its cost grew with the corpus while
     * the invariant it checks didn't. */
@@ -449,9 +450,14 @@ object AnchorQueries {
     (s, dir) => {
       import graft.ext.Bpe
       val docs = t(s, dir, "documents")
-      val (merges, _) = Bpe.learnMerges(Bpe.wordCounts(docs, "text"), k = 4)
+      // coalesce(1): the synthetic vocabulary is 31 rows, so each of the
+      // k induction rounds would otherwise run a 32-task job over ~1 row
+      // per task — the anchor's cost was JOB overhead, not data. Callers
+      // with real (large) vocabularies keep the parallel frame.
+      val (merges, _) = Bpe.learnMerges(
+        Bpe.wordCounts(docs, "text").coalesce(1), k = 4)
       Bpe.applyMerges(
-          docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 2500),
+          docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 500),
           "doc_id", "text", merges)
         .filter(array_join(col("pieces"), "") =!= col("word") ||
           col("n_pieces") < 1 || col("n_pieces") > length(col("word")))
