@@ -162,6 +162,70 @@ class StreamCrashRecoverySpec extends AnyFunSuite {
       s"restart re-emitted or lost rows: ${results()}")
   }
 
+  test("budgeted interval join: click/purchase buffers survive restart; budget + audit hold across recovery") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val srcDir = Files.createTempDirectory("crash-budget-src")
+    val outDir = Files.createTempDirectory("crash-budget-out").toString
+    val ckpt = Files.createTempDirectory("crash-budget-ckpt").toString
+    val base = 1700000000000L
+
+    def batch(rows: Seq[(Long, Long, Long, String)]) =
+      rows.toDF("event_id", "ms", "user_id", "event_type")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+    val schema = batch(Seq((0L, base, 0L, "click"))).schema
+    def start() = {
+      val src = spark.readStream.schema(schema).parquet(srcDir.toString)
+      EventsStream.intervalJoinBudgeted(src, maxPairsPerPurchase = 2).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    def results() = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._1, t._2.getOrElse(-1L), t._3))
+
+    // phase 1: three in-window clicks and a purchase still above the
+    // watermark — the entire answer (click buffer + pending purchase)
+    // exists only in the state store when the query dies.
+    addFile(batch(Seq((101L, base, 1L, "click"),
+      (102L, base + 10000, 1L, "click"), (103L, base + 20000, 1L, "click"),
+      (201L, base + 60000, 1L, "purchase"))), srcDir, "b1")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(results().isEmpty, "purchase above the watermark leaked early")
+
+    // phase 2: restart from the checkpoint; an out-of-order click BEFORE
+    // the pending purchase, plus a far click advancing the watermark past
+    // it. Budget 2 must keep the two LATEST of the four candidates
+    // (103, 104) — 104 exists only post-restart, 101-103 only in restored
+    // state — and audit the two suppressed in ONE overflow row.
+    addFile(batch(Seq((104L, base + 30000, 1L, "click"),
+      (105L, base + 7200000, 1L, "click"))), srcDir, "b2")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val want = Seq((1L, None, 201L, 2L),
+      (1L, Some(103L), 201L, 0L), (1L, Some(104L), 201L, 0L))
+    assert(results() == want,
+      s"state-restored budgeted join wrong: ${results()}")
+
+    // phase 3: restart again with only a watermark-advancing event on
+    // another user — the emitted purchase must not re-emit and the
+    // suppressed pairs must not resurface (exactly-once across two
+    // recoveries).
+    addFile(batch(Seq((301L, base + 86400000 * 2, 2L, "click"))),
+      srcDir, "b3")
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(results() == want,
+      s"restart re-emitted or resurfaced rows: ${results()}")
+  }
+
   test("UpsertSink: kill after merge, before checkpoint commit; restart re-merge is a no-op") {
     val spark0 = spark
     import spark0.implicits._
