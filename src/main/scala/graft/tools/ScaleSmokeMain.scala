@@ -82,6 +82,8 @@ object ScaleSmokeMain {
       streamSkew(uniform, skewed, only.toSet)
     case "cc" :: skewed :: Nil => ccRun(skewed)
     case "xcheck" :: dir :: queries => xcheck(dir, queries)
+    case "streamdump" :: dir :: out :: budget :: Nil =>
+      streamDump(dir, out, budget.toInt)
     case "skewdemo" :: skewed :: Nil =>
       val spark = session()
       val durations =
@@ -104,8 +106,41 @@ object ScaleSmokeMain {
           "mem <srcSfDir> <scaledDir>   (run under a small -Xmx) | " +
           "spill <sfDir> [skewedNxDir]   (run with SPARK_DRIVER_MEM=3g) | " +
           "streamskew <uniformNxDir> <skewedNxDir> [op...] | " +
+          "streamdump <nxDir> <outParquetDir> <budget> | " +
           "cc <skewedNxDir>")
       sys.exit(2)
+  }
+
+  /** Dump the budgeted interval join's FULL result to parquet for a
+    * content-exact external comparison — the verification path for the
+    * ACTIVE-suppression configuration, which the gate row
+    * (`q_s_stream_join_capped`, budget far above gate-SF candidate
+    * counts) deliberately does not exercise. The whale smoke
+    * (`streamskew ss_budget`) proves COUNTS (kept + audits = emitted,
+    * kept + suppressed = the unbudgeted join's output); this dump lets
+    * an external oracle prove the SELECTION — that the kept pairs are
+    * exactly the `budget` latest in-window clicks by (event-time ms,
+    * event_id) per ripe purchase, and each audit row carries the exact
+    * dropped count. Compared against a DuckDB row_number() oracle over
+    * the same corpus (PERF_NOTES "The budgeted interval join under the
+    * whale"). */
+  private def streamDump(dir: String, out: String, budget: Int): Unit = {
+    val spark = session()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val evp = java.nio.file.Paths.get(dir, "events.parquet")
+    require(java.nio.file.Files.isDirectory(evp),
+      s"$evp must be a gen-written parquet directory")
+    val events = graft.streaming.EventsStream.readEvents(spark, evp.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdump-ckpt")
+    val q = graft.streaming.EventsStream
+      .intervalJoinBudgeted(events, maxPairsPerPurchase = budget).toDF()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.read.parquet(out).count()
+    println(s"[scale-smoke] streamdump budget=$budget -> $out ($n rows)")
+    spark.stop()
   }
 
   /** Memory-pressure smoke: the shuffle/agg/window-heavy queries under a
