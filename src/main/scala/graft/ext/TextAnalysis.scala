@@ -346,4 +346,62 @@ object TextAnalysis {
       array_min(sig).as("min_fp"),
       array_max(sig).as("max_fp"))
   }
+
+  /** EXACT pairwise corpus overlap between groups (sources / domains /
+    * shards): for every unordered group pair (a < b, lexicographic) that
+    * shares at least one token n-gram, the distinct-gram intersection
+    * size, the exact Jaccard |A∩B| / |A∪B|, and the containment
+    * |A∩B| / |A| (how much of the smaller-named group is inside the
+    * other) — the "is my new crawl shard already covered by the existing
+    * mixture" question in dataset curation. The ground-truth companion
+    * of the minhash estimate (`q_x_source_signature` — same role
+    * `q_x_emb_near_dup_exact` plays for the embedding LSH path); the two
+    * are reconciled in spec within the k=128 minhash standard error.
+    *
+    * Grams are 64-bit hashes ([[graft.functions.TextExprs.gram_hashes]]:
+    * single-space tokenization, empties dropped) — two distinct grams
+    * alias only on a 64-bit collision, immaterial to set-overlap counts,
+    * and the exchange ships 8-byte longs instead of k-token strings.
+    *
+    * Scale shape (the aggregate-first posting pattern shared with
+    * [[dupSpans]] and TfIdf): one distinct over (group, gram) collapses
+    * the exploded stream map-side before its single gram-keyed exchange;
+    * the per-gram group set is bounded by |groups|; pair emission fans
+    * out at most |groups|² per gram, and `maxSources` caps it — a gram
+    * present in more groups than the cap is "ubiquitous" (it tells you
+    * nothing about which PAIR overlaps) and is dropped from the
+    * intersection counts, the same bounded-recall trade as `maxDf` in
+    * TfIdf/BM25. At the gate SFs the default (no cap) is exact, so the
+    * DuckDB oracle hash-checks the values. Group sizes broadcast (one
+    * row per group). Pairs with zero shared grams are omitted (inner
+    * semantics on both engines). */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    n: Int = 3,
+                    maxSources: Int = Int.MaxValue): DataFrame = {
+    require(n > 0 && maxSources >= 2,
+      "gram length must be positive and maxSources >= 2")
+    val grams = df
+      .select(col(groupCol).as("src"),
+        explode(gram_hashes(col(textCol), n)).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_grams"))
+    val pairs = grams.groupBy(col("gram"))
+      .agg(collect_set(col("src")).as("srcs"))
+      .where(size(col("srcs")).between(2, maxSources))
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("src").as("source_a"),
+        col("n_grams").as("na"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("src").as("source_b"),
+        col("n_grams").as("nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        round(col("n_common") / (col("na") + col("nb") - col("n_common")), 3)
+          .as("jaccard"),
+        round(col("n_common") / col("na"), 3).as("containment_a"))
+  }
 }

@@ -518,6 +518,40 @@ object ExtensionQueries {
     },
     None)
 
+  /** EXACT pairwise source overlap (TextAnalysis.sourceOverlap) — the
+    * ground-truth companion of `q_x_source_signature`'s minhash estimate
+    * (the role `q_x_emb_near_dup_exact` plays for the embedding LSH
+    * path): distinct-trigram intersection / Jaccard / containment per
+    * source pair, hash-checked value-exact against DuckDB rebuilding the
+    * same gram sets from strings. The two are reconciled in spec within
+    * the k=128 minhash standard error. Production corpora run the
+    * `maxSources` ubiquitous-gram cap (class doc); the default here is
+    * uncapped, which is exact — so the oracle can follow. */
+  val sourceOverlapExact = Q(
+    "q_x_source_overlap_exact",
+    "Exact pairwise source trigram Jaccard/containment overlap matrix",
+    (s, dir) => TextAnalysis.sourceOverlap(
+      Sources.table(s, dir, "documents"), "source", "text"),
+    Some("""WITH t AS (SELECT source,
+           |   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |   FROM documents),
+           | s AS (SELECT source, toks,
+           |   unnest(generate_series(1, len(toks) - 2)) AS i FROM t),
+           | g AS (SELECT DISTINCT source,
+           |   array_to_string(toks[i:i+2], ' ') AS gram FROM s),
+           | sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+           | c AS (SELECT a.source AS source_a, b.source AS source_b,
+           |     count(*) AS n_common
+           |   FROM g a JOIN g b USING (gram)
+           |   WHERE a.source < b.source GROUP BY 1, 2)
+           | SELECT c.source_a, c.source_b, c.n_common,
+           |   round(c.n_common::DOUBLE / (sa.n + sb.n - c.n_common), 3)
+           |     AS jaccard,
+           |   round(c.n_common::DOUBLE / sa.n, 3) AS containment_a
+           | FROM c JOIN sz sa ON sa.source = c.source_a
+           |   JOIN sz sb ON sb.source = c.source_b"""
+      .stripMargin.replace("\n", "")))
+
   // -------------------------------------------------------- similarity --
 
   /** Brute-force cosine top-k: exact, oracle-checked against DuckDB's
@@ -1433,7 +1467,8 @@ object ExtensionQueries {
     ngramJaccardTop1,
     editDistance, decontaminate, decontaminateBloom, decontaminateSemantic,
     resampleFfill, embNearDup,
-    embNearDupExact, sourceSignature, annBruteForce, annLsh, annIvf, asofJoin,
+    embNearDupExact, sourceSignature, sourceOverlapExact, annBruteForce,
+    annLsh, annIvf, asofJoin,
     asofNative, rangeJoin, trainSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
