@@ -42,4 +42,19 @@ class GoldenSpec extends AnyFunSuite {
     val b = Golden.fingerprint(result.repartition(13)).head()
     assert(a == b)
   }
+
+  test("fingerprint distinguishes WHICH column is null, and null from empty") {
+    // concat_ws silently skips null args; without the U+0000 sentinel
+    // (null, x) and (x, null) — e.g. rollup/cube grouping nulls — would
+    // hash identically and mask drift
+    val spark0 = spark
+    import spark0.implicits._
+    def fp(a: Option[String], b: Option[String]): String =
+      Golden.fingerprint(Seq((a, b)).toDF("a", "b")).head().getString(1)
+    val nullA = fp(None, Some("x"))
+    val nullB = fp(Some("x"), None)
+    val emptyA = fp(Some(""), Some("x"))
+    assert(nullA != nullB, "null-in-a vs null-in-b collided")
+    assert(nullA != emptyA, "null vs empty string collided")
+  }
 }
