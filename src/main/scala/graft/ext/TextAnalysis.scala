@@ -366,15 +366,18 @@ object TextAnalysis {
     * Scale shape (the aggregate-first posting pattern shared with
     * [[dupSpans]] and TfIdf): one distinct over (group, gram) collapses
     * the exploded stream map-side before its single gram-keyed exchange;
-    * the per-gram group set is bounded by |groups|; pair emission fans
-    * out at most |groups|² per gram, and `maxSources` caps it — a gram
-    * present in more groups than the cap is "ubiquitous" (it tells you
-    * nothing about which PAIR overlaps) and is dropped from the
-    * intersection counts, the same bounded-recall trade as `maxDf` in
-    * TfIdf/BM25. At the gate SFs the default (no cap) is exact, so the
-    * DuckDB oracle hash-checks the values. Group sizes broadcast (one
-    * row per group). Pairs with zero shared grams are omitted (inner
-    * semantics on both engines). */
+    * the `maxSources` cap is applied by a same-key WINDOW count BEFORE
+    * any group set materializes (the window and the following groupBy
+    * share the one gram-hash exchange), so a ubiquitous gram — present
+    * in more groups than the cap, hence identifying no PAIR — costs a
+    * count and a filter, never a |groups|-sized collected row; pair
+    * emission then fans out at most cap² per surviving gram. The same
+    * bounded-recall trade as `maxDf` in TfIdf/BM25: capped grams leave
+    * the intersection counts only, group sizes stay exact. At the gate
+    * SFs the default (no cap) is exact, so the DuckDB oracle
+    * hash-checks the values. Group sizes broadcast (one row per
+    * group). Pairs with zero shared grams are omitted (inner semantics
+    * on both engines). */
   def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
                     n: Int = 3,
                     maxSources: Int = Int.MaxValue): DataFrame = {
@@ -386,9 +389,13 @@ object TextAnalysis {
       .distinct()
     val sizes = grams.groupBy(col("src"))
       .agg(count(lit(1)).as("n_grams"))
-    val pairs = grams.groupBy(col("gram"))
+    val byGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+    val pairs = grams
+      .withColumn("d", count(lit(1)).over(byGram))
+      .where(col("d").between(2, maxSources))
+      .groupBy(col("gram"))
       .agg(collect_set(col("src")).as("srcs"))
-      .where(size(col("srcs")).between(2, maxSources))
       .select(explode(col("srcs")).as("source_a"), col("srcs"))
       .select(col("source_a"), explode(col("srcs")).as("source_b"))
       .where(col("source_a") < col("source_b"))
