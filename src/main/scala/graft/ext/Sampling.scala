@@ -95,7 +95,10 @@ object Sampling {
     * balancing step. Exact and portable; the per-domain window means the
     * largest domain bounds the sort partition, so use this when domain
     * sizes are bounded (or pre-shard giant domains) — for unbounded skew
-    * see [[domainRateCap]]. Adds `quota_rank` and `kept` (0/1). */
+    * see [[domainQuotaExact]] (exact, heap-aggregated) or
+    * [[domainRateCap]] (approximate). Adds `quota_rank` and `kept`
+    * (0/1); unlike those two it keeps every input row, so the REJECTED
+    * side is queryable too. */
   def domainQuota(df: DataFrame, idCol: String, domainCol: String,
                   quota: Int): DataFrame = {
     val w = Window.partitionBy(col(domainCol))
@@ -103,6 +106,49 @@ object Sampling {
     df.withColumn("quota_rank", row_number().over(w).cast("long"))
       .withColumn("kept",
         when(col("quota_rank") <= quota, 1L).otherwise(0L))
+  }
+
+  /** Exact AND skew-proof per-domain quota — closes the gap the two ops
+    * above leave open: [[domainQuota]] is exact but its window sorts the
+    * whole domain in one partition (a whale domain = one whale task);
+    * [[domainRateCap]] is whale-proof but binomial-approximate. Here the
+    * per-domain selection is a bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]], same machinery as the ANN top-k):
+    * each map task keeps at most `quota` candidates per domain and
+    * aggregates PARTIALLY, so the exchange carries ≤ |domains|·quota·
+    * |tasks| rows regardless of domain skew — a 10¹⁰-row domain costs
+    * the same shuffle as a 10³-row one, and the result is exactly the
+    * `quota` lowest-md5-rank docs.
+    *
+    * Order key: the first 13 hex digits of md5(id) as a 52-bit integer
+    * (exact in the heap's double score; fixed-width lowercase hex means
+    * numeric order = lexicographic order, so a SQL oracle can reproduce
+    * it with `ORDER BY substring(md5(id),1,13), id`), ties on id asc —
+    * deterministic and engine-portable like every sampling op here. The
+    * 13-digit prefix differs from [[domainQuota]]'s full-hex sort key
+    * only when two ids collide in 52 bits AND the id tiebreak would
+    * order them differently than digits 14-32 — immaterial for
+    * selection, and the id tiebreak makes it deterministic regardless.
+    *
+    * Memory bound: one `quota`-element heap (16 B/entry) per domain per
+    * task buffer — sized for quotas up to ~10⁶ (16 MB); past that, use
+    * [[domainRateCap]] or shard first. Output: kept docs only —
+    * (domain, quota_rank 1..quota, id), rank in md5 order. */
+  def domainQuotaExact(df: DataFrame, idCol: String, domainCol: String,
+                       quota: Int): DataFrame = {
+    require(quota > 0, s"quota $quota must be positive")
+    // 52-bit md5 prefix; negated because the heap keeps HIGHEST scores
+    // (ties → lowest id), so lowest-hash-first selection falls out.
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double")
+    df.select(col(domainCol), col(idCol), (-h).as("__s"))
+      .groupBy(col(domainCol))
+      .agg(graft.functions.TopKAgg
+        .topk_by_score(col("__s"), col(idCol), quota).as("__top"))
+      .select(col(domainCol), posexplode(col("__top")).as(Seq("__r0", "__e")))
+      .select(col(domainCol),
+        (col("__r0") + 1).cast("long").as("quota_rank"),
+        col("__e.neighbor_id").as(idCol))
   }
 
   /** Mixture upsampling — the per-source epoch weighting step of a

@@ -67,6 +67,27 @@ object PipelineQueries {
            |   AS kept
            | FROM documents""".stripMargin.replace("\n", "")))
 
+  /** The skew-proof EXACT quota ([[graft.ext.Sampling.domainQuotaExact]]):
+    * same selection semantics as q_x_domain_balance's window (lowest
+    * md5-rank docs per source) but computed by the bounded-heap aggregate,
+    * so no whale-domain window partition exists — each map task ships at
+    * most `quota` candidates per source into the exchange. The oracle
+    * reproduces the heap's 52-bit order key with a plain ORDER BY on the
+    * 13-hex md5 prefix (fixed-width lowercase hex: lexicographic =
+    * numeric), ties on doc_id, and keeps rn <= quota — hash-green means
+    * the heap selected EXACTLY the window's rows. */
+  val domainQuotaExactQ = Q(
+    "q_x_domain_quota_exact",
+    "Skew-proof exact per-source quota via bounded-heap aggregate",
+    (s, dir) => Sampling.domainQuotaExact(t(s, dir, "documents"),
+        "doc_id", "source", quota = 15)
+      .select(col("source"), col("quota_rank"), col("doc_id")),
+    Some(s"""SELECT source, CAST(rn AS BIGINT) AS quota_rank, doc_id FROM (
+           | SELECT source, doc_id, row_number() OVER (PARTITION BY source
+           |   ORDER BY substring($md5Doc, 1, 13), doc_id) AS rn
+           | FROM documents) t WHERE rn <= 15"""
+      .stripMargin.replace("\n", "")))
+
   /** Temperature sampling ([[graft.ext.Sampling.temperatureSample]]) at
     * α = 0.5 — square-root domain reweighting, the mixture-flattening
     * recipe step. α = 0.5 is the ORACLED configuration on purpose: sqrt
@@ -181,6 +202,6 @@ object PipelineQueries {
            | FROM events GROUP BY event_type"""
       .stripMargin.replace("\n", "")))
 
-  val all: Seq[Q] = Seq(corpusShuffle, domainBalance, domainTemperature,
-    seqPack, mixtureEpochs, incrementalAgg)
+  val all: Seq[Q] = Seq(corpusShuffle, domainBalance, domainQuotaExactQ,
+    domainTemperature, seqPack, mixtureEpochs, incrementalAgg)
 }

@@ -25,6 +25,7 @@ import graft.operators.{Catalog, Golden}
   *   runMain graft.tools.ScaleSmokeMain skewdemo <skewedNxDir>
   *   runMain graft.tools.ScaleSmokeMain census <srcSfDir> <scaledDir> <N>
   *   runMain graft.tools.ScaleSmokeMain mem <srcSfDir> <scaledDir>  (small -Xmx)
+  *   runMain graft.tools.ScaleSmokeMain quotaskew <scaledDir>
   *
   * Replica construction keeps the similarity structure honest:
   * replica 0 is the original; replica i>0 re-ids rows and REWRITES each
@@ -81,6 +82,7 @@ object ScaleSmokeMain {
     case "streamskew" :: uniform :: skewed :: only =>
       streamSkew(uniform, skewed, only.toSet)
     case "cc" :: skewed :: Nil => ccRun(skewed)
+    case "quotaskew" :: dir :: Nil => quotaSkew(dir)
     case "xcheck" :: dir :: queries => xcheck(dir, queries)
     case "streamdump" :: dir :: out :: budget :: Nil =>
       streamDump(dir, out, budget.toInt)
@@ -107,7 +109,7 @@ object ScaleSmokeMain {
           "spill <sfDir> [skewedNxDir]   (run with SPARK_DRIVER_MEM=3g) | " +
           "streamskew <uniformNxDir> <skewedNxDir> [op...] | " +
           "streamdump <nxDir> <outParquetDir> <budget> | " +
-          "cc <skewedNxDir>")
+          "cc <skewedNxDir> | quotaskew <scaledDir>")
       sys.exit(2)
   }
 
@@ -616,6 +618,67 @@ object ScaleSmokeMain {
       println(f"$label%-12s $i1%9d $r1%9d ${m1 / 1e6}%7.1f $in%9d $rn%9d ${mn / 1e6}%7.1f ${if (r1 > 0) f"${rn.toDouble / r1}%.1f" else "-"}%6s")
     }
     spark.stop()
+  }
+
+  /** Whale-stratum quota smoke: the window quota (`domainQuota`) vs the
+    * bounded-heap quota (`domainQuotaExact`) over a corpus where one
+    * synthetic stratum holds 20% of all docs (`doc_id % 5 → "whale"`) —
+    * the shape where the window's per-domain sort partition becomes one
+    * whale task while the heap aggregates partially. Measures wall,
+    * max/median task millis, and total shuffle records for each path,
+    * then compares [[Golden.fingerprint]]s: bitwise-equal fingerprints
+    * prove the heap selected EXACTLY the window's rows at scale, so the
+    * whale-neutral plan is a drop-in replacement, not an approximation. */
+  private def quotaSkew(dir: String): Unit = {
+    val spark = session()
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val shuffleRec = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskInfo != null) durations.add(te.taskInfo.duration)
+        val m = te.taskMetrics
+        if (m != null) shuffleRec.addAndGet(
+          m.shuffleWriteMetrics.recordsWritten)
+      }
+    })
+    val quota = 1000
+    def docs = graft.sources.Sources.table(spark, dir, "documents")
+      .withColumn("src",
+        when(col("doc_id") % 5 === 0, lit("whale")).otherwise(col("source")))
+      .select(col("doc_id"), col("src"))
+    def windowPath = graft.ext.Sampling
+      .domainQuota(docs, "doc_id", "src", quota)
+      .filter(col("kept") === 1L)
+      .select(col("src"), col("quota_rank"), col("doc_id"))
+    def heapPath = graft.ext.Sampling
+      .domainQuotaExact(docs, "doc_id", "src", quota)
+      .select(col("src"), col("quota_rank"), col("doc_id"))
+    val n = docs.count()
+    val whales = docs.filter(col("src") === "whale").count()
+    println(s"[scale-smoke] quota smoke: $n docs, whale stratum $whales " +
+      s"(${100 * whales / n}%), quota $quota")
+    // warm pass (file listing, codegen) so probe order doesn't bias
+    windowPath.write.format("noop").mode("overwrite").save()
+    heapPath.write.format("noop").mode("overwrite").save()
+    def probe(label: String, df: => DataFrame): org.apache.spark.sql.Row = {
+      GraftSession.dropCachedBlocks(spark)
+      durations.clear(); shuffleRec.set(0)
+      val t0 = System.nanoTime()
+      val fp = Golden.fingerprint(df).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener drain
+      val (mx, med) = taskStats(durations)
+      println(f"[scale-smoke] $label%-22s: $dt%6.2f s, maxTask ${mx}%6d ms, " +
+        f"medTask ${med}%4d ms, max/med ${maxMedRatio(mx, med)}%5s, " +
+        f"shuffle ${shuffleRec.get()}%,d rows, kept ${fp.getLong(0)}%,d")
+      fp
+    }
+    val w = probe("quota window (whale)", windowPath)
+    val h = probe("quota heap   (whale)", heapPath)
+    val same = w == h
+    println(s"[scale-smoke] selection fingerprints ${if (same) "MATCH" else s"DIFFER: window=$w heap=$h"}")
+    spark.stop()
+    if (!same) sys.exit(1)
   }
 
   /** Connected-components fallback smoke: the >2M-edge distributed

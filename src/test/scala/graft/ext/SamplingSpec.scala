@@ -80,6 +80,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(approx("big") - 100L) < 60) // binomial around the quota
   }
 
+  test("domainQuotaExact: heap selection == window selection, skew-proof, " +
+      "layout-independent, partial-aggregated") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = ((0 until 3000).map(i => (i.toLong, "big")) ++
+      (3000 until 3040).map(i => (i.toLong, "small"))).toDF("id", "src")
+    def keyOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val heap = Sampling.domainQuotaExact(df, "id", "src", quota = 100)
+    val heapRows = keyOf(heap.collect())
+    // exactly the window variant's kept rows, with identical ranks
+    // (order keys differ only under a 52-bit md5-prefix collision —
+    // absent here, and id-tiebroken deterministically regardless)
+    val win = Sampling.domainQuota(df, "id", "src", quota = 100)
+      .filter(col("kept") === 1L)
+      .select(col("src"), col("quota_rank"), col("id"))
+    assert(heapRows == keyOf(win.collect()))
+    // short stratum keeps everything: 40 < quota
+    assert(heapRows.count(_._1 == "small") == 40)
+    assert(heapRows.count(_._1 == "big") == 100)
+    // layout-independent
+    val re = Sampling.domainQuotaExact(
+      df.repartition(17), "id", "src", quota = 100)
+    assert(keyOf(re.collect()) == heapRows)
+    // the skew-proof claim is structural: the plan aggregates PARTIALLY
+    // (map-side heaps), so no whale-domain sort partition exists — unlike
+    // domainQuota, whose plan carries a window over the full domain
+    val plan = heap.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(plan.toLowerCase.contains("partial_topk_by_score"),
+      plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("mixtureUpsample: copies in {floor(w), ceil(w)}, expected total ~ w*n") {
     val spark0 = spark
     import spark0.implicits._
