@@ -335,6 +335,51 @@ object TextAnalysis {
           .as("oov_ratio"))
   }
 
+  /** Vocabulary growth curve (Heaps-law audit) — "does the NEXT crawl
+    * shard still add vocabulary, or has the corpus saturated?": the
+    * corpus is ordered into 16^hexDigits deterministic md5 shards of the
+    * id ([[Sampling.md5Shard]] — the same engine-portable order every
+    * sampling op uses, so "shard k" means the same docs on every engine
+    * and every run), and each shard reports how many distinct token
+    * n-grams appear there for the FIRST time (min shard over the docs
+    * containing the gram) plus the running vocabulary total. A
+    * flattening curve = additional data buys repetition, not coverage —
+    * the stop-crawling/start-curating signal. Grams, not unigrams,
+    * because a template-generated corpus saturates its word list in the
+    * first shard while its gram space keeps growing (measured here: 31
+    * distinct words vs 16 245 trigrams at sf0.01) — the same reason
+    * [[sourceOverlap]] and the dedup family key on grams.
+    *
+    * Grams are 64-bit hashes ([[graft.functions.TextExprs.gram_hashes]]),
+    * the shared trade documented on [[sourceOverlap]]: counts shift only
+    * on a 64-bit collision, and the exchange ships 8-byte longs.
+    *
+    * 100 TB shape: no distinct materializes — `min(shard)` aggregates
+    * the exploded gram stream with map-side partials straight into ONE
+    * gram-keyed exchange (a gram seen 10⁹ times ships once per map
+    * task), and the curve itself is a 16^hexDigits-row frame whose
+    * cumulative window is bounded by construction, like
+    * [[Sampling.shufflePositions]]'s offset frame. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, hexDigits: Int = 1): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 4,
+      s"hexDigits $hexDigits outside [1,4]")
+    require(n > 0, s"gram length $n must be positive")
+    val first = df
+      .select(Sampling.md5Shard(col(idCol), hexDigits).cast("long")
+          .as("__shard"),
+        explode(gram_hashes(col(textCol), n)).as("__g"))
+      .groupBy(col("__g"))
+      .agg(min(col("__shard")).as("shard"))
+    val curve = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    first.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_vocab", sum(col("n_new")).over(curve).cast("long"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text
     * (oracle-portable), plus winnowing fingerprints for overlap detection. */
   def contentFingerprint(text: Column): Column =

@@ -1406,6 +1406,36 @@ object ExtensionQueries {
            | FROM scored s JOIN cut c USING (lang)"""
       .stripMargin.replace("\n", "")))
 
+  /** Vocabulary growth curve ([[TextAnalysis.vocabGrowth]]): distinct
+    * trigrams first seen per md5 shard + running total — the Heaps-law
+    * "is more crawl still buying coverage" audit. One gram-keyed
+    * min(shard) exchange (map-side partials — no distinct
+    * materializes), then a 16-row bounded cumulative window. The
+    * oracle rebuilds the shard from the md5 hex digit and the grams as
+    * STRINGS (the engine hashes them — same 64-bit-collision trade as
+    * q_x_source_overlap_exact) — hash-green means shard assignment,
+    * first-seen attribution, AND the cumulative all agree. */
+  val vocabGrowth = Q(
+    "q_x_vocab_growth",
+    "Vocabulary growth per md5 shard: first-seen trigram counts + cumulative",
+    (s, dir) => TextAnalysis.vocabGrowth(
+      Sources.table(s, dir, "documents"), "doc_id", "text"),
+    Some("""WITH t AS (SELECT
+           |   CAST(strpos('0123456789abcdef',
+           |     substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+           |     AS shard,
+           |   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |   FROM documents),
+           | s AS (SELECT shard, toks,
+           |   unnest(generate_series(1, len(toks) - 2)) AS i FROM t),
+           | g AS (SELECT shard, array_to_string(toks[i:i+2], ' ') AS gram
+           |   FROM s),
+           | f AS (SELECT gram, min(shard) AS shard FROM g GROUP BY gram)
+           | SELECT shard, count(*) AS n_new,
+           |   CAST(sum(count(*)) OVER (ORDER BY shard
+           |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+           | FROM f GROUP BY shard""".stripMargin.replace("\n", "")))
+
   /** Vocabulary coverage / OOV rate ([[TextAnalysis.vocabCoverage]]):
     * per-doc out-of-vocab ratio against the corpus's top-20 tokens.
     * Broadcast membership probe — the join side is |vocab| at any
@@ -1476,5 +1506,5 @@ object ExtensionQueries {
     corpusReport, jsonProps,
     multimodal, imagePhash, tfidfTop1, bm25Top1,
     tfidfCappedTop1, bm25CappedTop1, dupSpans, kmeansSizes,
-    pseudonymize, pplBuckets, vocabCoverage, heavyHitters)
+    pseudonymize, pplBuckets, vocabCoverage, vocabGrowth, heavyHitters)
 }

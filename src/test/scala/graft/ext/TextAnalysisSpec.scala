@@ -161,6 +161,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 4L, 1.0)))
   }
 
+  test("vocabGrowth: first-seen attribution exact, cum telescopes, " +
+      "layout-independent") {
+    val spark0 = spark
+    import spark0.implicits._
+    // each doc contributes two trigrams: a per-doc one ("common tok_i
+    // cohort_j") and a per-cohort one ("cohort_j shared end") — mixes
+    // always-new grams with grams whose first-seen shard is a min over
+    // ~57 docs
+    val docs = (0L until 400L).map(i =>
+      (i, s"common tok_$i cohort_${i % 7} shared end")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // reference: driver recomputation over the same md5 shard order
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val firstSeen = (0L until 400L)
+      .flatMap { i =>
+        val shard = Integer.parseInt(md5Hex(i.toString).take(1), 16).toLong
+        val c = i % 7
+        Seq(s"common tok_$i cohort_$c", s"tok_$i cohort_$c shared",
+          s"cohort_$c shared end").map(_ -> shard)
+      }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val wantNew = firstSeen.values.groupBy(identity)
+      .map { case (s, xs) => s -> xs.size.toLong }
+    assert(out.map(r => r._1 -> r._2).toMap == wantNew)
+    // cumulative telescopes to the distinct gram vocabulary:
+    // 400 "common…" + 400 "tok_…" + 7 cohort-shared grams
+    assert(out.last._3 == 807L)
+    assert(out.map(_._2).sum == 807L)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + b._2) // cum = prefix sum, shards ascending
+      assert(a._1 < b._1)
+    }
+    // layout-independent
+    val re = TextAnalysis.vocabGrowth(docs.repartition(11), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("sourceOverlap: exact trigram intersection, Jaccard, containment") {
     val spark0 = spark
     import spark0.implicits._
