@@ -83,6 +83,7 @@ object ScaleSmokeMain {
       streamSkew(uniform, skewed, only.toSet)
     case "cc" :: skewed :: Nil => ccRun(skewed)
     case "quotaskew" :: dir :: Nil => quotaSkew(dir)
+    case "vocabcensus" :: dir :: Nil => vocabCensus(dir)
     case "xcheck" :: dir :: queries => xcheck(dir, queries)
     case "streamdump" :: dir :: out :: budget :: Nil =>
       streamDump(dir, out, budget.toInt)
@@ -109,7 +110,7 @@ object ScaleSmokeMain {
           "spill <sfDir> [skewedNxDir]   (run with SPARK_DRIVER_MEM=3g) | " +
           "streamskew <uniformNxDir> <skewedNxDir> [op...] | " +
           "streamdump <nxDir> <outParquetDir> <budget> | " +
-          "cc <skewedNxDir> | quotaskew <scaledDir>")
+          "cc <skewedNxDir> | quotaskew <scaledDir> | vocabcensus <scaledDir>")
       sys.exit(2)
   }
 
@@ -677,6 +678,69 @@ object ScaleSmokeMain {
     val h = probe("quota heap   (whale)", heapPath)
     val same = w == h
     println(s"[scale-smoke] selection fingerprints ${if (same) "MATCH" else s"DIFFER: window=$w heap=$h"}")
+    spark.stop()
+    if (!same) sys.exit(1)
+  }
+
+  /** Vocab-growth exchange decomposition: `census` flags
+    * `q_x_vocab_growth` super-linear (47.8× shuffle on 10× data), and
+    * this instrument pins WHY that is a task-granularity artifact, not a
+    * corpus-growth hazard. The gram-keyed min(shard) exchange carries
+    * Σ_task |task-local distinct grams| ≤ |map tasks|·|vocab| rows — at
+    * the 1×/10× comparison the map-task count itself grows (one small
+    * file vs 32), so the bound moves with BOTH factors; at a fixed
+    * cluster the task count is fixed and the exchange goes FLAT once
+    * per-task gram multiplicity absorbs corpus growth (|vocab| grows
+    * Heaps-sublinearly — measured 1.9× for 10× data). Protocol: the
+    * same aggregate over the same corpus at fine (default 128 MB) vs
+    * coarse (1 GB) input splits; pass = shuffle rows collapse toward
+    * |vocab| as tasks coarsen while the result fingerprint stays
+    * bitwise-equal. */
+  private def vocabCensus(dir: String): Unit = {
+    val spark = session()
+    val shufRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val mapTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && m.shuffleWriteMetrics.recordsWritten > 0) {
+          shufRows.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          mapTasks.incrementAndGet()
+        }
+      }
+    })
+    val docs = graft.sources.Sources.table(spark, dir, "documents")
+    val vocab = docs.select(explode(graft.functions.TextExprs
+        .gram_hashes(col("text"), 3)).as("g"))
+      .agg(countDistinct(col("g")).as("v"), count(lit(1)).as("stream"))
+      .head()
+    println(s"[scale-smoke] vocabcensus $dir: stream ${vocab.getLong(1)} " +
+      s"gram instances, vocab ${vocab.getLong(0)} distinct")
+    def probe(label: String, maxPart: Long, minParts: Int)
+        : org.apache.spark.sql.Row = {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", maxPart.toString)
+      // the split formula targets totalBytes/defaultParallelism below
+      // maxPartitionBytes, so coarsening also needs the floor dropped
+      spark.conf.set("spark.sql.files.minPartitionNum", minParts.toString)
+      GraftSession.dropCachedBlocks(spark)
+      shufRows.set(0); shufBytes.set(0); mapTasks.set(0)
+      val t0 = System.nanoTime()
+      val fp = Golden.fingerprint(graft.ext.TextAnalysis
+        .vocabGrowth(docs, "doc_id", "text")).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener drain
+      println(f"[scale-smoke] $label%-28s: $dt%5.2f s, " +
+        f"mapTasks ${mapTasks.get()}%3d, shuffle ${shufRows.get()}%,d rows " +
+        f"/ ${shufBytes.get() / 1e6}%.1f MB")
+      fp
+    }
+    probe("warm-up (unmeasured)", 128L << 20, 32)
+    val fine = probe("fine splits (32-way)", 128L << 20, 32)
+    val coarse = probe("coarse splits (1-way)", 1L << 30, 1)
+    val same = fine == coarse
+    println(s"[scale-smoke] curve fingerprints ${if (same) "MATCH" else "DIFFER"}")
     spark.stop()
     if (!same) sys.exit(1)
   }
