@@ -381,4 +381,78 @@ object Dedup {
         coalesce(col("label"), col("id")).as("cluster_id"),
         (col("id") === coalesce(col("label"), col("id"))).as("is_canonical"))
   }
+
+  /** Segment-level dedup with document reconstruction — the CCNet /
+    * RefinedWeb "line dedup" pass generalized to any segmentation (Wenzek
+    * et al. 2020 dedupe by paragraph hash; Penedo et al. 2023 drop repeated
+    * lines): every distinct segment survives exactly once, in its first
+    * occurrence by (doc, position), and each document is rewritten as its
+    * surviving segments in original order. Unlike [[graft.ext.TextAnalysis
+    * .dupSpans]] (which only SCORES duplicated spans), this REMOVES them
+    * and returns the cleaned text. The corpus here has no newline
+    * structure, so segments are fixed `segmentTokens`-token windows —
+    * non-overlapping [[graft.ext.TextAnalysis.chunk]] segments (stride =
+    * window) with the identical tokenize convention.
+    *
+    * Keep rule: the occurrence with the globally minimal (doc_id, seg_idx)
+    * per distinct segment text is kept; every other occurrence — including
+    * repeats within one document — is removed.
+    *
+    * Scale shape (100 TB): segments are NON-overlapping, so the exploded
+    * stream is ≈ the corpus itself, and it is exploded exactly ONCE —
+    * the kept occurrences are read straight off the first-occurrence
+    * aggregate (`groupBy(segment).agg(min(struct(doc, idx)))` — its rows
+    * ARE the surviving (doc, idx, segment) triples), so no mark-back join
+    * over the segment key exists, and the per-doc segment totals come
+    * from a map-only ceil(n_tokens / k), no second explode. Partial
+    * aggregation collapses a whale segment (boilerplate repeated millions
+    * of times) map-side, unlike a window over the segment, which would
+    * put the whole whale in one partition; the only other exchanges are
+    * doc-keyed (reconstruction aggregate + a doc join), bounded by
+    * document count. Segments shuffle as their text here so the DuckDB
+    * oracle can rebuild the identical keys; at scale the aggregate key
+    * becomes xxhash64(segment) with the segment carried as a value
+    * (the [[exactByHash]] trade: a 64-bit collision merges two unrelated
+    * segments).
+    *
+    * Output: (doc_id, n_segments, n_removed, text_dedup) for docs with ≥1
+    * token; a doc whose every segment is removed yields text_dedup = "".
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segmentTokens: Int = 12): DataFrame = {
+    require(segmentTokens > 0, "segment length must be positive")
+    val toks = filter(split(col(textCol), " ", -1), t => t =!= lit(""))
+    val starts = when(size(toks) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(toks) - 1, lit(segmentTokens)))
+    // explode the int starts first, slice after the Generate — the chunk()
+    // idiom: tokenize runs once per doc, not once per segment
+    val segs = df
+      .select(col(idCol).as("doc_id"), toks.as("__toks"),
+        posexplode(starts).as(Seq("__i", "__s")))
+      .select(col("doc_id"), col("__i").cast("long").as("seg_idx"),
+        array_join(slice(col("__toks"), col("__s") + 1, lit(segmentTokens)),
+          " ").as("seg"))
+    // the aggregate's rows ARE the kept occurrences — one per distinct
+    // segment, at its minimal (doc, idx)
+    val kept = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__first"))
+      .select(col("__first.doc_id").as("doc_id"),
+        col("__first.seg_idx").as("seg_idx"), col("seg"))
+    val keptPerDoc = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        // array_sort on the (seg_idx, seg) struct restores original order
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          e => e.getField("seg"))).as("__text"))
+    // per-doc totals need no explode: segments are ceil(n_tokens / k)
+    val totals = df.select(col(idCol).as("doc_id"),
+        floor((size(toks).cast("double") + (segmentTokens - 1)) /
+          segmentTokens).cast("long").as("n_segments"))
+      .filter(col("n_segments") > 0)
+    totals.join(keptPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        (col("n_segments") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("__text"), lit("")).as("text_dedup"))
+  }
 }

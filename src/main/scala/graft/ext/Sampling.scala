@@ -267,4 +267,100 @@ object Sampling {
       .withColumn("kept",
         when(col("samp_rank") <= col("target_n"), 1L).otherwise(0L))
   }
+
+  /** Exact token-budget selection — "take the best documents until the
+    * token budget is spent", the final cut of a curation pipeline sizing a
+    * training set to a target token count. Documents are ordered by
+    * (quality score DESC, id ASC) and the MAXIMAL PREFIX whose cumulative
+    * token count fits `budgetTokens` is kept (take-while: the first doc
+    * that would overflow is excluded along with everything after it, even
+    * if a later smaller doc would still fit). Token counts are
+    * `len(split(text, ' '))` and the score is the integer basis-point
+    * [[graft.ext.TextAnalysis.qualityScoreBp]] — both engine-portable, so
+    * the selection is reproducible bit-for-bit from plain SQL.
+    *
+    * The semantics are a global ordered cumulative sum, but the engine
+    * never sorts the corpus. Three-level exact refinement, each level a
+    * histogram-sized computation:
+    *   1. per-SCORE token histogram (≤ 10 001 rows — the score range) →
+    *      cumulative in score-descending order → boundary score s* (the
+    *      first that overflows) and its remaining budget; scores above s*
+    *      are fully in.
+    *   2. within s*: per-ID-RANGE histogram (shard = id >> `shardShift`,
+    *      arithmetic shift — contiguous 2^shift-wide id ranges preserve
+    *      id order) → boundary shard b* and its remaining budget.
+    *   3. within (s*, b*): one window over ≤ 2^shardShift docs (dense
+    *      ids; sparse ids only make the cell smaller) picks the exact
+    *      take-while cut.
+    * The histogram windows run on single partitions of histogram size,
+    * never corpus size; each level's boundary is a single row (two longs)
+    * collected to the driver — the bounded-collect pattern of
+    * [[graft.ext.Similarity]]'s centroid training — so the final
+    * selection is a pure map filter with literal thresholds, no join.
+    * Cost is four map-only corpus scans of a 3-column projection (at
+    * 100 TB you would materialize the (id, tokens, score) projection —
+    * ~24 B/row — once and run the levels against it; the recompute keeps
+    * this function self-contained).
+    *
+    * Output: (idCol, n_tokens, quality_score_bp) of selected docs. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
+                        budgetTokens: Long, shardShift: Int = 12): DataFrame = {
+    require(budgetTokens >= 0, "budget must be >= 0")
+    require(shardShift >= 0 && shardShift < 63, "shardShift out of range")
+    val scored = df.select(col(idCol),
+      size(split(col(textCol), " ", -1)).cast("long").as("n_tokens"),
+      TextAnalysis.qualityScoreBp(col(textCol)).as("quality_score_bp"))
+    // level 1: score histogram, cumulative by score descending
+    val wScore = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scoreCum = scored.groupBy(col("quality_score_bp").as("__s"))
+      .agg(sum(col("n_tokens")).as("__tok"))
+      .withColumn("__cum", sum(col("__tok")).over(wScore))
+    // boundary = first overflowing score in DESC order = max such score;
+    // max(struct) carries its remaining budget along. Empty filter (the
+    // whole corpus fits) → null → sentinel MinValue selects everything.
+    // One row, two longs — collected, not joined.
+    val thr1 = scoreCum.filter(col("__cum") > budgetTokens)
+      .agg(max(struct(col("__s"),
+        (lit(budgetTokens) - col("__cum") + col("__tok")).as("__r"))).as("__b"))
+      .select(
+        coalesce(col("__b.__s"), lit(Long.MinValue)).as("__s_star"),
+        coalesce(col("__b.__r"), lit(0L)).as("__r_star"))
+      .head()
+    val (sStar, rStar) = (thr1.getLong(0), thr1.getLong(1))
+    val sharded = scored
+      .withColumn("__shard", shiftright(col(idCol), shardShift))
+    // level 2: id-range histogram inside the boundary score
+    val wShard = Window.orderBy(col("__shard").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val shardCum = sharded
+      .filter(col("quality_score_bp") === sStar)
+      .groupBy(col("__shard"))
+      .agg(sum(col("n_tokens")).as("__tok"))
+      .withColumn("__cum", sum(col("__tok")).over(wShard))
+    // guaranteed non-empty when s* exists (s* overflows by construction)
+    val thr2 = shardCum.filter(col("__cum") > rStar)
+      .agg(min(struct(col("__shard"),
+        (lit(rStar) - col("__cum") + col("__tok")).as("__r2"))).as("__b"))
+      .select(
+        coalesce(col("__b.__shard"), lit(Long.MinValue)).as("__b_star"),
+        coalesce(col("__b.__r2"), lit(0L)).as("__r2_star"))
+      .head()
+    val (bStar, r2Star) = (thr2.getLong(0), thr2.getLong(1))
+    // fully-selected region: above the boundary score, or boundary score
+    // in an id range strictly before the boundary range — a map filter
+    // over literal thresholds
+    val base = sharded.filter(col("quality_score_bp") > sStar ||
+      (col("quality_score_bp") === sStar && col("__shard") < bStar))
+    // level 3: exact cut inside the boundary cell (≤ 2^shardShift rows —
+    // the one window whose partition is data, and it is shift-bounded)
+    val wCell = Window.orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cell = sharded
+      .filter(col("quality_score_bp") === sStar && col("__shard") === bStar)
+      .withColumn("__cum", sum(col("n_tokens")).over(wCell))
+      .filter(col("__cum") <= r2Star)
+    val out = Seq(col(idCol), col("n_tokens"), col("quality_score_bp"))
+    base.select(out: _*).unionByName(cell.select(out: _*))
+  }
 }

@@ -1321,6 +1321,30 @@ object ExtensionQueries {
            | FROM g LEFT JOIN dup d USING (gram) GROUP BY 1"""
       .stripMargin.replace("\n", "")))
 
+  /** Segment-level dedup with reconstruction ([[graft.ext.Dedup
+    * .segmentDedup]]): the CCNet/RefinedWeb "repeated line removal" pass —
+    * keep-first by (doc, position) per distinct 12-token segment, rewrite
+    * each doc from its surviving segments. Fully SQL-portable (exact
+    * strings, row_number keep rule), so the rewritten TEXT itself is
+    * hash-checked, not just the counts. */
+  val segDedup = Q(
+    "q_x_dedup_segments",
+    "Segment dedup: keep-first 12-token segments, docs rewritten",
+    (s, dir) => Dedup.segmentDedup(
+      Sources.table(s, dir, "documents"), "doc_id", "text", segmentTokens = 12),
+    Some("""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+           | e AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 12)) AS s FROM d),
+           | seg AS (SELECT doc_id, CAST((s - 1) // 12 AS BIGINT) AS seg_idx,
+           |   array_to_string(toks[s:s+11], ' ') AS seg FROM e),
+           | k AS (SELECT *, (row_number() OVER (PARTITION BY seg
+           |   ORDER BY doc_id, seg_idx)) = 1 AS keep FROM seg)
+           | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+           |   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           |   coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
+           |     ORDER BY seg_idx), '') AS text_dedup
+           | FROM k GROUP BY doc_id""".stripMargin.replace("\n", "")))
+
   /** K-means over the embedding corpus: driver-trained centroids (bounded
     * sample, deterministic init — Similarity.trainCentroids, shared with
     * IVF), then a map-only codegen assignment and one hash-agg for the
@@ -1505,6 +1529,6 @@ object ExtensionQueries {
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     corpusReport, jsonProps,
     multimodal, imagePhash, tfidfTop1, bm25Top1,
-    tfidfCappedTop1, bm25CappedTop1, dupSpans, kmeansSizes,
+    tfidfCappedTop1, bm25CappedTop1, dupSpans, segDedup, kmeansSizes,
     pseudonymize, pplBuckets, vocabCoverage, vocabGrowth, heavyHitters)
 }

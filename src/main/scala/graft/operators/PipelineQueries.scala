@@ -202,6 +202,34 @@ object PipelineQueries {
            | FROM events GROUP BY event_type"""
       .stripMargin.replace("\n", "")))
 
+  /** Exact token-budget selection ([[graft.ext.Sampling
+    * .tokenBudgetSelect]]): keep the best documents by quality score until
+    * a 15 000-token budget is spent. The engine computes the global
+    * take-while cut WITHOUT a global sort (score histogram → id-range
+    * histogram → one ≤4096-row boundary-cell window); the oracle states
+    * the semantics directly as the global ordered cumulative sum —
+    * hash-green means the three-level refinement picked EXACTLY the
+    * prefix. The budget is a fixed token count, so the selected fraction
+    * shrinks as SF grows (half the corpus at sf0.001, ~5% at sf0.1) and
+    * the boundary score is partially selected at every gate SF. */
+  val tokenBudget = Q(
+    "q_x_token_budget",
+    "Exact token-budget selection: best docs until 15k tokens, no global sort",
+    (s, dir) => Sampling.tokenBudgetSelect(t(s, dir, "documents"),
+      "doc_id", "text", budgetTokens = 15000L),
+    Some("""WITH q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           | CAST(floor(4000.0 * least(len(string_split(text, ' ')), 64) / 64.0) AS BIGINT)
+           |   + CAST(floor(3000.0 * least(5 * len(list_filter(string_split(text, ' '), t -> t IN
+           |     ('the','a','an','of','to','and','in','is','it','for','on','with','as','at','by','be'))),
+           |     len(string_split(text, ' '))) / greatest(len(string_split(text, ' ')), 1)) AS BIGINT)
+           |   + (CASE WHEN (length(replace(text, ' ', '')) * 1.0
+           |     / greatest(len(string_split(text, ' ')), 1)) BETWEEN 3.0 AND 10.0
+           |     THEN 3000 ELSE 0 END) AS quality_score_bp FROM documents),
+           | c AS (SELECT *, sum(n_tokens) OVER (ORDER BY quality_score_bp DESC, doc_id ASC
+           |   ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+           | SELECT doc_id, n_tokens, quality_score_bp FROM c WHERE cum <= 15000"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(corpusShuffle, domainBalance, domainQuotaExactQ,
-    domainTemperature, seqPack, mixtureEpochs, incrementalAgg)
+    domainTemperature, tokenBudget, seqPack, mixtureEpochs, incrementalAgg)
 }

@@ -171,4 +171,45 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() == 500)
     assert(out.columns.toSeq == Seq("vec_id", "n_candidates", "n_near_dups"))
   }
+
+  test("segmentDedup: keep-first by (doc, pos), docs rewritten in order") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 2-token segments. "a b" occurs at (1,0), (1,2 — intra-doc repeat),
+    // (2,0); only (1,0) survives. "c d" at (1,1) and (3,1); (1,1) wins.
+    // Doc 4 is entirely the duplicate segment → rewritten to "".
+    val df = Seq(
+      (1L, "a b c d a b"),
+      (2L, "a b x y"),
+      (3L, "z w c d tail"), // 5 tokens → short tail segment "tail"
+      (4L, "a b"),
+      (5L, "")               // empty doc → no segments, absent from output
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", segmentTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((3L, 1L, "a b c d")))      // intra-doc repeat removed
+    assert(out(2L) == ((2L, 1L, "x y")))          // first segment lost to doc 1
+    assert(out(3L) == ((3L, 1L, "z w tail")))     // "c d" lost, tail kept
+    assert(out(4L) == ((1L, 1L, "")))             // fully removed
+  }
+
+  test("segmentDedup: layout-independent and idempotent") {
+    val docs = Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val a = Dedup.segmentDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val b = Dedup.segmentDedup(docs.repartition(17), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(a == b)
+    // a second pass removes nothing: every surviving segment is unique.
+    // (Re-segmentation shifts windows where segments were removed, so
+    // compare on the corpus rewritten once — the fixpoint property.)
+    val spark0 = spark
+    import spark0.implicits._
+    val once = a.toSeq.toDF("doc_id", "text")
+    val twice = Dedup.segmentDedup(once, "doc_id", "text")
+    assert(twice.agg(org.apache.spark.sql.functions.sum("n_removed"))
+      .head().getLong(0) == 0L)
+  }
 }

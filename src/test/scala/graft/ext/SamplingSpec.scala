@@ -202,4 +202,67 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(out("a") - 1000L) < 220)
     assert(math.abs(out("b") - 200L) < 120)
   }
+
+  /** Brute-force reference for tokenBudgetSelect: the literal global-sort
+    * take-while over (score DESC, id ASC). */
+  private def bruteBudget(rows: Seq[(Long, String)], budget: Long): Set[Long] = {
+    def tokens(t: String) = t.split(" ", -1).length.toLong
+    val spark0 = spark
+    import spark0.implicits._
+    // score via the engine's own expression, one tiny frame
+    val withScore = rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreBp(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ordered = rows.map { case (id, t) => (id, tokens(t), withScore(id)) }
+      .sortBy { case (id, _, s) => (-s, id) }
+    var cum = 0L
+    val sel = scala.collection.mutable.Set[Long]()
+    var stopped = false
+    for ((id, n, _) <- ordered if !stopped) {
+      cum += n
+      if (cum <= budget) sel += id else stopped = true
+    }
+    sel.toSet
+  }
+
+  test("tokenBudgetSelect: equals the global-sort take-while at every level") {
+    val spark0 = spark
+    import spark0.implicits._
+    // texts engineered so many docs tie on score (forcing the id-range
+    // levels) and ids span shards incl. negatives (arithmetic shift order)
+    val rows = (0 until 400).map { i =>
+      val id = (i.toLong - 200L) * 37L // negative and positive, sparse
+      val words = Seq.fill(4 + i % 7)("the word mix alpha beta")
+      (id, words.mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    for (budget <- Seq(0L, 1L, 500L, 3000L, 7000L, 1000000L)) {
+      val got = Sampling
+        .tokenBudgetSelect(df, "doc_id", "text", budget, shardShift = 6)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == bruteBudget(rows, budget), s"budget=$budget")
+    }
+  }
+
+  test("tokenBudgetSelect: layout-independent, exact token accounting") {
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val a = Sampling.tokenBudgetSelect(docs, "doc_id", "text", 15000L)
+    val b = Sampling
+      .tokenBudgetSelect(docs.repartition(13), "doc_id", "text", 15000L)
+    val selA = a.collect().map(_.getLong(0)).toSet
+    assert(selA == b.collect().map(_.getLong(0)).toSet)
+    // the prefix property: selected tokens fit the budget, and the next
+    // doc in (score DESC, id) order would overflow it
+    val spent = a.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(spent <= 15000L)
+    val all = docs.select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n"),
+        TextAnalysis.qualityScoreBp(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, s) => (-s, id) }
+    val firstOut = all.find { case (id, _, _) => !selA.contains(id) }
+    assert(firstOut.exists { case (_, n, _) => spent + n > 15000L })
+  }
 }
