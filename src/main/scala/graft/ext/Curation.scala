@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The composed training-data curation pipeline — the end-to-end flow the
@@ -134,5 +135,52 @@ object Curation {
         col("seq"), col("chunk_id"))
       .write.partitionBy("split", "shard")
       .mode("overwrite").parquet(dir)
+  }
+
+  /** Filter-funnel accounting — the per-rule drop report every production
+    * curation run logs (cf. Gopher's "% removed by each filter" tables and
+    * Dolma's per-tagger attrition): rules are applied IN ORDER, each
+    * document is attributed to its FIRST failing rule, and the result is
+    * one row per rule with how many docs reached it, how many it dropped,
+    * and how many moved on. `sum(n_dropped) + final n_out = corpus`.
+    *
+    * Scale shape: ONE map-only pass evaluates the whole rule chain per
+    * document (a coalesced CASE — no per-rule passes, no intermediate
+    * materialization), then one hash aggregate over |rules|+1 stage codes.
+    * The funnel arithmetic (windows for totals/running drops) runs on the
+    * |rules|+1-row frame, never on the corpus.
+    *
+    * Output: (stage, rule, n_in, n_dropped, n_out), stage 0-based in rule
+    * order; rules that drop nothing still appear (n_dropped = 0). */
+  def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // first failing rule index; survivors get the sentinel |rules|
+    val stage = coalesce(rules.zipWithIndex.map { case ((_, pred), i) =>
+      when(!pred, lit(i.toLong))
+    } :+ lit(rules.length.toLong): _*)
+    val counts = df.select(stage.as("__stage"))
+      .groupBy(col("__stage")).agg(count(lit(1)).as("__n"))
+    // left-join the rule list (plus the survivor sentinel) so zero-drop
+    // rules keep a row; everything below is |rules|+1 rows
+    val ruleRows = (rules.map(_._1) :+ "__kept__").zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("stage", "rule")
+    val whole = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val before = Window.orderBy(col("stage"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ruleRows.join(counts, col("stage") === col("__stage"), "left")
+      .select(col("stage"), col("rule"),
+        coalesce(col("__n"), lit(0L)).as("__cnt"))
+      .withColumn("__total", sum(col("__cnt")).over(whole))
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(before), lit(0L)))
+      .filter(col("rule") =!= "__kept__")
+      .select(col("stage"), col("rule"),
+        (col("__total") - col("__before")).as("n_in"),
+        col("__cnt").as("n_dropped"),
+        (col("__total") - col("__before") - col("__cnt")).as("n_out"))
   }
 }

@@ -268,6 +268,27 @@ object Sampling {
         when(col("samp_rank") <= col("target_n"), 1L).otherwise(0L))
   }
 
+  /** Leakage-safe train/val/test split — assignment at the duplicate-
+    * CLUSTER level, so no two copies (or near-copies) of a document ever
+    * straddle splits: with per-doc assignment, a train doc's duplicate in
+    * the validation set silently leaks training data into eval. The input
+    * is any clustered frame `(id, clusterCol)` — [[graft.ext.Dedup.exact]]
+    * / [[graft.ext.Dedup.exactByHash]] / [[graft.ext.Dedup.minhash]]
+    * clusters all fit — and the split is [[deterministicSplit]]'s md5
+    * bucketing applied to the CLUSTER id, inherited by every member.
+    * Same portability guarantees as the per-doc split (pure md5, engine-
+    * and layout-independent); map-only over the clustered frame, so it
+    * adds zero shuffles beyond whatever clustering produced the input.
+    *
+    * Output: the input frame + `split`, every cluster wholly inside one
+    * split. */
+  def leakageSafeSplit(clustered: DataFrame,
+                       clusterCol: String = "cluster_id"): DataFrame =
+    clustered.withColumn("split",
+      when(md5Bucket(col(clusterCol)) <= 13, "train")
+        .when(md5Bucket(col(clusterCol)) === 14, "val")
+        .otherwise("test"))
+
   /** Exact token-budget selection — "take the best documents until the
     * token budget is spent", the final cut of a curation pipeline sizing a
     * training set to a target token count. Documents are ordered by

@@ -734,6 +734,28 @@ object ExtensionQueries {
            | ELSE 'train' END AS split FROM documents"""
       .stripMargin.replace("\n", "")))
 
+  /** Leakage-safe split ([[graft.ext.Sampling.leakageSafeSplit]]): split
+    * assignment at the exact-duplicate-cluster level — every copy of a
+    * document inherits the md5 bucket of its cluster's canonical id, so no
+    * duplicate ever straddles train/eval. Clusters here come from
+    * [[graft.ext.Dedup.exact]] on the text (oracle-portable: GROUP BY
+    * text); the same function takes minhash clusters for near-dup-safe
+    * assignment (engine-specific clusters → covered by spec, not oracle).
+    */
+  val leakageSplit = Q(
+    "q_x_leakage_split",
+    "Leakage-safe split: md5 bucket of the dup-cluster canonical id",
+    (s, dir) => graft.ext.Sampling.leakageSafeSplit(
+        Dedup.exact(Sources.table(s, dir, "documents"), "doc_id", Seq("text")))
+      .select(col("doc_id"), col("cluster_id"), col("split")),
+    Some("""WITH cl AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+           |   FROM documents)
+           | SELECT doc_id, cluster_id, CASE
+           | WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) = 'e' THEN 'val'
+           | WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) = 'f' THEN 'test'
+           | ELSE 'train' END AS split FROM cl"""
+      .stripMargin.replace("\n", "")))
+
   // ------------------------------------------------------------- text --
 
   /** Token counting: whitespace + BPE-ish regex tokens. */
@@ -1523,7 +1545,7 @@ object ExtensionQueries {
     resampleFfill, embNearDup,
     embNearDupExact, sourceSignature, sourceOverlapExact, annBruteForce,
     annLsh, annIvf, asofJoin,
-    asofNative, rangeJoin, trainSplit,
+    asofNative, rangeJoin, trainSplit, leakageSplit,
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,

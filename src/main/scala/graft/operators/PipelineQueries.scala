@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.IncrementalAgg
-import graft.ext.{Packing, Sampling}
+import graft.ext.{Curation, Packing, Sampling, TextAnalysis}
 import graft.sources.Sources
 
 /** Training-data layout operators — the steps between a curated corpus and
@@ -230,6 +230,51 @@ object PipelineQueries {
            | SELECT doc_id, n_tokens, quality_score_bp FROM c WHERE cum <= 15000"""
       .stripMargin.replace("\n", "")))
 
+  /** Filter-funnel accounting ([[graft.ext.Curation.filterFunnel]]): the
+    * per-rule attrition report of a curation run — each doc attributed to
+    * its first failing rule in one map pass, funnel arithmetic on the
+    * |rules|+1-row stage histogram. Rules chosen so every stage drops at
+    * the gate SFs (the report is live, not vacuously zero). */
+  val filterFunnelQ = Q(
+    "q_x_filter_funnel",
+    "Curation filter funnel: per-rule reached/dropped/survived counts",
+    (s, dir) => {
+      val mtl = length(regexp_replace(col("text"), " ", "")).cast("double") /
+        greatest(size(split(col("text"), " ", -1)).cast("long"), lit(1L))
+      Curation.filterFunnel(t(s, dir, "documents"), Seq(
+        "min_tokens" -> (size(split(col("text"), " ", -1)) >= 40),
+        "lang_en" -> (col("lang") === "en"),
+        "mean_tok_len" -> mtl.between(4.0, 4.8),
+        "quality" ->
+          (TextAnalysis.qualityScoreBp(col("text")) >= 8200L)))
+    },
+    Some("""WITH f AS (SELECT CASE
+           | WHEN NOT (len(string_split(text, ' ')) >= 40) THEN 0
+           | WHEN NOT (lang = 'en') THEN 1
+           | WHEN NOT ((length(replace(text, ' ', '')) * 1.0
+           |   / greatest(len(string_split(text, ' ')), 1)) BETWEEN 4.0 AND 4.8) THEN 2
+           | WHEN NOT ((CAST(floor(4000.0 * least(len(string_split(text, ' ')), 64) / 64.0) AS BIGINT)
+           |   + CAST(floor(3000.0 * least(5 * len(list_filter(string_split(text, ' '), t -> t IN
+           |     ('the','a','an','of','to','and','in','is','it','for','on','with','as','at','by','be'))),
+           |     len(string_split(text, ' '))) / greatest(len(string_split(text, ' ')), 1)) AS BIGINT)
+           |   + (CASE WHEN (length(replace(text, ' ', '')) * 1.0
+           |     / greatest(len(string_split(text, ' ')), 1)) BETWEEN 3.0 AND 10.0
+           |     THEN 3000 ELSE 0 END)) >= 8200) THEN 3
+           | ELSE 4 END AS stage FROM documents),
+           | c AS (SELECT stage, count(*) AS n FROM f GROUP BY 1),
+           | r AS (SELECT * FROM (VALUES (0, 'min_tokens'), (1, 'lang_en'),
+           |   (2, 'mean_tok_len'), (3, 'quality'), (4, '__kept__')) AS t(stage, rule)),
+           | j AS (SELECT r.stage, r.rule, coalesce(c.n, 0) AS cnt
+           |   FROM r LEFT JOIN c ON r.stage = c.stage),
+           | w AS (SELECT stage, rule, cnt, sum(cnt) OVER () AS total,
+           |   coalesce(sum(cnt) OVER (ORDER BY stage
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM j)
+           | SELECT CAST(stage AS BIGINT) AS stage, rule,
+           |   CAST(total - bef AS BIGINT) AS n_in, CAST(cnt AS BIGINT) AS n_dropped,
+           |   CAST(total - bef - cnt AS BIGINT) AS n_out
+           | FROM w WHERE rule <> '__kept__'""".stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(corpusShuffle, domainBalance, domainQuotaExactQ,
-    domainTemperature, tokenBudget, seqPack, mixtureEpochs, incrementalAgg)
+    domainTemperature, tokenBudget, filterFunnelQ, seqPack, mixtureEpochs,
+    incrementalAgg)
 }

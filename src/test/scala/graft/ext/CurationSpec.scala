@@ -117,4 +117,49 @@ class CurationSpec extends AnyFunSuite {
     assert(hits.isEmpty)
     assert(r.chunks.filter($"chunk".contains("<EMAIL>")).count() > 0)
   }
+
+  test("filterFunnel: first-fail attribution, conservation, zero-drop rows") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    // doc 1 fails rules 0 AND 1 → attributed to 0 only; doc 2 fails only
+    // rule 1; doc 3 fails rule 2; docs 4-5 survive; rule 3 drops nothing
+    val df = Seq(
+      (1L, 2, "x"), (2L, 50, "x"), (3L, 80, "en"),
+      (4L, 50, "en"), (5L, 55, "en")
+    ).toDF("id", "n", "lang")
+      .withColumn("ok3", lit(true))
+    val out = Curation.filterFunnel(df, Seq(
+        "min_n" -> (col("n") >= 10),
+        "lang_en" -> (col("lang") === "en"),
+        "n_cap" -> (col("n") <= 55),
+        "always" -> col("ok3")))
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("min_n") == ((0L, 5L, 1L, 4L)))
+    assert(out("lang_en") == ((1L, 4L, 1L, 3L)))
+    assert(out("n_cap") == ((2L, 3L, 1L, 2L)))
+    assert(out("always") == ((3L, 2L, 0L, 2L))) // zero-drop rule kept
+    // conservation: drops + final survivors = corpus
+    assert(out.values.map(_._3).sum + out("always")._4 == 5L)
+  }
+
+  test("filterFunnel: funnel counts equal sequential filtering") {
+    import org.apache.spark.sql.functions._
+    val docs = Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val rules = Seq(
+      "min_tokens" -> (size(split(col("text"), " ", -1)) >= 40),
+      "lang_en" -> (col("lang") === "en"),
+      "quality" -> (TextAnalysis.qualityScoreBp(col("text")) >= 8200L))
+    val funnel = Curation.filterFunnel(docs, rules)
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // reference: apply the same rules one at a time
+    var cur = docs
+    for ((name, pred) <- rules) {
+      val before = cur.count()
+      cur = cur.filter(pred)
+      assert(funnel(name) == ((before, before - cur.count())), name)
+    }
+  }
 }

@@ -245,6 +245,26 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeSplit: no cluster straddles splits, incl. near-dups") {
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    // near-dup clusters (the hard case: members differ textually, so a
+    // per-doc md5 split WOULD scatter them across splits)
+    val clusters = Dedup.minhash(docs, "doc_id", "text")
+    val out = Sampling.leakageSafeSplit(clusters)
+    val perCluster = out.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("k"), count(lit(1)).as("n"))
+    assert(perCluster.filter(col("k") =!= 1L).count() == 0L)
+    // the invariant is non-vacuous: multi-member clusters exist
+    assert(perCluster.filter(col("n") > 1L).count() > 0L)
+    // and the per-doc split really would leak: some multi-member cluster
+    // has members whose OWN md5 buckets differ from the cluster's
+    val perDoc = Sampling.deterministicSplit(out, "doc_id")
+      .withColumnRenamed("split", "split2")
+    assert(out.join(perDoc.select(col("doc_id"), col("split2")), "doc_id")
+      .filter(col("split") =!= col("split2")).count() > 0L)
+  }
+
   test("tokenBudgetSelect: layout-independent, exact token accounting") {
     val docs = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "documents")
