@@ -318,10 +318,10 @@ object Sampling {
     * collected to the driver — the bounded-collect pattern of
     * [[graft.ext.Similarity]]'s centroid training — so the final
     * selection is a pure map filter with literal thresholds, no join.
-    * Cost is four map-only corpus scans of a 3-column projection (at
-    * 100 TB you would materialize the (id, tokens, score) projection —
-    * ~24 B/row — once and run the levels against it; the recompute keeps
-    * this function self-contained).
+    * The (id, tokens, score) projection — ~24 B/row, text dropped — is
+    * materialized once (localCheckpoint, the repo's multiply-consumed-
+    * frame convention), so the corpus TEXT is scanned and scored exactly
+    * once; the four level passes run against the tiny projection.
     *
     * Output: (idCol, n_tokens, quality_score_bp) of selected docs. */
   def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
@@ -331,6 +331,7 @@ object Sampling {
     val scored = df.select(col(idCol),
       size(split(col(textCol), " ", -1)).cast("long").as("n_tokens"),
       TextAnalysis.qualityScoreBp(col(textCol)).as("quality_score_bp"))
+      .localCheckpoint(true) // one text scan; levels run on 24 B/row
     // level 1: score histogram, cumulative by score descending
     val wScore = Window.orderBy(col("__s").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
