@@ -200,4 +200,32 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("top")).as(Seq("r0", "s")))
       .select(col("vec_id"), (col("r0") + 1).cast("long").as("rank"),
         col("s.neighbor_id").as("neighbor_id"), col("s.cos").as("cos"))
+
+  /** Per-label embedding sufficient statistics — the exact centroid /
+    * variance aggregate behind embedding-space QA (are a label's vectors
+    * tight? did a data push shift a class centroid?): for every
+    * (label, dimension), the count, sum, and sum of squares of the
+    * micro-quantized components. Mean and variance derive directly
+    * (s/n; ss/n − (s/n)²); emitting the integer sufficient statistics
+    * instead of the float moments is what makes the aggregate EXACT and
+    * engine/layout-portable — float summation is order-dependent, but
+    * `round(x·10⁶)` longs add associatively, so any partial-aggregation
+    * tree yields bit-identical output (the [[graft.operators.ExactMoney]]
+    * argument, applied to vectors).
+    *
+    * Scale shape: one map-only explode (64 int rows per vector), one hash
+    * aggregate over |labels|·dim cells — partial aggregation collapses
+    * everything map-side, the exchange carries only |tasks|·cells rows.
+    * Long sums hold to ~10¹² vectors per label (q ≤ 10⁶·|x|, q² ≤ 10¹¹·x²);
+    * past that the accumulators become DECIMAL(38,0) — same plan. */
+  def labelStats(emb: DataFrame, vecCol: String, labelCol: String)
+      : DataFrame = {
+    val q = round(col("__x").cast("double") * 1e6).cast("long")
+    emb.select(col(labelCol).cast("long").as(labelCol),
+        posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .select(col(labelCol), col("__d").cast("long").as("dim"), q.as("__q"))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("__q")).as("sum_micros"),
+        sum(col("__q") * col("__q")).as("sumsq_micros2"))
+  }
 }

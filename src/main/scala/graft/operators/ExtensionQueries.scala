@@ -1373,6 +1373,25 @@ object ExtensionQueries {
     * cluster profile. Engine-specific centroid values → rows-only; the
     * clustering quality/determinism is spec-pinned (SimilaritySpec:
     * planted-cluster purity + layout-independent assignment). */
+  /** Per-label embedding sufficient statistics ([[graft.ext.Similarity
+    * .labelStats]]): exact integer (n, Σq, Σq²) per (label, dim) over the
+    * micro-quantized components — the first hash-ORACLED aggregate over
+    * the embeddings table (the ANN/k-means family is rows-only by
+    * nature). DuckDB zips parallel unnests to mirror posexplode. */
+  val labelStatsQ = Q(
+    "q_x_label_stats",
+    "Exact per-(label, dim) embedding moments (micro-quantized)",
+    (s, dir) => Similarity.labelStats(
+      Sources.table(s, dir, "embeddings"), "embedding", "label"),
+    Some("""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+           |   unnest(range(0, len(embedding))) AS dim,
+           |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+           | FROM embeddings)
+           | SELECT label, CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+           |   CAST(sum(q) AS BIGINT) AS sum_micros,
+           |   CAST(sum(q * q) AS BIGINT) AS sumsq_micros2
+           | FROM e GROUP BY label, dim""".stripMargin.replace("\n", "")))
+
   val kmeansSizes = Q(
     "q_x_kmeans_sizes",
     "K-means cluster profile: size and mean intra-cluster id per cell",
@@ -1551,6 +1570,7 @@ object ExtensionQueries {
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     corpusReport, jsonProps,
     multimodal, imagePhash, tfidfTop1, bm25Top1,
-    tfidfCappedTop1, bm25CappedTop1, dupSpans, segDedup, kmeansSizes,
+    tfidfCappedTop1, bm25CappedTop1, dupSpans, segDedup, labelStatsQ,
+    kmeansSizes,
     pseudonymize, pplBuckets, vocabCoverage, vocabGrowth, heavyHitters)
 }

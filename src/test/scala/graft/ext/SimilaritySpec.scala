@@ -105,4 +105,35 @@ class SimilaritySpec extends AnyFunSuite {
       .map(_.map(_.getLong(1)).sorted.toSeq)
     assert(ranks.forall(_ == Seq(1L, 2L, 3L)))
   }
+
+  test("labelStats: exact moments match driver arithmetic, layout-free") {
+    import org.apache.spark.sql.functions._
+    val raw = emb.collect()
+      .map(r => r.getInt(2) -> r.getSeq[Float](1).toArray)
+    val stats = Similarity.labelStats(emb, "embedding", "label")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // brute-force reference: identical quantization on the driver
+    val expected = raw.flatMap { case (lab, v) =>
+      v.zipWithIndex.map { case (x, d) =>
+        (lab, d.toLong) -> math.round(x.toDouble * 1e6)
+      }
+    }.groupBy(_._1).map { case (k, qs0) =>
+      val qs = qs0.map(_._2)
+      k -> ((qs.length.toLong, qs.sum, qs.map(q => q * q).sum))
+    }
+    assert(stats == expected)
+    // variance non-negative in every cell: n·Σq² ≥ (Σq)²
+    assert(stats.values.forall { case (n, s, ss) =>
+      BigInt(n) * BigInt(ss) >= BigInt(s) * BigInt(s) })
+    // layout-independent (bit-exact, not approximately)
+    val re = Similarity.labelStats(
+        Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+          .repartition(17), "embedding", "label")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(re == stats)
+  }
 }
