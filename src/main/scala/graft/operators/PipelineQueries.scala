@@ -274,7 +274,40 @@ object PipelineQueries {
            |   CAST(total - bef - cnt AS BIGINT) AS n_out
            | FROM w WHERE rule <> '__kept__'""".stripMargin.replace("\n", "")))
 
+  /** Snapshot diff ([[graft.etl.Maintenance.snapshotDiff]]): the dataset-
+    * versioning audit — per id added/removed/changed/unchanged between two
+    * corpus versions via one full outer hash join. The "v2" snapshot is
+    * derived deterministically in BOTH engines (drop ids ≡0 mod 7, append
+    * " v2" to texts of ids ≡0 mod 11, re-add ids ≡0 mod 13 under id+10⁷),
+    * so every status value occurs at every gate SF. */
+  val snapshotDiffQ = Q(
+    "q_x_snapshot_diff",
+    "Snapshot diff: added/removed/changed/unchanged between two versions",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      graft.etl.Maintenance.snapshotDiff(docs, v2, "doc_id", Seq("text"))
+    },
+    Some("""WITH v2 AS (
+           | SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+           |   FROM documents WHERE doc_id % 7 <> 0
+           | UNION ALL
+           | SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+           | o AS (SELECT doc_id, text AS o_text, true AS in_o FROM documents),
+           | n AS (SELECT doc_id, text AS n_text, true AS in_n FROM v2)
+           | SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, CASE
+           | WHEN coalesce(in_o, false) AND NOT coalesce(in_n, false) THEN 'removed'
+           | WHEN NOT coalesce(in_o, false) THEN 'added'
+           | WHEN o_text IS NOT DISTINCT FROM n_text THEN 'unchanged'
+           | ELSE 'changed' END AS status
+           | FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(corpusShuffle, domainBalance, domainQuotaExactQ,
     domainTemperature, tokenBudget, filterFunnelQ, seqPack, mixtureEpochs,
-    incrementalAgg)
+    incrementalAgg, snapshotDiffQ)
 }

@@ -167,4 +167,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(fs.listStatus(parent).map(_.getPath.getName)
       .forall(n => n == "t"))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged with null-safe content") {
+    val spark0 = spark
+    import spark0.implicits._
+    val old = Seq(
+      (1L, Some("a"), Some(10)),             // unchanged
+      (2L, Some("b"), Some(20)),             // changed (2nd content col)
+      (3L, Option.empty[String], Some(30)),  // NULL -> NULL : unchanged
+      (4L, Some("d"), Some(40)),             // removed
+      (5L, Option.empty[String], Some(50))   // NULL -> value : changed
+    ).toDF("id", "txt", "n")
+    val neu = Seq(
+      (1L, Some("a"), Some(10)),
+      (2L, Some("b"), Some(21)),
+      (3L, Option.empty[String], Some(30)),
+      (5L, Some("e"), Some(50)),
+      (6L, Some("f"), Some(60))              // added
+    ).toDF("id", "txt", "n")
+    val got = Maintenance.snapshotDiff(old, neu, "id", Seq("txt", "n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "changed", 6L -> "added"))
+  }
 }
