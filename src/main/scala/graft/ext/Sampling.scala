@@ -385,4 +385,33 @@ object Sampling {
     val out = Seq(col(idCol), col("n_tokens"), col("quality_score_bp"))
     base.select(out: _*).unionByName(cell.select(out: _*))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    * each row gets key uᵢ^(1/wᵢ) with uᵢ uniform, and the k largest keys
+    * are exactly a weight-proportional without-replacement sample. Here
+    * uᵢ is the 48-bit md5 prefix of the id — the repo's portable,
+    * layout-independent uniform — so the sample is reproducible across
+    * runs AND engines, and the ranking uses the monotone ln(uᵢ)/wᵢ
+    * transform (no pow, one log).
+    *
+    * Scale shape: map-only key computation + `orderBy(...).limit(k)` =
+    * TakeOrderedAndProject — a per-partition bounded heap, never a global
+    * sort. At 100 TB this moves k rows per partition to the driver-side
+    * merge, nothing else. Ties (md5 prefix collisions) break by id.
+    *
+    * Output: the input columns of the k selected rows. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 0, s"k $k must be >= 0")
+    // u in (0,1): (h + 0.5) / 2^48 where h is the first 12 md5 hex digits
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double")
+    val key = log((h + lit(0.5)) / lit(Math.pow(2.0, 48))) /
+      col(weightCol).cast("double")
+    df.withColumn("__es_key", key)
+      .orderBy(col("__es_key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__es_key")
+  }
 }

@@ -382,7 +382,75 @@ object AnalyticsQueries {
            |   > 4 * (CAST(s2 AS HUGEINT) * n - CAST(s AS HUGEINT) * s)"""
       .stripMargin.replace("\n", "")))
 
+  /** SCD Type-2 history build ([[graft.ext.Scd2.buildHistory]]): customer
+    * tier (gold = purchase value ≥ 50) as a versioned dimension with
+    * half-open `[valid_from_us, valid_to_us)` intervals. The reference
+    * warehouse overwrites `users.level` in place
+    * (create_tables.py:15 — current-state only); this is the standard
+    * SCD2 answer. One exchange on user_id, window-only. */
+  val scd2Build = Q(
+    "q_x_scd2_build",
+    "SCD2 dimension history: tier versions with validity intervals",
+    (s, dir) => graft.ext.Scd2.buildHistory(
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .withColumn("tier",
+          when(col("value") >= 50, "gold").otherwise("basic")),
+      "user_id", "ts", "event_id", "tier"),
+    Some("""WITH p AS (SELECT user_id, ts, event_id,
+           |   CASE WHEN value >= 50 THEN 'gold' ELSE 'basic' END AS tier
+           | FROM events WHERE event_type = 'purchase'),
+           | c AS (SELECT *, lag(tier) OVER
+           |   (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM p),
+           | ch AS (SELECT user_id, ts, event_id, tier FROM c
+           |   WHERE prev IS NULL OR prev <> tier)
+           | SELECT user_id, tier, epoch_us(ts) AS valid_from_us,
+           |   lead(epoch_us(ts)) OVER
+           |     (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+           |   CAST(row_number() OVER
+           |     (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           |     AS version
+           | FROM ch""".stripMargin.replace("\n", "")))
+
+  /** Point-in-time dimension lookup ([[graft.ext.Scd2.pointInTime]]):
+    * every click is attributed to the tier ACTIVE AT ITS TIMESTAMP, not
+    * the user's current tier. Engine side is join-free (union + one
+    * running window per user — O(facts+versions), whale-safe); the oracle
+    * independently implements the textbook interval LEFT JOIN, so the two
+    * formulations verify each other. Clicks before the first purchase get
+    * 'unknown'. */
+  val scd2Lookup = Q(
+    "q_x_scd2_lookup",
+    "SCD2 point-in-time lookup: tier active at each click's timestamp",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val obs = ev.filter(col("event_type") === "purchase")
+        .withColumn("tier",
+          when(col("value") >= 50, "gold").otherwise("basic"))
+      graft.ext.Scd2.pointInTime(
+        ev.filter(col("event_type") === "click"), obs,
+        "user_id", "ts", "event_id", "tier", Seq("event_id", "user_id"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("tier"), lit("unknown")).as("tier"))
+    },
+    Some("""WITH p AS (SELECT user_id, ts, event_id,
+           |   CASE WHEN value >= 50 THEN 'gold' ELSE 'basic' END AS tier
+           | FROM events WHERE event_type = 'purchase'),
+           | c AS (SELECT *, lag(tier) OVER
+           |   (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM p),
+           | dim AS (SELECT user_id, tier, epoch_us(ts) AS vf,
+           |     lead(epoch_us(ts)) OVER
+           |       (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+           |   FROM c WHERE prev IS NULL OR prev <> tier),
+           | f AS (SELECT event_id, user_id, epoch_us(ts) AS fts
+           |   FROM events WHERE event_type = 'click')
+           | SELECT f.event_id, f.user_id,
+           |   coalesce(d.tier, 'unknown') AS tier
+           | FROM f LEFT JOIN dim d ON f.user_id = d.user_id
+           |   AND f.fts >= d.vf AND (d.vt IS NULL OR f.fts < d.vt)"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
-    sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly)
+    sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
+    scd2Build, scd2Lookup)
 }

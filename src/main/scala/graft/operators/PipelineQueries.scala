@@ -307,7 +307,29 @@ object PipelineQueries {
            | FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
       .stripMargin.replace("\n", "")))
 
+  /** Weighted sampling without replacement ([[graft.ext.Sampling
+    * .weightedSample]]): Efraimidis-Spirakis keys on the portable 48-bit
+    * md5 uniform, weight = n_chars (longer docs proportionally likelier).
+    * Engine plan is TakeOrderedAndProject (bounded heap per partition, no
+    * global sort); the oracle recomputes the identical ln(u)/w key in
+    * DuckDB and takes the same top-k, so selection is verified
+    * end-to-end, not just cardinality. The float key itself is never
+    * emitted (hash-stability rule) — only the selected (doc_id, n_chars). */
+  val weightedSampleQ = Q(
+    "q_x_weighted_sample",
+    "Efraimidis-Spirakis weighted sample: top-100 by ln(u)/w, w = n_chars",
+    (s, dir) => Sampling.weightedSample(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", 100),
+    Some(s"""SELECT doc_id, n_chars FROM (
+           | SELECT doc_id, n_chars,
+           |   ln((CAST('0x' || substring($md5Doc, 1, 12) AS BIGINT) + 0.5)
+           |       / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS k
+           | FROM documents
+           | ORDER BY k DESC, doc_id LIMIT 100)"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(corpusShuffle, domainBalance, domainQuotaExactQ,
     domainTemperature, tokenBudget, filterFunnelQ, seqPack, mixtureEpochs,
-    incrementalAgg, snapshotDiffQ)
+    incrementalAgg, snapshotDiffQ, weightedSampleQ)
 }

@@ -285,4 +285,25 @@ class SamplingSpec extends AnyFunSuite {
     val firstOut = all.find { case (id, _, _) => !selA.contains(id) }
     assert(firstOut.exists { case (_, n, _) => spent + n > 15000L })
   }
+
+  test("weightedSample: exact k, deterministic, weight-monotone in expectation") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two weight classes: heavy (w=1000) ids 0-99, light (w=10) ids 100-999
+    val df = ((0L until 100L).map((_, 1000L)) ++
+      (100L until 1000L).map((_, 10L))).toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", 200)
+      .collect().map(_.getLong(0)).sorted
+    assert(s1.length == 200)
+    // deterministic under a different physical layout
+    val s2 = Sampling.weightedSample(df.repartition(7), "id", "w", 200)
+      .collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2))
+    // heavy items are 100x likelier per unit: with total weight
+    // 100k + 9k, a 200-draw E-S sample keeps nearly all 100 heavy ids
+    val nHeavy = s1.count(_ < 100L)
+    assert(nHeavy > 80, s"expected heavy class to dominate, got $nHeavy/100")
+    // k >= n degenerates to the full set
+    assert(Sampling.weightedSample(df, "id", "w", 5000).count() == 1000L)
+  }
 }
