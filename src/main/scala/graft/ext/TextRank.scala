@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TextRank keyword extraction (Mihalcea & Tarau, "TextRank: Bringing
+  * Order into Texts", EMNLP 2004): PageRank over the word co-occurrence
+  * graph. Nodes are words, edges are adjacent-token pairs weighted by
+  * corpus frequency (symmetrized, self-loops dropped), and the stationary
+  * importance is approximated with a FIXED number of damped power
+  * iterations — fixed so the result is a deterministic, oracle-checkable
+  * function of the corpus rather than of a convergence test's float
+  * epsilon.
+  *
+  * Scale shape: the edge list is a bigram aggregate (vocab²-bounded,
+  * corpus-bounded in practice) built once and localCheckpoint-ed; each
+  * iteration is ONE hash join of the vocab-sized rank frame against the
+  * edge list plus one re-aggregation — all linear in |edges| per
+  * iteration, nothing accumulates across iterations (the loop re-binds a
+  * vocab-sized frame, never grows a plan over the corpus). Ranks
+  * round-trip through localCheckpoint each iteration to keep the lineage
+  * flat. No driver-side state beyond the node count.
+  *
+  * Update rule (normalized PageRank form, no dangling mass — every node
+  * of a symmetrized edge list has outgoing weight):
+  *   r₀(v)    = 1/N
+  *   rₜ₊₁(v) = (1-d)/N + d · Σ_{(u,v)∈E} rₜ(u) · w(u,v) / outw(u)
+  */
+object TextRank {
+
+  /** Symmetrized weighted co-occurrence edges (u, v, n) from whitespace
+    * tokens of textCol: one row per ordered pair, self-loops dropped. */
+  def cooccurrenceEdges(df: DataFrame, textCol: String): DataFrame = {
+    val toks = df
+      .select(filter(split(col(textCol), " ", -1), x => x =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = toks
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    bigrams.select(col("w1").as("u"), col("w2").as("v"), col("n"))
+      .unionByName(bigrams.select(col("w2").as("u"), col("w1").as("v"),
+        col("n")))
+      .groupBy(col("u"), col("v")).agg(sum(col("n")).as("n"))
+  }
+
+  /** Word ranks after `iterations` damped power steps over the
+    * co-occurrence graph of textCol. Output: (word, rank) — rank is the
+    * raw double; callers emitting it across engines should round. */
+  def wordRanks(df: DataFrame, textCol: String, damping: Double = 0.85,
+                iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(damping > 0 && damping < 1, s"damping $damping outside (0,1)")
+    val edges = cooccurrenceEdges(df, textCol)
+      .localCheckpoint(true) // built once; every iteration re-reads it
+    val deg = edges.groupBy(col("u")).agg(sum(col("n")).as("outw"))
+    val withNorm = edges.join(deg, "u")
+      .select(col("u"), col("v"),
+        (col("n").cast("double") / col("outw")).as("wn"))
+      .localCheckpoint(true)
+    val n = deg.count() // vocab size — the only driver-side value
+    var ranks = deg.select(col("u").as("word"),
+      lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iterations) {
+      ranks = withNorm
+        .join(ranks, withNorm("u") === ranks("word"))
+        .groupBy(col("v"))
+        .agg(sum(col("rank") * col("wn")).as("__c"))
+        .select(col("v").as("word"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("__c")).as("rank"))
+        .localCheckpoint(true) // vocab-sized; keeps lineage flat
+    }
+    ranks
+  }
+
+  /** Top-k keywords with engine-portable scores: rank scaled to parts-per-
+    * million and rounded to 2 dp, ORDERED ON THE ROUNDED VALUE (word
+    * tie-break) so cross-engine float-sum jitter can't flip the k-th
+    * place. */
+  def topKeywords(df: DataFrame, textCol: String, k: Int,
+                  damping: Double = 0.85, iterations: Int = 3): DataFrame =
+    wordRanks(df, textCol, damping, iterations)
+      .select(col("word"),
+        round(col("rank") * 1e6, 2).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("word"))
+      .limit(k)
+}

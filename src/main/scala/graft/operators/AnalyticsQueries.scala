@@ -449,8 +449,48 @@ object AnalyticsQueries {
            |   AND f.fts >= d.vf AND (d.vt IS NULL OR f.fts < d.vt)"""
       .stripMargin.replace("\n", "")))
 
+  /** TextRank keywords ([[graft.ext.TextRank]]): damped PageRank over the
+    * word co-occurrence graph, 3 fixed power iterations — the repo's
+    * iterative-graph operator beyond connected components. The oracle
+    * unrolls the same three iterations as DuckDB CTEs; both sides rank on
+    * the ppm-rounded score (word tie-break) so cross-engine float-sum
+    * jitter cannot flip the k-th place. */
+  val textrank = Q(
+    "q_x_textrank",
+    "TextRank keywords: top-20 words by 3-iteration damped PageRank",
+    (s, dir) => graft.ext.TextRank.topKeywords(
+      t(s, dir, "documents"), "text", 20),
+    Some("""WITH t AS (SELECT list_filter(string_split(text, ' '),
+           |     x -> x <> '') AS toks FROM documents),
+           | b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           |   FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+           |   WHERE len(toks) >= 2),
+           | e0 AS (SELECT w1, w2, count(*) AS n FROM b
+           |   WHERE w1 <> w2 GROUP BY w1, w2),
+           | e AS (SELECT u, v, sum(n) AS n FROM (
+           |     SELECT w1 AS u, w2 AS v, n FROM e0
+           |     UNION ALL SELECT w2 AS u, w1 AS v, n FROM e0)
+           |   GROUP BY u, v),
+           | deg AS (SELECT u, sum(n) AS outw FROM e GROUP BY u),
+           | en AS (SELECT e.u, e.v, CAST(e.n AS DOUBLE) / deg.outw AS wn
+           |   FROM e JOIN deg USING (u)),
+           | nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+           | r0 AS (SELECT u AS word, 1.0 / nv.n AS rank FROM deg, nv),
+           | r1 AS (SELECT en.v AS word,
+           |     0.15 / nv.n + 0.85 * sum(r0.rank * en.wn) AS rank
+           |   FROM en JOIN r0 ON en.u = r0.word, nv GROUP BY en.v, nv.n),
+           | r2 AS (SELECT en.v AS word,
+           |     0.15 / nv.n + 0.85 * sum(r1.rank * en.wn) AS rank
+           |   FROM en JOIN r1 ON en.u = r1.word, nv GROUP BY en.v, nv.n),
+           | r3 AS (SELECT en.v AS word,
+           |     0.15 / nv.n + 0.85 * sum(r2.rank * en.wn) AS rank
+           |   FROM en JOIN r2 ON en.u = r2.word, nv GROUP BY en.v, nv.n)
+           | SELECT word, round(rank * 1000000, 2) AS score_ppm FROM r3
+           | ORDER BY score_ppm DESC, word LIMIT 20"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
     sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
-    scd2Build, scd2Lookup)
+    scd2Build, scd2Lookup, textrank)
 }
