@@ -83,6 +83,7 @@ object ScaleSmokeMain {
       streamSkew(uniform, skewed, only.toSet)
     case "cc" :: skewed :: Nil => ccRun(skewed)
     case "quotaskew" :: dir :: Nil => quotaSkew(dir)
+    case "scd2skew" :: dir :: Nil => scd2Skew(dir)
     case "vocabcensus" :: dir :: Nil => vocabCensus(dir)
     case "xcheck" :: dir :: queries => xcheck(dir, queries)
     case "streamdump" :: dir :: out :: budget :: Nil =>
@@ -109,6 +110,7 @@ object ScaleSmokeMain {
           "mem <srcSfDir> <scaledDir>   (run under a small -Xmx) | " +
           "spill <sfDir> [skewedNxDir]   (run with SPARK_DRIVER_MEM=3g) | " +
           "streamskew <uniformNxDir> <skewedNxDir> [op...] | " +
+          "scd2skew <sfDir>   (whale-user PIT lookup vs interval join) | " +
           "streamdump <nxDir> <outParquetDir> <budget> | " +
           "cc <skewedNxDir> | quotaskew <scaledDir> | vocabcensus <scaledDir>")
       sys.exit(2)
@@ -678,6 +680,78 @@ object ScaleSmokeMain {
     val h = probe("quota heap   (whale)", heapPath)
     val same = w == h
     println(s"[scale-smoke] selection fingerprints ${if (same) "MATCH" else s"DIFFER: window=$w heap=$h"}")
+    spark.stop()
+    if (!same) sys.exit(1)
+  }
+
+  /** SCD2 point-in-time lookup under a whale user: the join-free
+    * union+window formulation ([[graft.ext.Scd2.pointInTime]]) vs the
+    * textbook interval join (equi-join on the key + range predicate). The
+    * interval join's matched-pair enumeration is facts_u × versions_u per
+    * user BEFORE its range filter rejects pairs, so concentrating a third
+    * of all events on one user makes it quadratic in that user's activity
+    * while the union+window path stays O(facts_u + versions_u). Both
+    * outputs are fingerprinted — the asymmetry is cost, not semantics. */
+  private def scd2Skew(dir: String): Unit = {
+    val spark = session()
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val shuffleRec = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskInfo != null) durations.add(te.taskInfo.duration)
+        val m = te.taskMetrics
+        if (m != null) shuffleRec.addAndGet(
+          m.shuffleWriteMetrics.recordsWritten)
+      }
+    })
+    // whale: every third event (by id) is re-keyed to user 0
+    def ev = graft.sources.Sources.table(spark, dir, "events")
+      .withColumn("user_id",
+        when(col("event_id") % 3 === 0, lit(0L)).otherwise(col("user_id")))
+    def obs = ev.filter(col("event_type") === "purchase")
+      .withColumn("tier", when(col("value") >= 50, "gold").otherwise("basic"))
+    def facts = ev.filter(col("event_type") === "click")
+    val nObs = obs.count(); val nFacts = facts.count()
+    val whaleObs = obs.filter(col("user_id") === 0L).count()
+    val whaleFacts = facts.filter(col("user_id") === 0L).count()
+    println(s"[scale-smoke] scd2 whale: $nObs obs / $nFacts facts total, " +
+      s"whale user holds $whaleObs obs / $whaleFacts facts " +
+      s"(pair enumeration ${whaleObs * whaleFacts}%,d for the interval join)")
+    def pitPath = graft.ext.Scd2.pointInTime(facts, obs,
+        "user_id", "ts", "event_id", "tier", Seq("event_id"))
+      .select(col("event_id"), coalesce(col("tier"), lit("unknown")).as("tier"))
+    def joinPath = {
+      val hist = graft.ext.Scd2.buildHistory(obs, "user_id", "ts",
+        "event_id", "tier")
+      val f = facts.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("__fts"))
+      f.join(hist, f("user_id") === hist("user_id") &&
+          f("__fts") >= hist("valid_from_us") &&
+          (hist("valid_to_us").isNull || f("__fts") < hist("valid_to_us")),
+        "left")
+        .select(f("event_id"),
+          coalesce(hist("tier"), lit("unknown")).as("tier"))
+    }
+    // warm pass (file listing, codegen) so probe order doesn't bias
+    pitPath.write.format("noop").mode("overwrite").save()
+    joinPath.write.format("noop").mode("overwrite").save()
+    def probe(label: String, df: => DataFrame): org.apache.spark.sql.Row = {
+      GraftSession.dropCachedBlocks(spark)
+      durations.clear(); shuffleRec.set(0)
+      val t0 = System.nanoTime()
+      val fp = Golden.fingerprint(df).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener drain
+      val (mx, med) = taskStats(durations)
+      println(f"[scale-smoke] $label%-22s: $dt%6.2f s, maxTask ${mx}%6d ms, " +
+        f"medTask ${med}%4d ms, max/med ${maxMedRatio(mx, med)}%5s, " +
+        f"shuffle ${shuffleRec.get()}%,d rows, out ${fp.getLong(0)}%,d")
+      fp
+    }
+    val p = probe("pit union+window", pitPath)
+    val j = probe("pit interval join", joinPath)
+    val same = p == j
+    println(s"[scale-smoke] lookup fingerprints ${if (same) "MATCH" else s"DIFFER: pit=$p join=$j"}")
     spark.stop()
     if (!same) sys.exit(1)
   }
