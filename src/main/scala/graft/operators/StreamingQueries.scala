@@ -298,6 +298,44 @@ object StreamingQueries {
            | count(*) AS n FROM events GROUP BY 1, 2"""
       .stripMargin.replace("\n", "")))
 
+  /** Streaming SCD2 maintenance under the driver gate: the stream folds
+    * purchase-tier observations into versioned history, emitting each
+    * version the moment the change that closes it finalizes under the
+    * watermark. The oracle is the BATCH SCD2 build (`q_x_scd2_build`'s
+    * SQL) restricted to closed versions below the resting watermark —
+    * the same emission contract as `q_s_stream_asof`. Values
+    * (valid_from_us/valid_to_us/version) must be BIT-IDENTICAL to the
+    * batch operator's, not merely the same cardinality. */
+  val streamScd2 = Q(
+    "q_s_stream_scd2",
+    "Streaming SCD2 versions = batch history, closed below the watermark",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream.scd2Stream(src).toDF()
+      runToMemory(s, out, "append", "graft_stream_scd2")
+    },
+    Some("""WITH m AS (SELECT (max(epoch_ms(ts)) - 60000) * 1000 AS wmus
+           |   FROM events),
+           | p AS (SELECT user_id, ts, event_id,
+           |   CASE WHEN value >= 50 THEN 'gold' ELSE 'basic' END AS tier
+           | FROM events WHERE event_type = 'purchase'),
+           | c AS (SELECT *, lag(tier) OVER
+           |   (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM p),
+           | ch AS (SELECT user_id, ts, event_id, tier FROM c
+           |   WHERE prev IS NULL OR prev <> tier),
+           | v AS (SELECT user_id, tier, epoch_us(ts) AS valid_from_us,
+           |   lead(epoch_us(ts)) OVER
+           |     (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+           |   CAST(row_number() OVER
+           |     (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           |     AS version
+           |   FROM ch)
+           | SELECT user_id, tier, valid_from_us, valid_to_us, version
+           | FROM v CROSS JOIN m
+           | WHERE valid_to_us IS NOT NULL AND valid_to_us < m.wmus"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin,
-    streamJoinCapped, streamEnrich, streamSession, streamAsof, streamHeavy)
+    streamJoinCapped, streamEnrich, streamSession, streamAsof, streamHeavy,
+    streamScd2)
 }

@@ -433,6 +433,81 @@ object EventsStream {
     * is the dedup guarantee window, exactly the built-in
     * `dropDuplicatesWithinWatermark` contract). Keys shard across
     * executors by hash, same as the batch groupBy. */
+  /** Current open version + watermark-pending observations — the state of
+    * [[scd2Stream]]. `pending` is horizon-bounded (observations drain as
+    * the watermark passes them); the current version is ONE compact row
+    * per key and is the operator's semantics — a dimension must remember
+    * its current state, exactly like a CDC upsert sink's key row. */
+  final case class Scd2State(curTier: String, curFromUs: Long,
+      version: Long, hasCur: Boolean, pending: List[(Long, Long, String)])
+
+  final case class Scd2Version(user_id: Long, tier: String,
+      valid_from_us: Long, valid_to_us: Long, version: Long)
+
+  /** Streaming SCD2 maintenance — the unbounded-stream counterpart of
+    * [[graft.ext.Scd2.buildHistory]]: per-key attribute observations fold
+    * into versioned history AS THE WATERMARK FINALIZES THEM, emitting each
+    * version row the moment the change that CLOSES it is final (both its
+    * endpoints are then below the watermark, so no late event can alter
+    * it). The still-open current version never emits mid-stream — it is
+    * exactly the row a batch rebuild would emit with NULL `valid_to_us`,
+    * and the resting-watermark oracle models that by keeping only closed
+    * versions (same contract as [[asofAttribution]]'s purchases-below-
+    * watermark cut).
+    *
+    * Consecutive-duplicate collapse, tie order (ts, then tieCol) and the
+    * emitted (valid_from_us, valid_to_us, version) values are IDENTICAL
+    * to the batch operator — EventsStreamSpec pins stream ≡ batch on the
+    * closed set. Observations buffer per key only until the watermark
+    * passes them (EventTimeTimeout wake-ups drain quiet keys), so state =
+    * one current-version row per key + a horizon-bounded buffer. */
+  def scd2Stream(events: DataFrame, watermark: String = "1 minute")
+      : Dataset[Scd2Version] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(ts: java.sql.Timestamp): Long =
+      ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"),
+        when(col("value") >= 50, "gold").otherwise("basic").as("tier"))
+      .as[(Long, java.sql.Timestamp, Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Scd2State, Scd2Version](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state: GroupState[Scd2State]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption
+            .getOrElse(Scd2State("", 0L, 0L, hasCur = false, Nil))
+          if (!state.hasTimedOut)
+            st = st.copy(pending = st.pending :::
+              batch.map(e => (us(e._2), e._1, e._5)).toList)
+          val (ripe, keep) = st.pending.partition(_._1 < wmUs)
+          val out = scala.collection.mutable.ListBuffer.empty[Scd2Version]
+          ripe.sorted.foreach { case (obsUs, _, tier) =>
+            if (!st.hasCur)
+              st = st.copy(curTier = tier, curFromUs = obsUs,
+                version = 1L, hasCur = true)
+            else if (tier != st.curTier) {
+              out += Scd2Version(uid, st.curTier, st.curFromUs, obsUs,
+                st.version)
+              st = st.copy(curTier = tier, curFromUs = obsUs,
+                version = st.version + 1L)
+            }
+          }
+          st = st.copy(pending = keep)
+          state.update(st)
+          if (keep.nonEmpty)
+            // wake when the earliest buffered observation can finalize
+            state.setTimeoutTimestamp(
+              math.max(keep.map(_._1).min / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+      }
+  }
+
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)

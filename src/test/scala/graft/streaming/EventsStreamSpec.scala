@@ -262,6 +262,72 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2: versions emit on close, out-of-order changes buffer") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-scd2")
+    val base = 1700000000000L
+    def writeBatch(name: String,
+                   rows: Seq[(Long, Long, Long, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("scd2-batch")
+      rows.toDF("event_id", "ms", "user_id", "value")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          col("user_id"), lit("purchase").as("event_type"), col("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing
+        .filter(_.getFileName.toString.matches("part-.*\\.parquet"))
+        .findFirst().get()
+      finally listing.close()
+      Files.move(part, dir.resolve(s"$name.parquet"))
+    }
+    // batch 1: basic@B, gold@B+10s, basic@B+20s — all above the watermark
+    writeBatch("b1", Seq((201L, base, 1L, 10.0),
+      (202L, base + 10000, 1L, 100.0), (203L, base + 20000, 1L, 10.0)))
+    val out = EventsStream.scd2Stream(
+      EventsStream.readEvents(spark, dir.toString)).toDF()
+    val q = out.writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("scd2_out").count() == 0,
+        "versions above the watermark must not emit yet")
+      // batch 2: OUT-OF-ORDER gold@B+5s (before every batch-1 change in
+      // event time) plus a far-future basic that finalizes everything.
+      // Correct history is basic[B,B+5s) gold[B+5s,B+20s) basic[B+20s,·)
+      // — provable only if batch-1 observations were buffered, not folded
+      // in arrival order. The trailing basic run (B+20s and the far-
+      // future duplicate) collapses and stays OPEN: never emitted.
+      writeBatch("b2", Seq((204L, base + 5000, 1L, 100.0),
+        (299L, base + 7200000, 1L, 10.0)))
+      q.processAllAvailable()
+      val got = spark.table("scd2_out")
+        .select("user_id", "tier", "valid_from_us", "valid_to_us", "version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._5)
+      assert(got.toSeq == Seq(
+        (1L, "basic", base * 1000, (base + 5000) * 1000, 1L),
+        (1L, "gold", (base + 5000) * 1000, (base + 20000) * 1000, 2L)),
+        s"got ${got.toSeq}")
+    } finally q.stop()
+    // the emitted closed set must be BIT-IDENTICAL to the batch operator's
+    val batchHist = graft.ext.Scd2.buildHistory(
+      spark.read.parquet(dir.toString)
+        .filter(col("event_type") === "purchase")
+        .withColumn("tier",
+          when(col("value") >= 50, "gold").otherwise("basic")),
+      "user_id", "ts", "event_id", "tier")
+      .filter(col("valid_to_us").isNotNull &&
+        col("valid_to_us") < (base + 7200000 - 60000) * 1000)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._5)
+    val streamed = spark.table("scd2_out")
+      .select("user_id", "tier", "valid_from_us", "valid_to_us", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._5)
+    assert(batchHist.toSeq == streamed.toSeq)
+  }
+
   /** Shared fixture writer for the custom-batch stateful-op tests: one
     * parquet file per micro-batch, rows as (event_id, epoch_ms, user_id,
     * event_type). */
