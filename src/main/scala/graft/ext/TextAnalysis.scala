@@ -456,4 +456,44 @@ object TextAnalysis {
           .as("jaccard"),
         round(col("n_common") / col("na"), 3).as("containment_a"))
   }
+
+  /** Per-source distribution drift: KL(P_source ‖ P_corpus) over the
+    * unigram distributions, in milli-nats — the mixture-monitoring signal
+    * a training pipeline tracks to catch a domain whose language shifted
+    * away from (or collapsed into) the corpus blend. KL is computed from
+    * EXACT integer counts:
+    *   KL(Pₛ‖P) = Σ_w (c_sw/Nₛ) · ln(c_sw · N / (Nₛ · c_w))
+    * so both engines evaluate the same closed form per (source, word) and
+    * the only float sensitivity is ln/sum jitter — absorbed by the 2 dp
+    * milli-nat rounding (jitter ~1e-10 mnat). Zero-probability terms
+    * cannot occur: every source word is a corpus word.
+    *
+    * Scale shape: ONE corpus-sized exchange (the (source, word) count);
+    * everything after runs on the |sources|·|vocab|-bounded count table —
+    * word totals re-aggregate from it (the corpus text is tokenized
+    * exactly once) and join back on the word key. No window, no explode
+    * beyond the token stream, no driver state. */
+  def sourceDivergence(df: DataFrame, srcCol: String, textCol: String)
+      : DataFrame = {
+    val sw = df
+      .select(col(srcCol).as("source"),
+        explode(filter(split(col(textCol), " ", -1), x => x =!= ""))
+          .as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(true) // consumed three times below
+    val perWord = sw.groupBy(col("word")).agg(sum(col("c_sw")).as("c_w"))
+    val perSrc = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val total = perSrc.agg(sum(col("n_s"))).head().getLong(0)
+    sw.join(perWord, "word")
+      .join(broadcast(perSrc), "source")
+      .groupBy(col("source"))
+      .agg(
+        first(col("n_s")).as("n_tokens"),
+        sum((col("c_sw") / col("n_s")) *
+          log((col("c_sw") * lit(total.toDouble)) /
+            (col("n_s") * col("c_w")))).as("__kl"))
+      .select(col("source"), col("n_tokens"),
+        round(col("__kl") * 1000, 2).as("kl_mnat"))
+  }
 }

@@ -1110,6 +1110,30 @@ object ExtensionQueries {
            | FROM documents GROUP BY source"""
       .stripMargin.replace("\n", "")))
 
+  /** Per-source KL drift ([[graft.ext.TextAnalysis.sourceDivergence]]):
+    * the mixture-monitoring divergence of each source's unigram
+    * distribution from the corpus blend, exact closed form over integer
+    * counts, 2 dp milli-nats. One corpus-sized exchange; the rest runs on
+    * the |sources|·|vocab| count table. */
+  val sourceDivergenceQ = Q(
+    "q_x_source_divergence",
+    "Per-source unigram KL(P_source || P_corpus) drift report, milli-nats",
+    (s, dir) => TextAnalysis.sourceDivergence(
+      Sources.table(s, dir, "documents"), "source", "text"),
+    Some("""WITH sw AS (SELECT source, w AS word, count(*) AS c_sw
+           |   FROM (SELECT source, unnest(list_filter(string_split(text, ' '),
+           |     x -> x <> '')) AS w FROM documents)
+           |   GROUP BY source, word),
+           | pw AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY word),
+           | ps AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY source),
+           | n AS (SELECT sum(c_sw) AS total FROM sw)
+           | SELECT sw.source, CAST(any_value(ps.n_s) AS BIGINT) AS n_tokens,
+           |   round(1000 * sum((c_sw / ps.n_s)
+           |     * ln(c_sw * n.total / (ps.n_s * pw.c_w))), 2) AS kl_mnat
+           | FROM sw JOIN pw USING (word) JOIN ps USING (source)
+           | CROSS JOIN n GROUP BY sw.source"""
+      .stripMargin.replace("\n", "")))
+
   /** JSON metadata extraction — training pipelines parse per-record JSON
     * props constantly; codegen'd get_json_object, no UDF. */
   val jsonProps = Q(
@@ -1568,7 +1592,7 @@ object ExtensionQueries {
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
-    corpusReport, jsonProps,
+    corpusReport, sourceDivergenceQ, jsonProps,
     multimodal, imagePhash, tfidfTop1, bm25Top1,
     tfidfCappedTop1, bm25CappedTop1, dupSpans, segDedup, labelStatsQ,
     kmeansSizes,

@@ -273,4 +273,22 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"$pair: minhash est $e vs exact $x drifted past the error band")
     }
   }
+
+  test("sourceDivergence: hand-computed KL, zero for a lone source") {
+    val spark0 = spark
+    import spark0.implicits._
+    // corpus x:2 y:4 (N=6); A = "x x y" (Nₐ=3), B = "y y y" (N_b=3)
+    // KL_A = (2/3)ln2 + (1/3)ln(1/2) = (1/3)ln2      = 231.05 mnat
+    // KL_B = ln(18/12) = ln 1.5                       = 405.47 mnat
+    val df = Seq(("A", "x x y"), ("B", "y y y")).toDF("source", "text")
+    val got = TextAnalysis.sourceDivergence(df, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got == Map("A" -> (3L, 231.05), "B" -> (3L, 405.47)))
+    // a single source IS the corpus: divergence exactly zero
+    val lone = TextAnalysis.sourceDivergence(
+      Seq(("A", "x x y z")).toDF("source", "text"), "source", "text")
+      .collect()
+    assert(lone.map(_.getDouble(2)).toSeq == Seq(0.0))
+  }
 }
