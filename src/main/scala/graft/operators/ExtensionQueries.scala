@@ -1416,6 +1416,49 @@ object ExtensionQueries {
            |   CAST(sum(q * q) AS BIGINT) AS sumsq_micros2
            | FROM e GROUP BY label, dim""".stripMargin.replace("\n", "")))
 
+  /** Top principal component via power iteration ([[graft.ext.Pca]]):
+    * 4 fixed damp-free power steps on the mean-centered embeddings —
+    * dim-sized driver vector, map-only dot products, one 64-key exchange
+    * per step. The oracle unrolls the identical 4 iterations as DuckDB
+    * CTEs; both sides emit ppm-rounded loadings. */
+  val pcaTop = Q(
+    "q_x_pca_top",
+    "PCA top component: 4-step power iteration over centered embeddings",
+    (s, dir) => graft.ext.Pca.topComponent(
+      Sources.table(s, dir, "embeddings"), "embedding"),
+    Some("""WITH x AS (SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+           |   FROM embeddings,
+           |     UNNEST(generate_series(1, len(embedding))) AS t(i)),
+           | mu AS (SELECT d, avg(x) AS m FROM x GROUP BY d),
+           | xc AS (SELECT x.vec_id, x.d, x.x - mu.m AS x
+           |   FROM x JOIN mu USING (d)),
+           | s1 AS (SELECT vec_id, x AS s FROM xc WHERE d = 1),
+           | w1 AS (SELECT xc.d, sum(xc.x * s1.s) AS w
+           |   FROM xc JOIN s1 USING (vec_id) GROUP BY xc.d),
+           | n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+           | v1 AS (SELECT d, w / n1.nrm AS v FROM w1 CROSS JOIN n1),
+           | s2 AS (SELECT xc.vec_id, sum(xc.x * v1.v) AS s
+           |   FROM xc JOIN v1 USING (d) GROUP BY xc.vec_id),
+           | w2 AS (SELECT xc.d, sum(xc.x * s2.s) AS w
+           |   FROM xc JOIN s2 USING (vec_id) GROUP BY xc.d),
+           | n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
+           | v2 AS (SELECT d, w / n2.nrm AS v FROM w2 CROSS JOIN n2),
+           | s3 AS (SELECT xc.vec_id, sum(xc.x * v2.v) AS s
+           |   FROM xc JOIN v2 USING (d) GROUP BY xc.vec_id),
+           | w3 AS (SELECT xc.d, sum(xc.x * s3.s) AS w
+           |   FROM xc JOIN s3 USING (vec_id) GROUP BY xc.d),
+           | n3 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w3),
+           | v3 AS (SELECT d, w / n3.nrm AS v FROM w3 CROSS JOIN n3),
+           | s4 AS (SELECT xc.vec_id, sum(xc.x * v3.v) AS s
+           |   FROM xc JOIN v3 USING (d) GROUP BY xc.vec_id),
+           | w4 AS (SELECT xc.d, sum(xc.x * s4.s) AS w
+           |   FROM xc JOIN s4 USING (vec_id) GROUP BY xc.d),
+           | n4 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w4),
+           | v4 AS (SELECT d, w / n4.nrm AS v FROM w4 CROSS JOIN n4)
+           | SELECT CAST(d AS BIGINT) AS dim,
+           |   round(v * 1000000, 2) AS loading_ppm FROM v4"""
+      .stripMargin.replace("\n", "")))
+
   val kmeansSizes = Q(
     "q_x_kmeans_sizes",
     "K-means cluster profile: size and mean intra-cluster id per cell",
@@ -1595,6 +1638,6 @@ object ExtensionQueries {
     corpusReport, sourceDivergenceQ, jsonProps,
     multimodal, imagePhash, tfidfTop1, bm25Top1,
     tfidfCappedTop1, bm25CappedTop1, dupSpans, segDedup, labelStatsQ,
-    kmeansSizes,
+    pcaTop, kmeansSizes,
     pseudonymize, pplBuckets, vocabCoverage, vocabGrowth, heavyHitters)
 }
