@@ -414,4 +414,34 @@ object Sampling {
       .limit(k)
       .drop("__es_key")
   }
+
+  /** Per-domain weighted sampling without replacement — [[weightedSample]]
+    * stratified by a domain column, SKEW-PROOF: selection is the same
+    * bounded-heap aggregate as [[domainQuotaExact]] (each map task keeps
+    * ≤ k candidates per domain and aggregates partially), so the exchange
+    * carries ≤ |domains|·k·|tasks| rows and a whale domain costs the same
+    * shuffle as a tiny one — the window formulation (`row_number OVER
+    * (PARTITION BY domain ORDER BY key DESC)`) would sort the whole whale
+    * domain in one task. The Efraimidis-Spirakis key makes the k kept
+    * rows per domain an exact weight-proportional without-replacement
+    * sample, deterministic across engines.
+    *
+    * Output: (domainCol, sample_rank 1..k best-first, idCol). */
+  def weightedSamplePerDomain(df: DataFrame, idCol: String,
+                              domainCol: String, weightCol: String,
+                              k: Int): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double")
+    val key = log((h + lit(0.5)) / lit(Math.pow(2.0, 48))) /
+      col(weightCol).cast("double")
+    df.select(col(domainCol), col(idCol), key.as("__s"))
+      .groupBy(col(domainCol))
+      .agg(graft.functions.TopKAgg
+        .topk_by_score(col("__s"), col(idCol), k).as("__top"))
+      .select(col(domainCol), posexplode(col("__top")).as(Seq("__r0", "__e")))
+      .select(col(domainCol),
+        (col("__r0") + 1).cast("long").as("sample_rank"),
+        col("__e.neighbor_id").as(idCol))
+  }
 }

@@ -329,7 +329,31 @@ object PipelineQueries {
            | ORDER BY k DESC, doc_id LIMIT 100)"""
       .stripMargin.replace("\n", "")))
 
+  /** Per-domain weighted sampling ([[graft.ext.Sampling
+    * .weightedSamplePerDomain]]): 25 docs per source, weight = n_chars,
+    * selected by the same bounded-heap aggregate as `q_x_domain_balance`'s
+    * exact-quota sibling, so a whale domain never funnels through one
+    * task. The oracle reproduces the identical E-S key with a per-domain
+    * window — two different formulations verifying each other. */
+  val weightedSampleDomainQ = Q(
+    "q_x_weighted_sample_domain",
+    "Per-source Efraimidis-Spirakis sample: 25 docs each, w = n_chars",
+    (s, dir) => Sampling.weightedSamplePerDomain(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars")),
+      "doc_id", "source", "n_chars", 25),
+    Some(s"""SELECT source, sample_rank, doc_id FROM (
+           | SELECT source, doc_id,
+           |   CAST(row_number() OVER (PARTITION BY source
+           |     ORDER BY k DESC, doc_id) AS BIGINT) AS sample_rank
+           | FROM (SELECT source, doc_id,
+           |   ln((CAST('0x' || substring($md5Doc, 1, 12) AS BIGINT) + 0.5)
+           |       / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS k
+           | FROM documents))
+           | WHERE sample_rank <= 25"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(corpusShuffle, domainBalance, domainQuotaExactQ,
     domainTemperature, tokenBudget, filterFunnelQ, seqPack, mixtureEpochs,
-    incrementalAgg, snapshotDiffQ, weightedSampleQ)
+    incrementalAgg, snapshotDiffQ, weightedSampleQ, weightedSampleDomainQ)
 }

@@ -306,4 +306,35 @@ class SamplingSpec extends AnyFunSuite {
     // k >= n degenerates to the full set
     assert(Sampling.weightedSample(df, "id", "w", 5000).count() == 1000L)
   }
+
+  test("weightedSamplePerDomain: heap selection == window selection, per stratum") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (0L until 900L)
+      .map(i => (i, s"d${i % 3}", 1L + i % 50)).toDF("id", "dom", "w")
+    val got = Sampling.weightedSamplePerDomain(df, "id", "dom", "w", 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 60 &&
+      got.groupBy(_._1).values.forall(_.length == 20))
+    // reference: explicit per-domain window over the identical E-S key
+    val h = conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10)
+      .cast("double")
+    val key = log((h + lit(0.5)) / lit(math.pow(2.0, 48))) /
+      col("w").cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dom")).orderBy(col("__k").desc, col("id"))
+    val ref = df.withColumn("__k", key)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= 20)
+      .select(col("dom"), col("sample_rank"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(x => (x._1, x._2)).toSeq ==
+      ref.sortBy(x => (x._1, x._2)).toSeq)
+    // layout-independent
+    val again = Sampling
+      .weightedSamplePerDomain(df.repartition(17), "id", "dom", "w", 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(x => (x._1, x._2)).toSeq ==
+      again.sortBy(x => (x._1, x._2)).toSeq)
+  }
 }
