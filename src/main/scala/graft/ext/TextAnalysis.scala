@@ -457,6 +457,41 @@ object TextAnalysis {
         round(col("n_common") / col("na"), 3).as("containment_a"))
   }
 
+  /** Bigram language-model table: the top-k continuations of every word
+    * with exact conditional counts — the n-gram-LM estimation step
+    * (next-token suggestion, boilerplate detection, perplexity features).
+    * All-integer until the final probability formatting, so the oracle is
+    * count-exact; `p_mbp` is the conditional probability in milli-basis-
+    * points (×10⁵, 2 dp).
+    *
+    * Scale shape: ONE corpus-sized exchange (the bigram aggregate); the
+    * rank window partitions by w1 over the AGGREGATED table, where each
+    * partition is at most |vocab| rows — bounded by the vocabulary, not
+    * the corpus, so no whale partition exists even when one word
+    * dominates the token stream. */
+  def bigramLm(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK $topK must be positive")
+    val toks = df
+      .select(filter(split(col(textCol), " ", -1), x => x =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = toks
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("n").desc, col("w2"))
+    bigrams
+      .withColumn("c1", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("w1"), col("rank"), col("w2"), col("n"),
+        round(col("n") * lit(100000.0) / col("c1"), 2).as("p_mbp"))
+  }
+
   /** Per-source distribution drift: KL(P_source ‖ P_corpus) over the
     * unigram distributions, in milli-nats — the mixture-monitoring signal
     * a training pipeline tracks to catch a domain whose language shifted

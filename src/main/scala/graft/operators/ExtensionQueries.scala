@@ -1110,6 +1110,29 @@ object ExtensionQueries {
            | FROM documents GROUP BY source"""
       .stripMargin.replace("\n", "")))
 
+  /** Bigram LM table ([[graft.ext.TextAnalysis.bigramLm]]): top-3
+    * continuations per word with exact conditional counts — integer-exact
+    * until the probability formatting, rank window partitions bounded by
+    * vocab, never by corpus. */
+  val bigramLmQ = Q(
+    "q_x_bigram_lm",
+    "Bigram LM table: top-3 next-word continuations, exact counts",
+    (s, dir) => TextAnalysis.bigramLm(
+      Sources.table(s, dir, "documents"), "text", 3),
+    Some("""WITH t AS (SELECT list_filter(string_split(text, ' '),
+           |     x -> x <> '') AS toks FROM documents),
+           | b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           |   FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+           |   WHERE len(toks) >= 2),
+           | g AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2),
+           | r AS (SELECT w1, w2, n,
+           |   CAST(sum(n) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+           |   CAST(row_number() OVER (PARTITION BY w1
+           |     ORDER BY n DESC, w2) AS BIGINT) AS rank FROM g)
+           | SELECT w1, rank, w2, n, round(n * 100000.0 / c1, 2) AS p_mbp
+           | FROM r WHERE rank <= 3"""
+      .stripMargin.replace("\n", "")))
+
   /** Per-source KL drift ([[graft.ext.TextAnalysis.sourceDivergence]]):
     * the mixture-monitoring divergence of each source's unigram
     * distribution from the corpus blend, exact closed form over integer
@@ -1635,7 +1658,7 @@ object ExtensionQueries {
     textTokens, textQuality, textLangId, textFingerprint, textWinnow,
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
-    corpusReport, sourceDivergenceQ, jsonProps,
+    corpusReport, sourceDivergenceQ, bigramLmQ, jsonProps,
     multimodal, imagePhash, tfidfTop1, bm25Top1,
     tfidfCappedTop1, bm25CappedTop1, dupSpans, segDedup, labelStatsQ,
     pcaTop, kmeansSizes,

@@ -274,6 +274,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramLm: exact conditional counts, rank caps, determinism") {
+    val spark0 = spark
+    import spark0.implicits._
+    // bigrams: ab×4 ac×1 (c1_a=5), ba×2 bc×1 (c1_b=3), ca×2 (c1_c=2)
+    val df = Seq("a b a b", "a b c a", "b a c a b").toDF("text")
+    val got = TextAnalysis.bigramLm(df, "text", 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq == Seq(
+      ("a", 1L, "b", 4L, 80000.0), ("a", 2L, "c", 1L, 20000.0),
+      ("b", 1L, "a", 2L, 66666.67), ("b", 2L, "c", 1L, 33333.33),
+      ("c", 1L, "a", 2L, 100000.0)))
+    val again = TextAnalysis.bigramLm(df.repartition(5), "text", 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("sourceDivergence: hand-computed KL, zero for a lone source") {
     val spark0 = spark
     import spark0.implicits._
