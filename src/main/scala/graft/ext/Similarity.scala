@@ -228,4 +228,59 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("__q")).as("sum_micros"),
         sum(col("__q") * col("__q")).as("sumsq_micros2"))
   }
+
+  /** Exact per-label embedding OUTLIER census — the vector-quality gate a
+    * curation pipeline runs before training on an embedding table
+    * (malformed rows, wrong-model vectors, collapsed points): per label,
+    * how many vectors sit more than `factor`× the label's mean squared
+    * distance from its centroid. EXACT integer arithmetic end to end —
+    * the event-anomaly/labelStats pattern applied to vectors:
+    * centi-quantize (q = round(100·x), so per-vector deviations fit
+    * longs), clear denominators instead of dividing
+    * (n²·‖x−μ‖² = Σ_d (n·q_d − S_d)²), and compare in DECIMAL(38,0) so
+    * no scale overflows: a vector is an outlier iff
+    *   n · dev2 > factor · Σ_v dev2   (both sides exact integers).
+    *
+    * Scale shape: two passes over the table — a |labels|·dim moment
+    * aggregate (map-side partials), broadcast back; then a map-only
+    * per-vector deviation + one |labels|-key aggregate. No joins on the
+    * vector id, no windows. */
+  def labelOutliers(emb: DataFrame, vecCol: String, labelCol: String,
+                    factor: Int = 4): DataFrame = {
+    require(factor > 0, s"factor $factor must be positive")
+    val qc = transform(col(vecCol),
+      x => round(x.cast("double") * 100).cast("long"))
+    val base = emb.select(col(labelCol).cast("long").as("label"),
+      qc.as("__q"))
+    val moments = base
+      .select(col("label"), posexplode(col("__q")).as(Seq("__d", "__qd")))
+      .groupBy(col("label"), col("__d"))
+      .agg(count(lit(1)).as("__n"), sum(col("__qd")).as("__s"))
+      .groupBy(col("label"))
+      .agg(first(col("__n")).as("__n"),
+        collect_list(struct(col("__d"), col("__s"))).as("__sl"))
+      .select(col("label"), col("__n"),
+        // dim-ordered centroid sums as an array, for the zip below
+        expr("transform(array_sort(__sl, (a, b) -> a.__d - b.__d)," +
+          " e -> e.__s)").as("__sv"))
+    val dev = base.join(broadcast(moments), "label")
+      .select(col("label"), col("__n"),
+        aggregate(zip_with(col("__q"), col("__sv"),
+          (q, s) => {
+            val t = col("__n") * q - s
+            t * t
+          }), lit(0L), (acc, e) => acc + e).as("__dev2"))
+      .localCheckpoint(true) // consumed twice (totals, then the census)
+    // label totals are |labels|-sized: broadcast back, then the outlier
+    // test is map-side and the final count is a |labels|-key aggregate —
+    // no per-group collection anywhere
+    val tot = dev.groupBy(col("label"))
+      .agg(first(col("__n")).as("n_vectors"),
+        sum(col("__dev2").cast("decimal(38,0)")).as("__tot"))
+    dev.join(broadcast(tot), "label")
+      .groupBy(col("label"))
+      .agg(first(col("n_vectors")).as("n_vectors"),
+        sum(when(col("__dev2").cast("decimal(38,0)") * col("n_vectors") >
+          col("__tot") * lit(factor), 1L).otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -1439,6 +1439,33 @@ object ExtensionQueries {
            |   CAST(sum(q * q) AS BIGINT) AS sumsq_micros2
            | FROM e GROUP BY label, dim""".stripMargin.replace("\n", "")))
 
+  /** Exact per-label embedding outlier census ([[graft.ext.Similarity
+    * .labelOutliers]]): the vector-quality gate — integer-exact
+    * (centi-quantized, denominator-cleared, HUGEINT/DECIMAL compare), so
+    * the oracle is hash-exact despite being a variance-style statistic. */
+  val embOutliers = Q(
+    "q_x_emb_outliers",
+    "Per-label outlier census: vectors past 4x the mean squared deviation",
+    (s, dir) => Similarity.labelOutliers(
+      Sources.table(s, dir, "embeddings"), "embedding", "label"),
+    Some("""WITH q AS (SELECT CAST(label AS BIGINT) AS label, vec_id, i AS d,
+           |     CAST(round(CAST(embedding[i] AS DOUBLE) * 100) AS BIGINT) AS qd
+           |   FROM embeddings,
+           |     UNNEST(generate_series(1, len(embedding))) AS t(i)),
+           | m AS (SELECT label, d, count(*) AS n, sum(qd) AS s
+           |   FROM q GROUP BY label, d),
+           | dev AS (SELECT q.label, q.vec_id, any_value(m.n) AS n,
+           |     sum((m.n * q.qd - m.s) * (m.n * q.qd - m.s)) AS dev2
+           |   FROM q JOIN m USING (label, d) GROUP BY q.label, q.vec_id),
+           | tot AS (SELECT label, CAST(any_value(n) AS BIGINT) AS n_vectors,
+           |     sum(CAST(dev2 AS HUGEINT)) AS tt FROM dev GROUP BY label)
+           | SELECT dev.label, tot.n_vectors,
+           |   CAST(sum(CASE WHEN CAST(dev2 AS HUGEINT) * n_vectors
+           |     > tt * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           | FROM dev JOIN tot USING (label)
+           | GROUP BY dev.label, tot.n_vectors"""
+      .stripMargin.replace("\n", "")))
+
   /** Top principal component via power iteration ([[graft.ext.Pca]]):
     * 4 fixed damp-free power steps on the mean-centered embeddings —
     * dim-sized driver vector, map-only dot products, one 64-key exchange
@@ -1661,6 +1688,6 @@ object ExtensionQueries {
     corpusReport, sourceDivergenceQ, bigramLmQ, jsonProps,
     multimodal, imagePhash, tfidfTop1, bm25Top1,
     tfidfCappedTop1, bm25CappedTop1, dupSpans, segDedup, labelStatsQ,
-    pcaTop, kmeansSizes,
+    embOutliers, pcaTop, kmeansSizes,
     pseudonymize, pplBuckets, vocabCoverage, vocabGrowth, heavyHitters)
 }

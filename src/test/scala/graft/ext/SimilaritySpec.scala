@@ -136,4 +136,28 @@ class SimilaritySpec extends AnyFunSuite {
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(re == stats)
   }
+
+  test("labelOutliers: planted far vector counted, uniform label clean") {
+    val spark0 = spark
+    import spark0.implicits._
+    // label 0: 20 vectors in a tight ball + ONE far point (the outlier);
+    // label 1: 10 identical vectors — every deviation equals the mean,
+    // so nothing can exceed 4x the mean and the census must be 0
+    val tight = (0 until 20).map(i =>
+      (i.toLong, Seq.tabulate(4)(d => (0.01f * ((i + d) % 3))), 0))
+    val far = Seq((99L, Seq(5.0f, -5.0f, 5.0f, -5.0f), 0))
+    val same = (100 until 110).map(i =>
+      (i.toLong, Seq(1.0f, 2.0f, 3.0f, 4.0f), 1))
+    val df = (tight ++ far ++ same).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelOutliers(df, "embedding", "label")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(0L -> (21L, 1L), 1L -> (10L, 0L)))
+    // layout-independent
+    val again = Similarity
+      .labelOutliers(df.repartition(7), "embedding", "label")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == again)
+  }
 }
