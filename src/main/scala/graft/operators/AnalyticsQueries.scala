@@ -489,8 +489,32 @@ object AnalyticsQueries {
            | ORDER BY score_ppm DESC, word LIMIT 20"""
       .stripMargin.replace("\n", "")))
 
+  /** Triangle census ([[graft.ext.TextRank.triangleCounts]]): exact
+    * per-node triangle counts over the co-occurrence graph via ordered
+    * wedge enumeration — integer-exact, hash-green oracle. */
+  val triangles = Q(
+    "q_x_triangles",
+    "Per-word triangle counts over the co-occurrence graph, top-20",
+    (s, dir) => graft.ext.TextRank.triangleCounts(
+      t(s, dir, "documents"), "text", 20),
+    Some("""WITH t AS (SELECT list_filter(string_split(text, ' '),
+           |     x -> x <> '') AS toks FROM documents),
+           | b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           |   FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+           |   WHERE len(toks) >= 2),
+           | ef AS (SELECT DISTINCT least(w1, w2) AS u, greatest(w1, w2) AS v
+           |   FROM b WHERE w1 <> w2),
+           | tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |   FROM ef e1 JOIN ef e2 ON e1.v = e2.u
+           |   JOIN ef e3 ON e3.u = e1.u AND e3.v = e2.v),
+           | n AS (SELECT a AS word FROM tri UNION ALL
+           |   SELECT b FROM tri UNION ALL SELECT c FROM tri)
+           | SELECT word, count(*) AS n_triangles FROM n GROUP BY word
+           | ORDER BY n_triangles DESC, word LIMIT 20"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
     sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
-    scd2Build, scd2Lookup, textrank)
+    scd2Build, scd2Lookup, textrank, triangles)
 }

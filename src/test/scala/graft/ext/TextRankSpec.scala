@@ -35,6 +35,21 @@ class TextRankSpec extends AnyFunSuite {
     assert(r("h") > r("x") * 2)
   }
 
+  test("triangleCounts: exact census on a known graph") {
+    val spark0 = spark
+    import spark0.implicits._
+    // triangle {a,b,c} plus pendant edge c-d: one triangle, d untouched
+    val df = Seq("a b", "b c", "a c", "c d").toDF("text")
+    val got = TextRank.triangleCounts(df, "text", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    // K4: binom(4,3)=4 triangles, every node in exactly 3
+    val k4 = Seq("a b", "b c", "c d", "a c", "a d", "b d").toDF("text")
+    val g4 = TextRank.triangleCounts(k4, "text", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g4 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
   test("topKeywords: deterministic under physical layout") {
     val spark0 = spark
     import spark0.implicits._
