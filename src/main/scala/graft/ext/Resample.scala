@@ -45,4 +45,39 @@ object Resample {
       .agg(max(col(valueCol)).as(valueCol))
     AsofJoin.backward(grid, obs, keyCol, tsCol, Seq(valueCol))
   }
+
+  /** Time-weighted average per key — the step-function mean a metrics or
+    * pricing pipeline wants when observations arrive irregularly (a value
+    * holds from its event until the next one; a plain AVG over-weights
+    * bursts). Exact until the single final division: value in centi-units
+    * (long), interval in whole seconds (long), so Σ v·Δt is an exact long
+    * (bounded ~6·10¹² for month-long spans at the data's value range) and
+    * both engines divide the SAME two integers — one IEEE division of
+    * identical operands is bit-identical, no rounding hazard.
+    *
+    * Scale shape: one window (lead ts) per key over the key exchange,
+    * then a key-level aggregate — O(rows), whale exposure identical to
+    * every per-user window in the repo (shard via Sessionize's bounded
+    * partitions if a key is a whale). Keys with a single event have zero
+    * span and are reported with NULL twap (no interval to average). Ties
+    * on the timestamp break by tieCol so Δt attribution is
+    * layout-deterministic.
+    *
+    * Output: (keyCol, span_s, twap_centi rounded to 2 dp). */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__ts"), col("__tie"))
+    df.select(col(keyCol),
+        // Column./ is double division; floor+cast is the exact integer
+        // quotient here (µs < 2^53, so the double path loses nothing)
+        floor(unix_micros(col(tsCol)) / 1000000L).cast("long").as("__ts"),
+        col(tieCol).cast("long").as("__tie"),
+        round(col(valueCol).cast("double") * 100).cast("long").as("__vc"))
+      .withColumn("__dt", lead(col("__ts"), 1).over(w) - col("__ts"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__dt")).as("span_s"),
+        round(sum(col("__vc") * col("__dt")).cast("double") /
+          sum(col("__dt")).cast("double"), 2).as("twap_centi"))
+  }
 }

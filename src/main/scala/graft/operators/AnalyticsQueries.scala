@@ -513,8 +513,28 @@ object AnalyticsQueries {
            | ORDER BY n_triangles DESC, word LIMIT 20"""
       .stripMargin.replace("\n", "")))
 
+  /** Time-weighted average ([[graft.ext.Resample.twap]]): step-function
+    * mean of `value` per user — exact integer Σ v·Δt and Σ Δt, one final
+    * division of identical operands in both engines. */
+  val twapQ = Q(
+    "q_x_twap",
+    "Per-user time-weighted average of value (step-function TWAP)",
+    (s, dir) => graft.ext.Resample.twap(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "value"),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s,
+           |     event_id, CAST(round(value * 100) AS BIGINT) AS vc
+           |   FROM events),
+           | d AS (SELECT user_id, vc, lead(ts_s) OVER
+           |     (PARTITION BY user_id ORDER BY ts_s, event_id) - ts_s AS dt
+           |   FROM e)
+           | SELECT user_id, CAST(sum(dt) AS BIGINT) AS span_s,
+           |   round(CAST(sum(vc * dt) AS DOUBLE)
+           |     / CAST(sum(dt) AS DOUBLE), 2) AS twap_centi
+           | FROM d GROUP BY user_id"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
     sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
-    scd2Build, scd2Lookup, textrank, triangles)
+    scd2Build, scd2Lookup, textrank, triangles, twapQ)
 }

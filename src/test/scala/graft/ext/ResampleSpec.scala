@@ -53,4 +53,25 @@ class ResampleSpec extends AnyFunSuite {
     assert(capped.filter("k = 3").count() == 0)
     assert(capped.filter("k = 1").count() == 9)
   }
+
+  test("twap: step-function weighting, single-event keys report NULL") {
+    val spark0 = spark
+    import spark0.implicits._
+    // u1: v=10 holds 10s, v=20 holds 20s, last value weightless
+    //     -> (10*10 + 20*20) / 30 = 16.666..., centi 1666.67
+    // u2: one event -> no interval -> NULL span and twap
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 00:00:10"), 2L, 20.0),
+      (1L, ts("2024-01-01 00:00:30"), 3L, 99.0),
+      (2L, ts("2024-01-01 00:00:05"), 4L, 7.0)
+    ).toDF("user_id", "t", "event_id", "value")
+    val got = Resample.twap(df, "user_id", "t", "event_id", "value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+         if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got == Map(
+      1L -> (Some(30L), Some(1666.67)),
+      2L -> (None, None)))
+  }
 }
