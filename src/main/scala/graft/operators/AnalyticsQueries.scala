@@ -513,6 +513,43 @@ object AnalyticsQueries {
            | ORDER BY n_triangles DESC, word LIMIT 20"""
       .stripMargin.replace("\n", "")))
 
+  /** Incremental SCD2 maintenance ([[graft.ext.Scd2.applyBatch]]): the
+    * nightly dimension update — history built on purchases before
+    * Jan 25, then the Jan 25+ batch folded in incrementally. THE ORACLE
+    * IS THE FULL REBUILD (`q_x_scd2_build`'s SQL verbatim), so the
+    * incremental path's row-identity to a from-scratch build is what the
+    * driver hash-checks. */
+  val scd2Incremental = Q(
+    "q_x_scd2_incremental",
+    "Incremental SCD2 batch apply == full history rebuild",
+    (s, dir) => {
+      val obs = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("tier",
+          when(col("value") >= 50, "gold").otherwise("basic"))
+      val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+      val hist = graft.ext.Scd2.buildHistory(
+        obs.filter(col("ts") < cutoff), "user_id", "ts", "event_id", "tier")
+      graft.ext.Scd2.applyBatch(hist,
+        obs.filter(col("ts") >= cutoff)
+          .select(col("user_id"), col("ts"), col("event_id"), col("tier")),
+        "user_id", "ts", "event_id", "tier")
+    },
+    Some("""WITH p AS (SELECT user_id, ts, event_id,
+           |   CASE WHEN value >= 50 THEN 'gold' ELSE 'basic' END AS tier
+           | FROM events WHERE event_type = 'purchase'),
+           | c AS (SELECT *, lag(tier) OVER
+           |   (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM p),
+           | ch AS (SELECT user_id, ts, event_id, tier FROM c
+           |   WHERE prev IS NULL OR prev <> tier)
+           | SELECT user_id, tier, epoch_us(ts) AS valid_from_us,
+           |   lead(epoch_us(ts)) OVER
+           |     (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+           |   CAST(row_number() OVER
+           |     (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           |     AS version
+           | FROM ch""".stripMargin.replace("\n", "")))
+
   /** Time-weighted average ([[graft.ext.Resample.twap]]): step-function
     * mean of `value` per user — exact integer Σ v·Δt and Σ Δt, one final
     * division of identical operands in both engines. */
@@ -536,5 +573,5 @@ object AnalyticsQueries {
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
     sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
-    scd2Build, scd2Lookup, textrank, triangles, twapQ)
+    scd2Build, scd2Lookup, scd2Incremental, textrank, triangles, twapQ)
 }

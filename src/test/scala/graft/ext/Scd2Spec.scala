@@ -59,6 +59,33 @@ class Scd2Spec extends AnyFunSuite {
       4L -> "gold", 5L -> "basic", 6L -> "gold"))
   }
 
+  test("applyBatch: incremental == rebuild; new keys, untouched keys, numbering") {
+    val spark0 = spark
+    import spark0.implicits._
+    val hist = Scd2.buildHistory(obs, "user_id", "t", "event_id", "tier")
+    // batch: u1 flips to gold (closes version 3, opens 4); u3 is brand
+    // new; u2 receives nothing and must pass through untouched
+    val batch = Seq(
+      (1L, ts(50), 200L, "gold"),
+      (1L, ts(60), 201L, "gold"), // consecutive dup — must collapse
+      (3L, ts(55), 202L, "basic")
+    ).toDF("user_id", "t", "event_id", "tier")
+    val inc = Scd2.applyBatch(hist, batch, "user_id", "t", "event_id",
+      "tier")
+    val full = Scd2.buildHistory(
+      obs.unionByName(batch), "user_id", "t", "event_id", "tier")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._5)).toSeq
+    assert(norm(inc) == norm(full))
+    // u1's new version numbering continues (4 versions), u3 starts at 1
+    val byKey = norm(inc).groupBy(_._1)
+    assert(byKey(1L).map(_._5) == Seq(1L, 2L, 3L, 4L))
+    assert(byKey(2L).map(_._5) == Seq(1L))
+    assert(byKey(3L).map(_._5) == Seq(1L))
+  }
+
   test("pointInTime: same-ts changes — the highest-tie version wins") {
     val spark0 = spark
     import spark0.implicits._
