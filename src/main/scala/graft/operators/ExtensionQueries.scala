@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Dedup, FuzzyJoin, Multimodal, Similarity, TextAnalysis, TfIdf}
+import graft.ext.{Bpe, Dedup, FuzzyJoin, Multimodal, Privacy, Similarity, TextAnalysis, TfIdf}
 import graft.functions.TextExprs
 import graft.sources.Sources
 
@@ -1527,6 +1527,21 @@ object ExtensionQueries {
     * the salt re-keys the corpus. Map-only hash + one count exchange; the
     * oracle runs the identical digest in DuckDB (both emit lowercase
     * hex), proving cross-engine mapping stability, not just row counts. */
+  /** k-anonymity audit ([[graft.ext.Privacy.kAnonymityAudit]]): the
+    * release gate — (event_type, day) classes shared by fewer than 60
+    * users' events single people out and are reported for suppression.
+    * One hash aggregate; integer-exact oracle. */
+  val kAnonymity = Q(
+    "q_x_k_anonymity",
+    "k-anonymity audit: (event_type, day) classes with fewer than 60 rows",
+    (s, dir) => Privacy.kAnonymityAudit(
+      Sources.table(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("event_date")),
+      Seq("event_type", "event_date"), 60L),
+    Some("""SELECT event_type, CAST(ts AS DATE) AS event_date,
+           | count(*) AS n FROM events GROUP BY 1, 2 HAVING count(*) < 60"""
+      .stripMargin.replace("\n", "")))
+
   val pseudonymize = Q(
     "q_x_pseudonymize",
     "Stable salted-hash user pseudonymization + per-token event counts",
@@ -1689,5 +1704,6 @@ object ExtensionQueries {
     multimodal, imagePhash, tfidfTop1, bm25Top1,
     tfidfCappedTop1, bm25CappedTop1, dupSpans, segDedup, labelStatsQ,
     embOutliers, pcaTop, kmeansSizes,
-    pseudonymize, pplBuckets, vocabCoverage, vocabGrowth, heavyHitters)
+    pseudonymize, kAnonymity, pplBuckets, vocabCoverage, vocabGrowth,
+    heavyHitters)
 }
