@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-key time-series smoothing and trend estimation with
+  * order-independent (layout-proof) arithmetic — the [[graft.operators.ExactMoney]]
+  * discipline applied to EWMA weights and regression moments.
+  *
+  * Both operators aggregate doubles that arrive in nondeterministic
+  * partition order, so naive `sum(double)` would make the rounded output
+  * layout-dependent (the exact bug class `ScaleSmokeMain xcheck` caught
+  * in the money aggregates at sf1). Here every sum is over exact
+  * integers: fixed-point centi-units for the measure, integer EWMA
+  * weights, DECIMAL(38,0) regression moments. The single final division
+  * is of identical exact operands in every engine and layout.
+  */
+object TimeSeries {
+
+  /** Truncated exponentially-weighted moving average per key: the
+    * smoothed level after the last `k` observations, newest first, with
+    * decay alpha = aNum/aDen.
+    *
+    * The normalized truncated EWMA is
+    *   s = sum_j (1-a)^j x_j / sum_j (1-a)^j,   j = 0 (newest) .. k-1,
+    * and multiplying numerator and denominator by aDen^(k-1) turns the
+    * weights into exact integers w_j = (aDen-aNum)^j * aDen^(k-1-j) —
+    * e.g. alpha=1/4, k=16 gives w_j = 3^j * 4^(15-j), all < 2^30. The
+    * measure is rounded per row to centi-units (exact 2-decimal data),
+    * so numerator and denominator are exact integer sums: associative,
+    * commutative, identical under any partition layout and in any
+    * engine.
+    *
+    * Scale shape: one per-key window (partition-bounded, the TWAP
+    * precedent) to rank recency, then a hash aggregate. Keys are
+    * independent; a whale key costs one partition's sort of its own
+    * rows, never a global sort.
+    */
+  def ewma(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      k: Int = 16,
+      aNum: Int = 1,
+      aDen: Int = 4): DataFrame = {
+    require(k >= 1 && aNum > 0 && aNum < aDen, s"alpha in (0,1): $aNum/$aDen")
+    val decay = aDen - aNum
+    require(math.pow(decay, k - 1) * math.pow(aDen, k - 1) < math.pow(2, 62),
+      s"integer weights overflow long: decay=$decay den=$aDen k=$k")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    // pow() on int args is exact in double far past these magnitudes
+    val weight = (pow(lit(decay), col("rn") - 1) *
+      pow(lit(aDen), lit(k) - col("rn"))).cast("long")
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        round(col(valueCol) * 100, 0).cast("long").as("vc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .withColumn("wt", weight)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_used"),
+        sum((col("wt") * col("vc")).cast("decimal(38,0)")).as("num"),
+        sum(col("wt").cast("decimal(38,0)")).as("den"))
+      .select(col(keyCol), col("n_used"),
+        round(col("num").cast("double") / col("den").cast("double") / 100.0, 6)
+          .as("ewma"))
+  }
+
+  /** Exact per-group OLS trend: slope and Pearson correlation of the
+    * measure against epoch-hour, from exact integer moments.
+    *
+    * x = floor(epoch_us / 3.6e9) (integer hours), y = centi-units of the
+    * measure. The five moments (sx, sy, sxy, sxx, syy) are DECIMAL(38,0)
+    * sums of integer products — exact at any corpus size below 10^38,
+    * where plain longs would wrap near 10^19 (n*sxx crosses 2^63 already
+    * at sf0.1 scale). slope = (n*sxy - sx*sy) / (n*sxx - sx^2); both
+    * operands are exact, so the correctly-rounded double quotient is
+    * engine- and layout-independent.
+    *
+    * Scale shape: one hash aggregate with map-side partials, cells = one
+    * per group — the cheapest shape Spark has.
+    */
+  def trend(
+      events: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val moments = events
+      .select(col(groupCol),
+        floor(unix_micros(col(tsCol)) / 3600000000L).cast("long").as("xh"),
+        round(col(valueCol) * 100, 0).cast("long").as("vc"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("xh"))).as("sx"),
+        sum(dec(col("vc"))).as("sy"),
+        sum(dec(col("xh")) * col("vc")).as("sxy"),
+        sum(dec(col("xh")) * col("xh")).as("sxx"),
+        sum(dec(col("vc")) * col("vc")).as("syy"))
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    // degenerate groups (zero variance in x or y) have no defined slope /
+    // correlation -> NULL, not an ANSI divide-by-zero
+    moments.select(
+      col(groupCol),
+      col("n").cast("long").as("n"),
+      when(varX =!= 0.0, round(covN / varX, 6)).as("slope_centi_per_hour"),
+      when(varX =!= 0.0 && varY =!= 0.0,
+        round(covN / (sqrt(varX) * sqrt(varY)), 6)).as("pearson_r"))
+  }
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ext.TimeSeries
 import graft.sources.Sources
 
 /** Round-5 coverage widening: the relational shapes the parity surface
@@ -570,8 +571,71 @@ object AnalyticsQueries {
            | FROM d GROUP BY user_id"""
       .stripMargin.replace("\n", "")))
 
+  /** RFM segmentation ([[graft.ext.Rfm.segments]]): the canonical
+    * warehouse marketing grid. Quartile cutoffs are exact interpolated
+    * percentiles over integer metrics (days/counts/cents), so DuckDB's
+    * quantile_cont reproduces them bit-for-bit; monetary totals are
+    * exact centi-unit sums (ExactMoney). No ntile: its bucket bounds
+    * depend on arbitrary tie order AND force a global sort. */
+  val rfmQ = Q(
+    "q_x_rfm",
+    "RFM segmentation: quartile-scored grid with counts + exact revenue",
+    (s, dir) => graft.ext.Rfm.segments(
+      t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice"),
+    Some("""WITH cust AS (SELECT o_custkey,
+           |     date_diff('day', CAST(max(o_orderdate) AS DATE),
+           |       (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS rec,
+           |     count(*) AS freq,
+           |     sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS mon_c
+           |   FROM orders GROUP BY 1),
+           | cuts AS (SELECT
+           |     quantile_cont(rec, [0.25, 0.5, 0.75]) AS rq,
+           |     quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+           |     quantile_cont(mon_c, [0.25, 0.5, 0.75]) AS mq FROM cust)
+           | SELECT CAST(1 + CAST(rec > rq[1] AS INTEGER)
+           |     + CAST(rec > rq[2] AS INTEGER)
+           |     + CAST(rec > rq[3] AS INTEGER) AS BIGINT) AS r_score,
+           |   CAST(1 + CAST(freq > fq[1] AS INTEGER)
+           |     + CAST(freq > fq[2] AS INTEGER)
+           |     + CAST(freq > fq[3] AS INTEGER) AS BIGINT) AS f_score,
+           |   CAST(1 + CAST(mon_c > mq[1] AS INTEGER)
+           |     + CAST(mon_c > mq[2] AS INTEGER)
+           |     + CAST(mon_c > mq[3] AS INTEGER) AS BIGINT) AS m_score,
+           |   count(*) AS n_customers,
+           |   round(sum(mon_c) / 100.0, 2) AS monetary_total
+           | FROM cust CROSS JOIN cuts GROUP BY 1, 2, 3"""
+      .stripMargin.replace("\n", "")))
+
+  /** Exact OLS trend per event_type ([[graft.ext.TimeSeries.trend]]):
+    * slope and Pearson r of value vs epoch-hour from DECIMAL(38,0)
+    * moments — n*sxx crosses 2^63 already at sf0.1, so longs are not an
+    * option; both engines divide the same exact integers. */
+  val trendQ = Q(
+    "q_x_trend",
+    "Exact per-type OLS trend: slope + Pearson r from decimal moments",
+    (s, dir) => TimeSeries.trend(
+      t(s, dir, "events"), "event_type", "ts", "value"),
+    Some("""WITH e AS (SELECT event_type,
+           |     epoch_us(ts) // 3600000000 AS xh,
+           |     CAST(round(value * 100.0) AS BIGINT) AS vc FROM events),
+           | s AS (SELECT event_type, count(*) AS n,
+           |     sum(CAST(xh AS HUGEINT)) AS sx, sum(CAST(vc AS HUGEINT)) AS sy,
+           |     sum(CAST(xh AS HUGEINT) * vc) AS sxy,
+           |     sum(CAST(xh AS HUGEINT) * xh) AS sxx,
+           |     sum(CAST(vc AS HUGEINT) * vc) AS syy
+           |   FROM e GROUP BY 1)
+           | SELECT event_type, CAST(n AS BIGINT) AS n,
+           |   round(CAST(n * sxy - sx * sy AS DOUBLE)
+           |     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_centi_per_hour,
+           |   round(CAST(n * sxy - sx * sy AS DOUBLE)
+           |     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+           |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+           | FROM s"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
     sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
-    scd2Build, scd2Lookup, scd2Incremental, textrank, triangles, twapQ)
+    scd2Build, scd2Lookup, scd2Incremental, textrank, triangles, twapQ,
+    rfmQ, trendQ)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Dedup, FuzzyJoin, Multimodal, Privacy, Similarity, TextAnalysis, TfIdf}
+import graft.ext.{Bpe, Dedup, FuzzyJoin, Multimodal, Privacy, Similarity, SimilarityJoin, TextAnalysis, TfIdf, TimeSeries}
 import graft.functions.TextExprs
 import graft.sources.Sources
 
@@ -351,6 +351,65 @@ object ExtensionQueries {
            | r AS (SELECT doc_id, neighbor_id, jac, row_number()
            |   OVER (PARTITION BY doc_id ORDER BY jac DESC, neighbor_id) AS rn FROM sc)
            | SELECT doc_id, neighbor_id, round(jac, 3) AS jaccard FROM r WHERE rn = 1"""
+      .stripMargin.replace("\n", "")))
+
+  /** Exact ALL-PAIRS similarity self-join ([[graft.ext.SimilarityJoin]]):
+    * every document pair with 3-gram Jaccard >= 4/5, found via
+    * prefix-filter candidate generation (AllPairs/PPJoin) — no
+    * broadcast probe set, no LSH approximation. The oracle is the
+    * brute-force shared-shingle join, so a green row certifies the
+    * prefix filter dropped NO true pair (the lemma's exactness,
+    * verified end-to-end, not just spec-pinned). Same word-3-gram
+    * construction as q_x_ngram_jaccard (hashed vs string sets agree
+    * modulo 64-bit collisions); threshold compare is a correctly-
+    * rounded integer ratio in both engines. */
+  val simJoinExact = Q(
+    "q_x_sim_join_exact",
+    "Exact all-pairs Jaccard>=0.8 self-join via prefix filtering",
+    (s, dir) => SimilarityJoin.prefixJaccardSelfJoin(
+      Sources.table(s, dir, "documents"), "doc_id", "text",
+      tNum = 4, tDen = 5, shingleN = 3),
+    Some("""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+           | sh AS (SELECT doc_id, list_distinct(CASE
+           |   WHEN len(toks) = 0 THEN []
+           |   WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+           |   ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+           |   END) AS s FROM d),
+           | e AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE len(s) > 0),
+           | sz AS (SELECT doc_id, len(s) AS sz FROM sh WHERE len(s) > 0),
+           | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+           |   FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           |   GROUP BY 1, 2)
+           | SELECT id_a, id_b,
+           |   round(o * 1.0 / (sa.sz + sb.sz - o), 3) AS jaccard
+           | FROM p JOIN sz sa ON sa.doc_id = id_a
+           |   JOIN sz sb ON sb.doc_id = id_b
+           | WHERE o * 1.0 / (sa.sz + sb.sz - o) >= 0.8"""
+      .stripMargin.replace("\n", "")))
+
+  /** Truncated EWMA per user ([[graft.ext.TimeSeries.ewma]]): smoothed
+    * event value after the last 16 observations, alpha = 1/4, with
+    * exact integer weights 3^j*4^(15-j) — layout- and engine-
+    * independent by construction (the ExactMoney discipline applied to
+    * exponential smoothing). */
+  val ewmaQ = Q(
+    "q_x_ewma",
+    "Truncated EWMA (k=16, alpha=1/4) of value per user, exact weights",
+    (s, dir) => TimeSeries.ewma(
+      Sources.table(s, dir, "events"),
+      "user_id", "ts", "event_id", "value", k = 16, aNum = 1, aDen = 4),
+    Some("""WITH e AS (SELECT user_id,
+           |   CAST(round(value * 100.0) AS BIGINT) AS vc,
+           |   row_number() OVER (PARTITION BY user_id
+           |     ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+           | SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,
+           |   round(CAST(sum(CAST(power(3, rn - 1) AS BIGINT)
+           |       * CAST(power(4, 16 - rn) AS BIGINT) * vc) AS DOUBLE)
+           |     / CAST(sum(CAST(power(3, rn - 1) AS BIGINT)
+           |       * CAST(power(4, 16 - rn) AS BIGINT)) AS DOUBLE)
+           |     / 100.0, 6) AS ewma
+           | FROM e WHERE rn <= 16 GROUP BY user_id"""
       .stripMargin.replace("\n", "")))
 
   /** Benchmark decontamination, exact form (Decontaminate.exact): drop
@@ -1691,7 +1750,7 @@ object ExtensionQueries {
     dedupExact, dedupMinhash, dedupKeepBest, dedupSimhash,
     dedupSimhashAnchor, dedupVerify,
     dedupIncremental,
-    ngramJaccardTop1,
+    ngramJaccardTop1, simJoinExact, ewmaQ,
     editDistance, decontaminate, decontaminateBloom, decontaminateSemantic,
     resampleFfill, embNearDup,
     embNearDupExact, sourceSignature, sourceOverlapExact, annBruteForce,

@@ -1,0 +1,104 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TimeSeriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def events(rows: (Long, Long, Long, Double)*) = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.map { case (u, t, e, v) => (u, ts(t), e, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+  }
+
+  test("ewma: single observation returns that observation") {
+    val out = TimeSeries.ewma(events((1L, 100L, 1L, 42.5)),
+        "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 1L, 42.5)))
+  }
+
+  test("ewma: matches the recurrence for a short series") {
+    // alpha=1/4, newest-first weights (3/4)^j; three points x2=newest.
+    // truncated normalized ewma = (x2 + 0.75*x1 + 0.5625*x0) / 2.3125
+    val out = TimeSeries.ewma(
+        events((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 2.0), (1L, 30L, 3L, 4.0)),
+        "user_id", "ts", "event_id", "value")
+      .collect().head
+    val expected = (4.0 + 0.75 * 2.0 + 0.5625 * 1.0) / (1.0 + 0.75 + 0.5625)
+    assert(out.getLong(1) == 3L)
+    assert(math.abs(out.getDouble(2) - expected) < 1e-6)
+  }
+
+  test("ewma: truncation keeps only the newest k observations") {
+    val rows = (1L to 40L).map(i => (1L, i * 10L, i, if (i <= 24) 0.0 else 8.0))
+    val out = TimeSeries.ewma(events(rows: _*),
+        "user_id", "ts", "event_id", "value", k = 16)
+      .collect().head
+    // the 16 newest rows (i = 25..40) are all 8.0 -> ewma is exactly 8
+    assert(out.getLong(1) == 16L)
+    assert(out.getDouble(2) == 8.0)
+  }
+
+  test("ewma: tie on ts breaks by event_id descending") {
+    val out = TimeSeries.ewma(
+        events((1L, 10L, 1L, 0.0), (1L, 10L, 2L, 100.0)),
+        "user_id", "ts", "event_id", "value")
+      .collect().head
+    // event_id=2 is newest: ewma = (100 + 0.75*0) / 1.75
+    assert(math.abs(out.getDouble(2) - 100.0 / 1.75) < 1e-6)
+  }
+
+  test("trend: recovers an exact linear signal with r = 1") {
+    // value = 2 centi-units per hour exactly
+    val rows = (0L until 10L).map(i => (1L, i * 3600L, i, 0.02 * i))
+    val out = TimeSeries.trend(
+        events(rows: _*).withColumn("event_type",
+          org.apache.spark.sql.functions.lit("a")),
+        "event_type", "ts", "value")
+      .collect().head
+    assert(out.getLong(1) == 10L)
+    assert(out.getDouble(2) == 2.0) // slope in centi-units/hour
+    assert(out.getDouble(3) == 1.0)
+  }
+
+  test("trend: flat series has slope 0 and NULL correlation") {
+    val rows = (0L until 5L).map(i => (1L, i * 3600L, i, 7.0))
+    val out = TimeSeries.trend(
+        events(rows: _*).withColumn("event_type",
+          org.apache.spark.sql.functions.lit("a")),
+        "event_type", "ts", "value")
+      .collect().head
+    assert(out.getDouble(2) == 0.0)
+    assert(out.isNullAt(3)) // varY = 0: correlation undefined
+  }
+
+  test("trend: single-instant group yields NULL slope, not an ANSI error") {
+    val out = TimeSeries.trend(
+        events((1L, 100L, 1L, 3.0), (1L, 100L, 2L, 5.0))
+          .withColumn("event_type",
+            org.apache.spark.sql.functions.lit("a")),
+        "event_type", "ts", "value")
+      .collect().head
+    assert(out.isNullAt(2) && out.isNullAt(3)) // varX = 0
+  }
+
+  test("trend: layout-independent — repartitioned input gives identical bits") {
+    val rows = (0L until 200L).map(i =>
+      (1L, i * 977L, i, ((i * 37) % 101).toDouble / 100.0))
+    val df = events(rows: _*).withColumn("event_type",
+      org.apache.spark.sql.functions.lit("a"))
+    val a = TimeSeries.trend(df, "event_type", "ts", "value").collect().head
+    val b = TimeSeries.trend(df.repartition(7), "event_type", "ts", "value")
+      .collect().head
+    assert(a.getDouble(2) == b.getDouble(2))
+    assert(a.getDouble(3) == b.getDouble(3))
+  }
+}
