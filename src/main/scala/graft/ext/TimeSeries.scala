@@ -71,6 +71,59 @@ object TimeSeries {
           .as("ewma"))
   }
 
+  /** Exact CUSUM change-point per group: the hour where the cumulative
+    * deviation from the group's overall mean peaks — the classic
+    * mean-shift detector, made hash-exact by clearing denominators.
+    *
+    * With hourly integer totals (cnt_h, sum_h) and group totals (N, T),
+    * the cumulative deviation after hour h is
+    *   csum_h - ccnt_h * (T/N)
+    * whose sign/argmax survive multiplying by N:
+    *   D_h = N * csum_h - ccnt_h * T      (exact DECIMAL(38,0) integers).
+    * The change point is the hour maximizing |D_h| (earliest on ties;
+    * the final hour is excluded — D there is identically 0). Pre/post
+    * means are exact integer ratios divided once at the end.
+    *
+    * Scale shape: one hash aggregate to hourly cells (corpus-sized
+    * exchange of 8-byte keys), then windows over the AGGREGATED hourly
+    * table — partitions are |hours| per group, calendar-bounded, never
+    * corpus-bounded (the bigram-LM window precedent).
+    */
+  def changePoint(
+      events: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val hourly = events
+      .select(col(groupCol), date_trunc("hour", col(tsCol)).as("hour"),
+        round(col(valueCol) * 100, 0).cast("long").as("vc"))
+      .groupBy(col(groupCol), col("hour"))
+      .agg(count(lit(1)).as("cnt"), sum(col("vc")).as("s"))
+    val byTime = Window.partitionBy(col(groupCol)).orderBy(col("hour"))
+    val whole = Window.partitionBy(col(groupCol))
+    val cum = hourly
+      .withColumn("ccnt", sum(col("cnt")).over(byTime))
+      .withColumn("csum", sum(col("s")).over(byTime))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .withColumn("t", sum(col("s")).over(whole))
+      .filter(col("ccnt") < col("n")) // final hour: D = 0 by identity
+      .withColumn("d", col("n").cast("decimal(38,0)") * col("csum") -
+        col("ccnt").cast("decimal(38,0)") * col("t"))
+    val best = Window.partitionBy(col(groupCol))
+      .orderBy(abs(col("d")).desc, col("hour"))
+    cum.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(
+        col(groupCol),
+        col("hour").as("change_hour"),
+        col("ccnt").as("n_before"),
+        (col("n") - col("ccnt")).as("n_after"),
+        round(col("csum").cast("double") / col("ccnt") / 100.0, 4)
+          .as("mean_before"),
+        round((col("t") - col("csum")).cast("double") /
+          (col("n") - col("ccnt")) / 100.0, 4).as("mean_after"))
+  }
+
   /** Exact per-group OLS trend: slope and Pearson correlation of the
     * measure against epoch-hour, from exact integer moments.
     *

@@ -633,9 +633,44 @@ object AnalyticsQueries {
            | FROM s"""
       .stripMargin.replace("\n", "")))
 
+  /** CUSUM change-point ([[graft.ext.TimeSeries.changePoint]]): the
+    * mean-shift hour per event_type via the denominator-cleared exact
+    * deviation D_h = N*csum - ccnt*T in DECIMAL(38,0)/HUGEINT — argmax
+    * and tie order are integer-exact, pre/post means one final division
+    * of identical operands. Windows run over the AGGREGATED hourly
+    * table (calendar-bounded partitions). */
+  val changePointQ = Q(
+    "q_x_change_point",
+    "CUSUM change-point: the exact mean-shift hour per event_type",
+    (s, dir) => TimeSeries.changePoint(
+      t(s, dir, "events"), "event_type", "ts", "value"),
+    Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+           |     count(*) AS cnt, sum(CAST(round(value * 100.0) AS BIGINT)) AS s
+           |   FROM events GROUP BY 1, 2),
+           | c AS (SELECT event_type, hour, cnt, s,
+           |     sum(cnt) OVER w AS ccnt, sum(s) OVER w AS csum,
+           |     sum(cnt) OVER p AS n, sum(s) OVER p AS t
+           |   FROM h
+           |   WINDOW w AS (PARTITION BY event_type ORDER BY hour),
+           |          p AS (PARTITION BY event_type)),
+           | d AS (SELECT *,
+           |     CAST(n AS HUGEINT) * csum - CAST(ccnt AS HUGEINT) * t AS dev
+           |   FROM c WHERE ccnt < n),
+           | r AS (SELECT *, row_number() OVER
+           |     (PARTITION BY event_type ORDER BY abs(dev) DESC, hour) AS rn
+           |   FROM d)
+           | SELECT event_type, hour AS change_hour,
+           |   CAST(ccnt AS BIGINT) AS n_before,
+           |   CAST(n - ccnt AS BIGINT) AS n_after,
+           |   round(CAST(csum AS DOUBLE) / ccnt / 100.0, 4) AS mean_before,
+           |   round(CAST(t - csum AS DOUBLE) / (n - ccnt) / 100.0, 4)
+           |     AS mean_after
+           | FROM r WHERE rn = 1"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
     sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
     scd2Build, scd2Lookup, scd2Incremental, textrank, triangles, twapQ,
-    rfmQ, trendQ)
+    rfmQ, trendQ, changePointQ)
 }

@@ -335,7 +335,49 @@ object StreamingQueries {
            | WHERE valid_to_us IS NOT NULL AND valid_to_us < m.wmus"""
       .stripMargin.replace("\n", "")))
 
+  /** Streaming quiet-close EWMA ([[graft.streaming.EventsStream.ewmaStream]]):
+    * a smoothed-level row per user per >horizon event-time gap, plus the
+    * trailing row the resting watermark confirms. Emission is
+    * arrival-independent (gap rows need both gap sides final; trailing
+    * rows need wm_ms > E_ms + horizon), so the oracle reproduces the
+    * exact row SET: emission points via lead() + the resting watermark,
+    * each level as the identical integer-weighted trailing-16 window the
+    * batch q_x_ewma uses — streaming and batch smoothing are
+    * BIT-IDENTICAL on the same prefix. */
+  val streamEwma = Q(
+    "q_s_stream_ewma",
+    "Streaming quiet-close EWMA levels = batch trailing-16 window",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream.ewmaStream(src).toDF()
+      runToMemory(s, out, "append", "graft_stream_ewma")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS eus,
+           |     epoch_ms(ts) AS ems, event_id,
+           |     CAST(round(value * 100.0) AS BIGINT) AS vc,
+           |     row_number() OVER (PARTITION BY user_id
+           |       ORDER BY ts, event_id) AS rn,
+           |     lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+           |       ORDER BY ts, event_id) AS nextms
+           |   FROM events),
+           | m AS (SELECT max(epoch_ms(ts)) - 60000 AS wmms FROM events),
+           | emit AS (SELECT user_id, eus, rn FROM e CROSS JOIN m
+           |   WHERE (nextms IS NULL OR nextms - ems > 60000)
+           |     AND ems + 60000 < wmms),
+           | w AS (SELECT emit.user_id, emit.eus, b.vc,
+           |     emit.rn - b.rn AS j
+           |   FROM emit JOIN e b ON b.user_id = emit.user_id
+           |     AND b.rn BETWEEN emit.rn - 15 AND emit.rn)
+           | SELECT user_id, eus AS asof_us, count(*) AS n_used,
+           |   round(CAST(sum(CAST(power(3, j) AS BIGINT)
+           |       * CAST(power(4, 15 - j) AS BIGINT) * vc) AS DOUBLE)
+           |     / CAST(sum(CAST(power(3, j) AS BIGINT)
+           |       * CAST(power(4, 15 - j) AS BIGINT)) AS DOUBLE)
+           |     / 100.0, 6) AS ewma
+           | FROM w GROUP BY user_id, eus"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin,
     streamJoinCapped, streamEnrich, streamSession, streamAsof, streamHeavy,
-    streamScd2)
+    streamScd2, streamEwma)
 }

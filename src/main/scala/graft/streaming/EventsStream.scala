@@ -508,6 +508,109 @@ object EventsStream {
       }
   }
 
+  /** State of [[ewmaStream]]: the ≤k newest FINALIZED observations
+    * (ascending (µs, event_id), exactly the batch window's order), a
+    * flag marking whether the level ending at the newest one has
+    * already been emitted, and the horizon-bounded pending buffer. */
+  final case class EwmaState(tail: List[(Long, Long, Long)],
+      emittedForLast: Boolean, pending: List[(Long, Long, Long)])
+
+  final case class EwmaLevel(user_id: Long, asof_us: Long,
+      n_used: Long, ewma: Double)
+
+  /** Streaming smoothed activity level — the unbounded-stream
+    * counterpart of [[graft.ext.TimeSeries.ewma]]: whenever a user goes
+    * QUIET for longer than the watermark horizon, emit their truncated
+    * EWMA (k newest observations, exact integer weights 3ʲ·4^(k-1-j))
+    * as of their last event — the churn-scoring / session-level shape.
+    *
+    * Emission is ARRIVAL-INDEPENDENT (unlike "which row wins" dedup):
+    * a level row exists for event E iff, in EVENT time, no follower
+    * lands within the horizon after E and the final watermark confirms
+    * the quiet window (wm_ms > E_ms + horizon). Gap rows emit the
+    * moment the gap's far side finalizes (both sides below the
+    * watermark ⟹ the gap can never be refuted); trailing rows emit on
+    * an EventTimeTimeout armed at E_ms + horizon + 1. The
+    * `emittedForLast` flag makes the two detection paths emit-once.
+    *
+    * State is doubly bounded: the finalized tail is ≤ k rows by
+    * construction (the design floor shared with streaming dedup's key
+    * state — compact per key FOREVER, not merely horizon-bounded), and
+    * `pending` drains as the watermark passes it. Numerics mirror the
+    * batch operator exactly: per-row centi-unit rounding (Spark
+    * `round(x*100, 0)` = BigDecimal HALF_UP), exact long Σwⱼ·vc / Σwⱼ
+    * (|value| ≤ ~5e6 keeps 16·4¹⁵·vc inside 2⁶³), one double division,
+    * HALF_UP rounding to 6 decimals — so a quiet user's streaming level
+    * is BIT-IDENTICAL to the batch EWMA over the same prefix. */
+  def ewmaStream(events: DataFrame, watermark: String = "1 minute",
+                 k: Int = 16): Dataset[EwmaLevel] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizonMs = 60000L // = the 1-minute default watermark delay
+    def us(ts: java.sql.Timestamp): Long =
+      ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+    def level(uid: Long, tail: List[(Long, Long, Long)]): EwmaLevel = {
+      // tail ascending; j = 0 is the NEWEST observation
+      val newestFirst = tail.reverseIterator.zipWithIndex
+      var num = 0L; var den = 0L; var n = 0L
+      newestFirst.foreach { case ((_, _, vc), j) =>
+        val w = math.pow(3, j).toLong * math.pow(4, k - 1 - j).toLong
+        num += w * vc; den += w; n += 1
+      }
+      val raw = num.toDouble / den.toDouble / 100.0
+      val rounded = BigDecimal(java.math.BigDecimal.valueOf(raw))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      EwmaLevel(uid, tail.last._1, n, rounded)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaLevel](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state: GroupState[EwmaState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          var st = state.getOption.getOrElse(EwmaState(Nil, true, Nil))
+          if (!state.hasTimedOut)
+            st = st.copy(pending = st.pending ::: batch.map { e =>
+              val vc = BigDecimal(java.math.BigDecimal.valueOf(e.value * 100))
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+              (us(e.ts), e.event_id, vc)
+            }.toList)
+          val (ripe, keep) = st.pending.partition(_._1 < wmUs)
+          val out = scala.collection.mutable.ListBuffer.empty[EwmaLevel]
+          ripe.sorted.foreach { x =>
+            st.tail.lastOption.foreach { last =>
+              // gap check in MILLISECONDS (the watermark's granularity,
+              // mirrored by the oracle's epoch_ms arithmetic)
+              if (x._1 / 1000L - last._1 / 1000L > horizonMs &&
+                  !st.emittedForLast)
+                out += level(uid, st.tail)
+            }
+            st = st.copy(tail = (st.tail :+ x).takeRight(k),
+              emittedForLast = false)
+          }
+          st.tail.lastOption.foreach { last =>
+            if (wmMs > last._1 / 1000L + horizonMs && !st.emittedForLast) {
+              out += level(uid, st.tail)
+              st = st.copy(emittedForLast = true)
+            }
+          }
+          st = st.copy(pending = keep)
+          state.update(st)
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(keep.map(_._1).min / 1000L + 1L, wmMs + 1L))
+          else if (st.tail.nonEmpty && !st.emittedForLast)
+            state.setTimeoutTimestamp(math.max(
+              st.tail.last._1 / 1000L + horizonMs + 1L, wmMs + 1L))
+          out.iterator
+      }
+  }
+
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -90,6 +90,47 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.isNullAt(2) && out.isNullAt(3)) // varX = 0
   }
 
+  test("changePoint: finds a planted mean shift at the exact boundary hour") {
+    // hours 0..9 worth of values at 10.0, hours 10..19 at 90.0: the
+    // cumulative deviation |D| peaks at the last low hour (hour 9)
+    val rows = (0L until 20L).flatMap { h =>
+      (0L until 5L).map(i =>
+        (1L, h * 3600L + i * 60L, h * 10 + i, if (h < 10) 10.0 else 90.0))
+    }
+    val out = TimeSeries.changePoint(
+        events(rows: _*).withColumn("event_type",
+          org.apache.spark.sql.functions.lit("a")),
+        "event_type", "ts", "value")
+      .collect().head
+    assert(out.getTimestamp(1) == ts(9 * 3600L)) // change at hour 9
+    assert(out.getLong(2) == 50L && out.getLong(3) == 50L)
+    assert(out.getDouble(4) == 10.0 && out.getDouble(5) == 90.0)
+  }
+
+  test("changePoint: constant series ties break to the earliest hour") {
+    val rows = (0L until 6L).map(h => (1L, h * 3600L, h, 5.0))
+    val out = TimeSeries.changePoint(
+        events(rows: _*).withColumn("event_type",
+          org.apache.spark.sql.functions.lit("a")),
+        "event_type", "ts", "value")
+      .collect().head
+    assert(out.getTimestamp(1) == ts(0L)) // all D = 0 -> first hour
+    assert(out.getDouble(4) == 5.0 && out.getDouble(5) == 5.0)
+  }
+
+  test("changePoint: layout-independent under repartition") {
+    val rows = (0L until 300L).map(i =>
+      (1L, i * 700L, i, ((i * 13) % 97).toDouble / 10.0))
+    val df = events(rows: _*).withColumn("event_type",
+      org.apache.spark.sql.functions.lit("a"))
+    val a = TimeSeries.changePoint(df, "event_type", "ts", "value")
+      .collect().head
+    val b = TimeSeries.changePoint(df.repartition(11), "event_type", "ts", "value")
+      .collect().head
+    assert(a.getTimestamp(1) == b.getTimestamp(1))
+    assert(a.getDouble(4) == b.getDouble(4) && a.getDouble(5) == b.getDouble(5))
+  }
+
   test("trend: layout-independent — repartitioned input gives identical bits") {
     val rows = (0L until 200L).map(i =>
       (1L, i * 977L, i, ((i * 37) % 101).toDouble / 100.0))

@@ -262,6 +262,74 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quiet-close EWMA: gap rows emit when the far side finalizes; " +
+      "levels are bit-identical to the batch trailing window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-ewma")
+    val base = 1700000000000L
+    def writeBatch(name: String,
+                   rows: Seq[(Long, Long, Long, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("ewma-batch")
+      rows.toDF("event_id", "ms", "user_id", "value")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          col("user_id"), lit("view").as("event_type"), col("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing
+        .filter(_.getFileName.toString.matches("part-.*\\.parquet"))
+        .findFirst().get()
+      finally listing.close()
+      Files.move(part, dir.resolve(s"$name.parquet"))
+    }
+
+    // batch 1: two events 10 s apart — inside the horizon, so neither can
+    // close a quiet window yet (watermark after the batch is below both).
+    writeBatch("b1", Seq((1L, base, 1L, 10.0), (2L, base + 10000, 1L, 20.0)))
+    val out = EventsStream.ewmaStream(
+      EventsStream.readEvents(spark, dir.toString)).toDF()
+    val q = out.writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ewma_out").count() == 0,
+        "nothing is final yet — no level may emit")
+
+      // batch 2: an event 120 s after e2 (the >60 s gap that makes e2 a
+      // quiet close) plus a far-future event from ANOTHER user that drags
+      // the watermark past e3's own horizon.
+      writeBatch("b2", Seq((3L, base + 130000, 1L, 40.0),
+        (9L, base + 7200000, 2L, 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("ewma_out")
+        .select("user_id", "asof_us", "n_used", "ewma")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._2)
+      // e2 closes with the 2-row window; e3 with all three. User 2's
+      // far-future event is above the watermark — silent.
+      val w2 = (20.0 + 0.75 * 10.0) / 1.75
+      val w3 = (40.0 + 0.75 * 20.0 + 0.5625 * 10.0) / 2.3125
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got.toSeq == Seq(
+        (1L, (base + 10000) * 1000L, 2L, r6(w2)),
+        (1L, (base + 130000) * 1000L, 3L, r6(w3))), s"got ${got.toSeq}")
+
+      // batch parity: the final streaming level equals the batch operator
+      // over the same prefix, bit for bit.
+      val batchFrame = Seq(
+          (1L, new java.sql.Timestamp(base), 1L, 10.0),
+          (2L, new java.sql.Timestamp(base + 10000), 1L, 20.0),
+          (3L, new java.sql.Timestamp(base + 130000), 1L, 40.0))
+        .toDF("event_id", "ts", "user_id", "value")
+      val batchLevel = graft.ext.TimeSeries.ewma(
+          batchFrame, "user_id", "ts", "event_id", "value")
+        .collect().head.getDouble(2)
+      assert(batchLevel == got.last._4,
+        "streaming level must be bit-identical to the batch EWMA")
+    } finally q.stop()
+  }
+
   test("streaming SCD2: versions emit on close, out-of-order changes buffer") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-scd2")
