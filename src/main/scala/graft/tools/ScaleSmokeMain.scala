@@ -998,7 +998,15 @@ object ScaleSmokeMain {
       ("heavy",
         (e: DataFrame) => graft.streaming.EventsStream
           .windowedHeavyHitters(e),
-        "complete"))
+        "complete"),
+      // quiet-close EWMA: per-key state is a ≤16-row tail FOREVER plus
+      // the horizon-bounded pending buffer — a whale user can grow the
+      // in-flight buffer but never the resting state, and its denser
+      // timeline produces FEWER quiet closes, so out_rows should drop
+      // under the whale, not blow up
+      ("ewma",
+        (e: DataFrame) => graft.streaming.EventsStream.ewmaStream(e).toDF(),
+        "append"))
 
     val unknownOps = only -- ops.map(_._1).toSet
     require(unknownOps.isEmpty,
