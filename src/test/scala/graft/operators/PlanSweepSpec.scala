@@ -42,7 +42,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_x_bm25_top1",               // single-row avgdl broadcast join (the
                                    // corpus-mean length in BM25's length
                                    // normalization; same shape as above)
-    "q_x_bm25_capped_top1")        // same single-row avgdl join, capped cfg
+    "q_x_bm25_capped_top1",        // same single-row avgdl join, capped cfg
+    "q_x_rfm",                     // two 1-row broadcast frames (corpus max
+                                   // date; the 3-quartile cutoff row)
+    "q_x_assoc_rules")             // single-row basket-universe count (the
+                                   // support denominator) broadcast join
 
   Catalog.all.filterNot(_.name.startsWith("q_s_")).foreach { q =>
     test(s"${q.name}: no CartesianProduct; BNLJ only by design") {
