@@ -828,6 +828,40 @@ object ExtensionQueries {
            | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_re_tokens, n_chars
            | FROM documents""".stripMargin.replace("\n", "")))
 
+  /** Length-bucketed batching plan — the padding-efficiency analysis a
+    * training loader runs before fixing its bucketing policy: bucket docs
+    * by whitespace token count (width 32), and per bucket report the
+    * exact doc/token totals, the batch count at B=8, and the padding
+    * upper bound `batches*B*max_tokens - sum_tokens` (counts phantom
+    * slots in the ragged tail — the honest worst case a
+    * pad-to-bucket-max loader pays). Pure one-pass hash aggregate: cells
+    * are |buckets| (length-distribution-bounded, never corpus-bounded),
+    * every statistic an exact integer. */
+  val lengthBuckets = Q(
+    "q_x_length_buckets",
+    "Length-bucket batching plan: exact doc/token/batch/padding stats",
+    (s, dir) => {
+      val toks = size(split(col("text"), " ")).cast("long")
+      Sources.table(s, dir, "documents")
+        .select((toks / 32L).cast("long").as("bucket"), toks.as("n_tok"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          max(col("n_tok")).as("max_tokens"),
+          ceil(count(lit(1)) / 8.0).cast("long").as("n_batches"))
+        .withColumn("padding_ub",
+          col("n_batches") * 8L * col("max_tokens") - col("sum_tokens"))
+    },
+    Some("""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+           |     AS n_tok FROM documents)
+           | SELECT n_tok // 32 AS bucket, count(*) AS n_docs,
+           |   sum(n_tok) AS sum_tokens, max(n_tok) AS max_tokens,
+           |   CAST(ceil(count(*) / 8.0) AS BIGINT) AS n_batches,
+           |   CAST(ceil(count(*) / 8.0) AS BIGINT) * 8 * max(n_tok)
+           |     - sum(n_tok) AS padding_ub
+           | FROM d GROUP BY 1""".stripMargin.replace("\n", "")))
+
   /** Quality scoring (C4/Gopher-style heuristics, declarative). */
   val textQuality = Q(
     "q_x_text_quality",
@@ -1756,7 +1790,7 @@ object ExtensionQueries {
     embNearDupExact, sourceSignature, sourceOverlapExact, annBruteForce,
     annLsh, annIvf, asofJoin,
     asofNative, rangeJoin, trainSplit, leakageSplit,
-    textTokens, textQuality, textLangId, textFingerprint, textWinnow,
+    textTokens, lengthBuckets, textQuality, textLangId, textFingerprint, textWinnow,
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     corpusReport, sourceDivergenceQ, bigramLmQ, jsonProps,
