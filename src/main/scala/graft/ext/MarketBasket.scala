@@ -64,8 +64,9 @@ object MarketBasket {
     // repo's idiom for exactly this (TfIdf postings): ~16 B/row, far
     // cheaper than 4 recomputes at any scale.
     val b = b0.join(kept.select(col("basket")), "basket").localCheckpoint(true)
-    // one tiny frame: the kept-basket universe size (support denominator)
-    val n = b.select(col("basket")).distinct().agg(count(lit(1)).as("n_baskets"))
+    // one tiny frame: the kept-basket universe size (support denominator).
+    // `kept` is already one row per basket — no distinct needed.
+    val n = kept.agg(count(lit(1)).as("n_baskets"))
     val itemCnt = b.groupBy(col("item")).agg(count(lit(1)).as("c"))
     val pa = b.select(col("basket"), col("item").as("item_a"))
     val pb = b.select(col("basket"), col("item").as("item_b"))

@@ -84,6 +84,11 @@ object TimeSeries {
     * the final hour is excluded — D there is identically 0). Pre/post
     * means are exact integer ratios divided once at the end.
     *
+    * CONTRACT: a group whose events all fall inside ONE hour has no
+    * candidate split (its only row is the excluded final hour) and is
+    * ABSENT from the output — "no change point detectable", not a zero
+    * row. Callers joining back to a group dimension should left-join.
+    *
     * Scale shape: one hash aggregate to hourly cells (corpus-sized
     * exchange of 8-byte keys), then windows over the AGGREGATED hourly
     * table — partitions are |hours| per group, calendar-bounded, never

@@ -542,11 +542,17 @@ object EventsStream {
     * (|value| ≤ ~5e6 keeps 16·4¹⁵·vc inside 2⁶³), one double division,
     * HALF_UP rounding to 6 decimals — so a quiet user's streaming level
     * is BIT-IDENTICAL to the batch EWMA over the same prefix. */
-  def ewmaStream(events: DataFrame, watermark: String = "1 minute",
+  def ewmaStream(events: DataFrame, horizonMs: Long = 60000L,
                  k: Int = 16): Dataset[EwmaLevel] = {
+    // k bounds the exact-long weight arithmetic: 4^(k-1) * centi-value
+    // * k must stay inside 2^63 (the batch operator carries the same
+    // guard); the quiet-gap horizon IS the watermark delay by
+    // construction — one parameter, no way to decouple them.
+    require(k >= 1 && k <= 16, s"k in [1,16] for exact long weights: $k")
+    require(horizonMs > 0, s"horizonMs must be positive: $horizonMs")
     val spark = events.sparkSession
     import spark.implicits._
-    val horizonMs = 60000L // = the 1-minute default watermark delay
+    val watermark = s"$horizonMs milliseconds"
     def us(ts: java.sql.Timestamp): Long =
       ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
     def level(uid: Long, tail: List[(Long, Long, Long)]): EwmaLevel = {
@@ -601,12 +607,19 @@ object EventsStream {
           }
           st = st.copy(pending = keep)
           state.update(st)
-          if (keep.nonEmpty)
-            state.setTimeoutTimestamp(
-              math.max(keep.map(_._1).min / 1000L + 1L, wmMs + 1L))
-          else if (st.tail.nonEmpty && !st.emittedForLast)
-            state.setTimeoutTimestamp(math.max(
-              st.tail.last._1 / 1000L + horizonMs + 1L, wmMs + 1L))
+          // The wake-up must honor BOTH deadlines: the earliest pending
+          // event's finalization AND the tail's quiet-close confirmation.
+          // Registering only the pending one (the original form) let a
+          // far-future same-user event overwrite the tail's deadline —
+          // its quiet-close row (which the oracle emits) would then never
+          // fire if the stream's watermark rests below the pending event.
+          val deadlines =
+            keep.map(_._1 / 1000L + 1L) ++
+              (if (st.tail.nonEmpty && !st.emittedForLast)
+                 Seq(st.tail.last._1 / 1000L + horizonMs + 1L)
+               else Nil)
+          if (deadlines.nonEmpty)
+            state.setTimeoutTimestamp(math.max(deadlines.min, wmMs + 1L))
           out.iterator
       }
   }

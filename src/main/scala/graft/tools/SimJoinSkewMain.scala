@@ -15,25 +15,29 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   */
 object SimJoinSkewMain {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse(sys.error("usage: SimJoinSkewMain <dir> [tNum tDen]"))
+    require(args.length == 1 || args.length == 3,
+      "usage: SimJoinSkewMain <dir> [tNum tDen] — both threshold args or neither")
+    val dir = args.head
     val (tn, td) =
-      if (args.length >= 3) (args(1).toInt, args(2).toInt) else (4, 5)
+      if (args.length == 3) (args(1).toInt, args(2).toInt) else (4, 5)
     val spark = graft.GraftSession.builder("sim-join-skew", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.sources.Sources.table(spark, dir, "documents")
+    // count() BEFORE registering the listener, so its tasks can never
+    // race into the join's duration population via the async bus
+    val nDocs = docs.count()
+    Thread.sleep(1000)
     val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
         if (te.taskInfo != null) durations.add(te.taskInfo.duration)
     })
-    val docs = graft.sources.Sources.table(spark, dir, "documents")
-    val nDocs = docs.count()
-    durations.clear()
     val t0 = System.nanoTime()
     val out = graft.ext.SimilarityJoin
       .prefixJaccardSelfJoin(docs, "doc_id", "text", tn, td)
     val pairs = out.count()
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500)
+    Thread.sleep(2000) // listener-bus drain before reading the durations
     val ds = {
       val it = durations.iterator()
       val b = Seq.newBuilder[Long]

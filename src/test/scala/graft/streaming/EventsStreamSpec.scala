@@ -330,6 +330,59 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quiet-close EWMA: a far-future same-user event cannot suppress " +
+      "the tail's quiet-close deadline (timeout keeps BOTH deadlines)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-ewma2")
+    val base = 1700000000000L
+    def writeBatch(name: String,
+                   rows: Seq[(Long, Long, Long, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("ewma2-batch")
+      rows.toDF("event_id", "ms", "user_id", "value")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          col("user_id"), lit("view").as("event_type"), col("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing
+        .filter(_.getFileName.toString.matches("part-.*\\.parquet"))
+        .findFirst().get()
+      finally listing.close()
+      Files.move(part, dir.resolve(s"$name.parquet"))
+    }
+
+    // b1: E for user 1 plus a user-2 filler below E+60s.
+    writeBatch("b1", Seq((1L, base, 1L, 30.0), (90L, base + 35000, 2L, 1.0)))
+    val out = EventsStream.ewmaStream(
+      EventsStream.readEvents(spark, dir.toString)).toDF()
+    val q = out.writeStream.format("memory").queryName("ewma2_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // b2: user-2 traffic advances the watermark past E but NOT past
+      // E+60s — E finalizes into user 1's tail, still unemitted.
+      writeBatch("b2", Seq((91L, base + 90000, 2L, 1.0)))
+      q.processAllAvailable()
+      assert(spark.table("ewma2_out")
+        .filter("user_id = 1").count() == 0, "E must not have emitted yet")
+
+      // b3: a far-future SAME-user event. Before the fix, re-registering
+      // the timeout for this pending event alone discarded E's
+      // quiet-close deadline; the watermark then rests at P-60s (below
+      // P), the timeout never fires, and E's row — which the oracle
+      // emits — was lost.
+      writeBatch("b3", Seq((2L, base + 7200000, 1L, 99.0)))
+      q.processAllAvailable()
+      val u1 = spark.table("ewma2_out")
+        .filter("user_id = 1")
+        .select("asof_us", "n_used", "ewma")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(u1.toSeq == Seq((base * 1000L, 1L, 30.0)),
+        s"E's quiet-close row must emit despite the pending far-future " +
+          s"event, got ${u1.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming SCD2: versions emit on close, out-of-order changes buffer") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-scd2")
