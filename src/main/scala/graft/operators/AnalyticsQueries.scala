@@ -701,9 +701,57 @@ object AnalyticsQueries {
            |   JOIN ic cb ON cb.item = item_b CROSS JOIN n"""
       .stripMargin.replace("\n", "")))
 
+  /** Robust statistics per group: exact median, MAD (median absolute
+    * deviation), and the 3-MAD outlier census — the heavy-tail-proof
+    * complement of q_x_event_anomaly's z-scores (one extreme value
+    * shifts a mean arbitrarily; it moves a median by at most one rank).
+    * Centi-unit integers in, exact interpolated medians (the same
+    * definition DuckDB's quantile_cont implements), deviations compared
+    * in doubles derived from identical exact operands. Two passes +
+    * two broadcast-joined 5-row frames; the exact per-group median
+    * buffers group values on a reducer — the documented
+    * histogram-cutoff swap (q_x_ppl_buckets idiom) applies past ~10⁹
+    * rows per group. */
+  val robustStatsQ = Q(
+    "q_x_robust_stats",
+    "Robust stats: exact median, MAD, 3-MAD outlier census per type",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      val m = e.groupBy(col("event_type"))
+        .agg(median(col("vc")).as("med"))
+      val d = e.join(broadcast(m), "event_type")
+        .withColumn("dev", abs(col("vc") - col("med")))
+      val md = d.groupBy(col("event_type"))
+        .agg(median(col("dev")).as("mad"))
+      d.join(broadcast(md), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(max(col("med")) / 100.0, 4).as("median_value"),
+          round(max(col("mad")) / 100.0, 4).as("mad_value"),
+          sum((col("dev") > col("mad") * 3).cast("int")).cast("long")
+            .as("n_outliers"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+           |     CAST(round(value * 100.0) AS BIGINT) AS vc FROM events),
+           | m AS (SELECT event_type, quantile_cont(vc, 0.5) AS med
+           |   FROM e GROUP BY 1),
+           | d AS (SELECT e.event_type, e.vc, abs(e.vc - m.med) AS dev
+           |   FROM e JOIN m USING (event_type)),
+           | s AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+           |   FROM d GROUP BY 1)
+           | SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           |   round(max(m.med) / 100.0, 4) AS median_value,
+           |   round(max(s.mad) / 100.0, 4) AS mad_value,
+           |   CAST(sum(CAST(d.dev > 3 * s.mad AS INTEGER)) AS BIGINT)
+           |     AS n_outliers
+           | FROM d JOIN s USING (event_type) JOIN m USING (event_type)
+           | GROUP BY 1""".stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
     sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
     scd2Build, scd2Lookup, scd2Incremental, textrank, triangles, twapQ,
-    rfmQ, trendQ, changePointQ, assocRulesQ)
+    rfmQ, trendQ, changePointQ, assocRulesQ, robustStatsQ)
 }
