@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data profiling and quality auditing — the Deequ-style pre-training
+  * gate every large corpus ingest runs before a byte reaches the
+  * pipeline: per-column completeness/distinctness/range metrics and a
+  * declarative constraint suite (referential integrity, uniqueness,
+  * domain and range membership) that reports violation COUNTS instead
+  * of failing fast, so one audit pass over 100 TB yields the whole
+  * scorecard.
+  *
+  * Everything here is exact integer counting: every emitted value is a
+  * count, a min/max, or a single ratio-of-longs division rounded once —
+  * layout- and engine-independent by construction (the ExactMoney
+  * determinism discipline). No sampling, no sketches: at 100 TB each
+  * metric is one column-pruned scan with map-side partial aggregation
+  * into a 1-row frame, and the per-column scans of one table share the
+  * parquet footprint via column pruning (`ReadSchema` carries only the
+  * audited column). Distinct counts are per-column two-level hash
+  * aggregates (SELECT col GROUP BY col → count), deliberately NOT a
+  * multi-`count(distinct)` single pass: mixed distinct aggregates plan
+  * through Expand (one input replica per distinct column — the plan
+  * hazard pinned in PERF_NOTES), while N independent 1-column aggregates
+  * read N pruned column chunks once each.
+  */
+object Profile {
+
+  /** Long-format per-column profile: one row per (column, metric).
+    *
+    * All columns: `count` (non-null), `nulls`, `distinct`,
+    * `completeness` (non-null share of rows, exact ratio round 6).
+    * Numeric columns additionally: `min`, `max`, `mean` (exact
+    * DECIMAL(38,6) sum divided once, round 6). String columns instead:
+    * `min_len`, `max_len`, `avg_len` over `length()` (character counts —
+    * identical across engines on BMP text; the testdata corpus is
+    * ASCII).
+    *
+    * Cost: exactly TWO column-pruned scans per audited column — one
+    * 1-row moments aggregate (count/n/min/max/sum, all map-side
+    * partial) and one two-level distinct aggregate — each materialized
+    * once (localCheckpoint) before fanning out into the union legs, so
+    * the metric rows are selected from 1-row frames, not recomputed
+    * per leg.
+    */
+  def profile(df: DataFrame, numericCols: Seq[String],
+              stringCols: Seq[String]): DataFrame = {
+    val rows = (numericCols ++ stringCols).flatMap { c =>
+      val isStr = stringCols.contains(c)
+      val d = df.select(col(c).as("__c"))
+      val v = if (isStr) length(col("__c")) else col("__c")
+      val stats = d.agg(
+        count(col("__c")).as("cnt"), count(lit(1)).as("n"),
+        min(v).as("mn"), max(v).as("mx"),
+        sum(v.cast("decimal(38,6)")).as("s")).localCheckpoint(true)
+      val dist = d.agg(count_distinct(col("__c")).as("dv"))
+        .localCheckpoint(true)
+      def row(metric: String, value: Column, from: DataFrame): DataFrame =
+        from.select(lit(c).as("col_name"), lit(metric).as("metric"),
+          value.cast("double").as("value"))
+      Seq(
+        row("count", col("cnt"), stats),
+        row("nulls", col("n") - col("cnt"), stats),
+        row("completeness",
+          round(col("cnt").cast("double") / col("n"), 6), stats),
+        row("distinct", col("dv"), dist),
+        row(if (isStr) "min_len" else "min", col("mn"), stats),
+        row(if (isStr) "max_len" else "max", col("mx"), stats),
+        row(if (isStr) "avg_len" else "mean",
+          round(col("s").cast("double") / col("cnt"), 6), stats))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  /** One audit row: (check, n_checked, n_violations). */
+  private def checkRow(name: String, checked: DataFrame,
+                       violated: Column): DataFrame =
+    checked.agg(
+      count(lit(1)).as("n_checked"),
+      sum(violated.cast("int")).cast("long").as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_checked"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+
+  /** Range / domain / non-null predicate check over one frame: counts
+    * rows where `valid` is false or null. */
+  def predicateCheck(name: String, df: DataFrame, valid: Column): DataFrame =
+    checkRow(name, df, !coalesce(valid, lit(false)))
+
+  /** Referential-integrity check: child rows whose key has no parent.
+    * The violation count is an anti-join aggregate; the parent side is
+    * reduced to its distinct key BEFORE the join so the shuffle carries
+    * keys, not payloads (and a dimension-sized parent broadcasts under
+    * AQE). NULL child keys are orphans by definition here — a nullable
+    * FK should be pre-filtered by the caller. */
+  def fkCheck(name: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+    val p = parent.select(col(parentKey).as("__pk")).distinct()
+    val joined = child.select(col(childKey).as("__ck"))
+      .join(p, col("__ck") === col("__pk"), "left")
+    checkRow(name, joined, col("__pk").isNull)
+  }
+
+  /** Uniqueness check: rows carrying a key that occurs more than once
+    * (a key seen k>1 times contributes k violations — every row of a
+    * duplicated key is implicated, matching the Deequ convention). */
+  def uniqueCheck(name: String, df: DataFrame, keyCols: Seq[String])
+      : DataFrame = {
+    val grouped = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__k"))
+    grouped.agg(
+      coalesce(sum(col("__k")), lit(0L)).as("n_checked"),
+      coalesce(sum(when(col("__k") > 1, col("__k")).otherwise(0L)), lit(0L))
+        .as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_checked").cast("long"),
+        col("n_violations").cast("long").as("n_violations"))
+  }
+}

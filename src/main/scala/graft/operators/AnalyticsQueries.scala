@@ -749,9 +749,190 @@ object AnalyticsQueries {
            | FROM d JOIN s USING (event_type) JOIN m USING (event_type)
            | GROUP BY 1""".stripMargin.replace("\n", "")))
 
+  /** Declarative data-quality audit ([[graft.ext.Profile]]): referential
+    * integrity, key uniqueness, and range/domain membership across the
+    * warehouse tables, reported as violation counts — the Deequ-style
+    * scorecard a 100 TB ingest runs as its admission gate. Every row is
+    * exact integer counting (anti-join aggregates, grouped-count sums),
+    * so the report is engine- and layout-independent; the audit costs
+    * one column-pruned scan per constraint, each map-side partial. The
+    * gate corpus is clean by construction — the DETECTION logic is
+    * spec-verified on planted violations (ProfileSpec). */
+  val qualityChecksQ = Q(
+    "q_x_quality_checks",
+    "Data-quality audit: FK / uniqueness / range checks as violation counts",
+    (s, dir) => {
+      import graft.ext.Profile
+      Seq(
+        Profile.fkCheck("orders_custkey_fk",
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        Profile.fkCheck("lineitem_orderkey_fk",
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        Profile.uniqueCheck("customer_key_unique",
+          t(s, dir, "customer"), Seq("c_custkey")),
+        Profile.uniqueCheck("orders_key_unique",
+          t(s, dir, "orders"), Seq("o_orderkey")),
+        Profile.predicateCheck("lineitem_qty_range", t(s, dir, "lineitem"),
+          col("l_quantity").between(1, 50)),
+        Profile.predicateCheck("lineitem_price_positive",
+          t(s, dir, "lineitem"), col("l_extendedprice") > 0),
+        Profile.predicateCheck("events_type_domain", t(s, dir, "events"),
+          col("event_type").isin("view", "click", "purchase", "signup",
+            "error")),
+        Profile.predicateCheck("documents_nonempty", t(s, dir, "documents"),
+          col("text").isNotNull && col("n_chars") > 0)
+      ).reduce(_ unionByName _)
+    },
+    Some("""SELECT 'orders_custkey_fk' AS check_name,
+           |   CAST(count(*) AS BIGINT) AS n_checked,
+           |   CAST(coalesce(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END), 0)
+           |     AS BIGINT) AS n_violations
+           | FROM orders LEFT JOIN
+           |   (SELECT DISTINCT c_custkey AS __pk FROM customer) p
+           |   ON o_custkey = p.__pk
+           | UNION ALL
+           | SELECT 'lineitem_orderkey_fk',
+           |   CAST(count(*) AS BIGINT),
+           |   CAST(coalesce(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END), 0)
+           |     AS BIGINT)
+           | FROM lineitem LEFT JOIN
+           |   (SELECT DISTINCT o_orderkey AS __pk FROM orders) p
+           |   ON l_orderkey = p.__pk
+           | UNION ALL
+           | SELECT 'customer_key_unique', CAST(coalesce(sum(k), 0) AS BIGINT),
+           |   CAST(coalesce(sum(CASE WHEN k > 1 THEN k ELSE 0 END), 0) AS BIGINT)
+           | FROM (SELECT count(*) AS k FROM customer GROUP BY c_custkey)
+           | UNION ALL
+           | SELECT 'orders_key_unique', CAST(coalesce(sum(k), 0) AS BIGINT),
+           |   CAST(coalesce(sum(CASE WHEN k > 1 THEN k ELSE 0 END), 0) AS BIGINT)
+           | FROM (SELECT count(*) AS k FROM orders GROUP BY o_orderkey)
+           | UNION ALL
+           | SELECT 'lineitem_qty_range', CAST(count(*) AS BIGINT),
+           |   CAST(coalesce(sum(CASE WHEN NOT coalesce(
+           |     l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END), 0)
+           |     AS BIGINT)
+           | FROM lineitem
+           | UNION ALL
+           | SELECT 'lineitem_price_positive', CAST(count(*) AS BIGINT),
+           |   CAST(coalesce(sum(CASE WHEN NOT coalesce(
+           |     l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
+           | FROM lineitem
+           | UNION ALL
+           | SELECT 'events_type_domain', CAST(count(*) AS BIGINT),
+           |   CAST(coalesce(sum(CASE WHEN NOT coalesce(event_type IN
+           |     ('view','click','purchase','signup','error'), FALSE)
+           |     THEN 1 ELSE 0 END), 0) AS BIGINT)
+           | FROM events
+           | UNION ALL
+           | SELECT 'documents_nonempty', CAST(count(*) AS BIGINT),
+           |   CAST(coalesce(sum(CASE WHEN NOT coalesce(
+           |     text IS NOT NULL AND n_chars > 0, FALSE) THEN 1 ELSE 0 END), 0)
+           |     AS BIGINT)
+           | FROM documents""".stripMargin.replace("\n", "")))
+
+  /** Exact Pearson correlation matrix ([[graft.ext.Stats.corrMatrixCenti]])
+    * over the lineitem numerics: every moment is an exact DECIMAL(38,0)
+    * centi-unit sum, so — unlike the built-in `corr()`, whose double
+    * accumulation is partition-order-dependent — the matrix is
+    * bit-stable across engines and layouts. One scan, one 1-row frame
+    * of 15 exact moments, 6 output rows. */
+  val corrMatrixQ = Q(
+    "q_x_corr_matrix",
+    "Exact-moment Pearson correlation matrix over lineitem numerics",
+    (s, dir) => graft.ext.Stats.corrMatrixCenti(
+      t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val short = Map("l_quantity" -> "q", "l_extendedprice" -> "e",
+        "l_discount" -> "d", "l_tax" -> "t")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val centiSel = cols.map(c =>
+        s"CAST(round($c * 100) AS HUGEINT) AS ${short(c)}").mkString(", ")
+      val moments =
+        (Seq("CAST(count(*) AS HUGEINT) AS n") ++
+          cols.map(c => s"sum(${short(c)}) AS s_${short(c)}") ++
+          cols.map(c =>
+            s"sum(${short(c)} * ${short(c)}) AS ss_${short(c)}") ++
+          pairs.map { case (a, b) =>
+            s"sum(${short(a)} * ${short(b)}) AS sp_${short(a)}${short(b)}"
+          }).mkString(", ")
+      val rows = pairs.map { case (a, b) =>
+        val (x, y) = (short(a), short(b))
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+           | round(CAST(n * sp_$x$y - s_$x * s_$y AS DOUBLE) /
+           |   sqrt(CAST(n * ss_$x - s_$x * s_$x AS DOUBLE) *
+           |        CAST(n * ss_$y - s_$y * s_$y AS DOUBLE)), 6) AS corr
+           | FROM m""".stripMargin.replace("\n", "")
+      }.mkString(" UNION ALL ")
+      s"WITH c AS (SELECT $centiSel FROM lineitem), " +
+        s"m AS (SELECT $moments FROM c) $rows"
+    })
+
+  /** Mutual information between market segment and nation
+    * ([[graft.ext.Stats.mutualInfoCells]]): one row per joint cell with
+    * exact counts and per-cell PMI / MI contribution — per-cell emission
+    * keeps every double derived from four exact longs (a cross-cell sum
+    * would be layout-ordered). The joint distribution is one grouped
+    * count; marginals broadcast. */
+  val mutualInfoQ = Q(
+    "q_x_mutual_info",
+    "Mutual information cells: segment x nation PMI from exact counts",
+    (s, dir) => graft.ext.Stats.mutualInfoCells(
+      t(s, dir, "customer").join(
+        broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey")),
+      "c_mktsegment", "n_name"),
+    Some("""WITH base AS (SELECT c_mktsegment AS a, n_name AS b
+           |   FROM customer JOIN nation ON c_nationkey = n_nationkey),
+           | j AS (SELECT a, b, count(*) AS n_ab FROM base GROUP BY 1, 2),
+           | ma AS (SELECT a, count(*) AS n_a FROM base GROUP BY 1),
+           | mb AS (SELECT b, count(*) AS n_b FROM base GROUP BY 1),
+           | t AS (SELECT count(*) AS n_total FROM base)
+           | SELECT a, b, n_ab,
+           |   round(ln(CAST(CAST(n_ab AS HUGEINT) * n_total AS DOUBLE) /
+           |     CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)) / ln(2.0), 6)
+           |     AS pmi,
+           |   round((CAST(n_ab AS DOUBLE) / n_total) *
+           |     (ln(CAST(CAST(n_ab AS HUGEINT) * n_total AS DOUBLE) /
+           |       CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)) / ln(2.0)), 6)
+           |     AS mi_contrib
+           | FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t"""
+      .stripMargin.replace("\n", "")))
+
+  /** Benford first-digit audit ([[graft.ext.Stats.benford]]) over
+    * lineitem prices: leading digit taken from the exact centi-unit
+    * integer's string form (immune to the log10 power-of-ten ulp
+    * boundary), with observed share, Benford expectation, and chi-square
+    * terms per digit. 9 output rows from one partial-aggregated scan. */
+  val benfordQ = Q(
+    "q_x_benford",
+    "Benford first-digit audit of lineitem extendedprice",
+    (s, dir) => graft.ext.Stats.benford(
+      t(s, dir, "lineitem"), "l_extendedprice"),
+    Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(round(
+           |     l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+           |     AS BIGINT) AS digit
+           |   FROM lineitem WHERE l_extendedprice > 0),
+           | g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+           | t AS (SELECT sum(n) AS n_total FROM g)
+           | SELECT digit, n,
+           |   round(CAST(n AS DOUBLE) / n_total, 6) AS share,
+           |   round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p,
+           |   round(pow(CAST(n AS DOUBLE) -
+           |       n_total * (ln(1.0 + 1.0 / digit) / ln(10.0)), 2) /
+           |     (n_total * (ln(1.0 + 1.0 / digit) / ln(10.0))), 4)
+           |     AS chi2_term
+           | FROM g CROSS JOIN t""".stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
     sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
     scd2Build, scd2Lookup, scd2Incremental, textrank, triangles, twapQ,
-    rfmQ, trendQ, changePointQ, assocRulesQ, robustStatsQ)
+    rfmQ, trendQ, changePointQ, assocRulesQ, robustStatsQ, qualityChecksQ,
+    corrMatrixQ, mutualInfoQ, benfordQ)
 }

@@ -1780,7 +1780,49 @@ object ExtensionQueries {
     },
     None)
 
+  /** Corpus profiling report ([[graft.ext.Profile.profile]]): the
+    * Deequ-style per-column scorecard (completeness, distinctness,
+    * range, length moments) a training-data ingest publishes before
+    * admission — long-format (col_name, metric, value), every value an
+    * exact count or a single exact-ratio division. Two column-pruned
+    * scans per column, each reduced map-side to a 1-row frame. */
+  val profileQ = Q(
+    "q_x_profile",
+    "Deequ-style per-column profile of the documents corpus",
+    (s, dir) => graft.ext.Profile.profile(
+      Sources.table(s, dir, "documents"),
+      numericCols = Seq("doc_id", "n_chars"),
+      stringCols = Seq("text", "lang", "source")),
+    Some {
+      def statsFor(c: String, isStr: Boolean): String = {
+        val v = if (isStr) s"length($c)" else c
+        val (mnN, mxN, avgN) =
+          if (isStr) ("min_len", "max_len", "avg_len")
+          else ("min", "max", "mean")
+        s"""SELECT '$c' AS col_name, 'count' AS metric,
+           | CAST(count($c) AS DOUBLE) AS value FROM documents
+           | UNION ALL SELECT '$c', 'nulls',
+           | CAST(count(*) - count($c) AS DOUBLE) FROM documents
+           | UNION ALL SELECT '$c', 'completeness',
+           | round(CAST(count($c) AS DOUBLE) / count(*), 6) FROM documents
+           | UNION ALL SELECT '$c', 'distinct',
+           | CAST(count(DISTINCT $c) AS DOUBLE) FROM documents
+           | UNION ALL SELECT '$c', '$mnN', CAST(min($v) AS DOUBLE)
+           | FROM documents
+           | UNION ALL SELECT '$c', '$mxN', CAST(max($v) AS DOUBLE)
+           | FROM documents
+           | UNION ALL SELECT '$c', '$avgN',
+           | round(CAST(sum(CAST($v AS DECIMAL(38,6))) AS DOUBLE)
+           |   / count($c), 6) FROM documents"""
+          .stripMargin.replace("\n", "")
+      }
+      (Seq("doc_id", "n_chars").map(statsFor(_, isStr = false)) ++
+        Seq("text", "lang", "source").map(statsFor(_, isStr = true)))
+        .mkString(" UNION ALL ")
+    })
+
   val all: Seq[Q] = Seq(
+    profileQ,
     dedupExact, dedupMinhash, dedupKeepBest, dedupSimhash,
     dedupSimhashAnchor, dedupVerify,
     dedupIncremental,

@@ -377,7 +377,73 @@ object StreamingQueries {
            | FROM w GROUP BY user_id, eus"""
       .stripMargin.replace("\n", "")))
 
+  /** Streaming ordered funnel under the driver gate
+    * ([[graft.streaming.EventsStream.funnelStream]]): per-user
+    * view→click→purchase stage, emitted once per user when the
+    * watermark passes their last event (EventTimeTimeout armed at
+    * lastMs+1 — fires strictly below the watermark, the sessionWindows
+    * contract). The oracle is the batch q_a9_funnel computation
+    * restricted to users whose ENTIRE history is final under the
+    * resting watermark (max event ms − 1 min): for exactly those users
+    * the streaming stage is computed over the same complete history at
+    * microsecond precision, so rows must hash-match bit-for-bit. */
+  val streamFunnel = Q(
+    "q_s_stream_funnel",
+    "Streaming ordered funnel stage per user = batch funnel, final users",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream.funnelStream(src).toDF()
+      runToMemory(s, out, "append", "graft_stream_funnel")
+    },
+    Some("""WITH m AS (SELECT max(epoch_ms(ts)) - 60000 AS wm FROM events),
+           | e AS (SELECT user_id, event_type, ts, epoch_ms(ts) AS ems
+           |   FROM events),
+           | done AS (SELECT user_id FROM e CROSS JOIN m
+           |   GROUP BY user_id, m.wm HAVING max(ems) + 1 < m.wm),
+           | v AS (SELECT user_id, min(ts) AS mv FROM e
+           |   WHERE event_type = 'view' GROUP BY 1),
+           | c AS (SELECT e.user_id, min(e.ts) AS mc FROM e
+           |   JOIN v USING (user_id)
+           |   WHERE event_type = 'click' AND e.ts >= v.mv GROUP BY 1),
+           | p AS (SELECT e.user_id, min(e.ts) AS mp FROM e
+           |   JOIN c USING (user_id)
+           |   WHERE event_type = 'purchase' AND e.ts >= c.mc GROUP BY 1)
+           | SELECT u.user_id, CAST(CASE
+           |   WHEN p.user_id IS NOT NULL THEN 3
+           |   WHEN c.user_id IS NOT NULL THEN 2
+           |   WHEN v.user_id IS NOT NULL THEN 1
+           |   ELSE 0 END AS BIGINT) AS funnel_stage
+           | FROM done u
+           | LEFT JOIN v USING (user_id)
+           | LEFT JOIN c USING (user_id)
+           | LEFT JOIN p USING (user_id)"""
+      .stripMargin.replace("\n", "")))
+
+  /** Streaming exact distinct-users-per-hour under the driver gate
+    * ([[graft.streaming.EventsStream.windowedDistinctUsers]]): chained
+    * stateful operators — dedup on (user, hour) then a windowed count —
+    * in append mode, the COUNT(DISTINCT) a streaming aggregate cannot
+    * express directly. Append-mode windows finalize once the watermark
+    * passes their end, so the oracle keeps hours whose end sits at or
+    * below the resting watermark (max event ms − the 65-minute dedup
+    * horizon); the last partial hour is still pending by construction. */
+  val streamDistinct = Q(
+    "q_s_stream_distinct",
+    "Streaming dedup+window chain = batch COUNT(DISTINCT) per hour",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream.windowedDistinctUsers(src)
+      runToMemory(s, out, "append", "graft_stream_distinct")
+    },
+    Some("""WITH m AS (SELECT max(epoch_ms(ts)) - 3900000 AS wm FROM events)
+           | SELECT date_trunc('hour', ts) AS window_start,
+           |   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           | FROM events CROSS JOIN m
+           | GROUP BY 1, m.wm
+           | HAVING epoch_ms(date_trunc('hour', ts)) + 3600000 <= m.wm"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin,
     streamJoinCapped, streamEnrich, streamSession, streamAsof, streamHeavy,
-    streamScd2, streamEwma)
+    streamScd2, streamEwma, streamFunnel, streamDistinct)
 }

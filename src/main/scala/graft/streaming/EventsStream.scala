@@ -689,6 +689,125 @@ object EventsStream {
     * every other state machine in this file. A returning user restarts
     * from zero (running stats are a within-horizon view; lifetime totals
     * belong to the batch/incremental-agg surface). */
+  /** Per-user funnel buffers — the state of [[funnelStream]]. The buffers
+    * are EXACTLY compacted, not truncated: a discarded click/purchase is
+    * provably dominated (see funnelStream's invariant note), so on an
+    * in-order stream each user's state is O(1) — minView + one candidate
+    * click + one candidate purchase — and out-of-order arrival grows it
+    * only by the events that undercut the running thresholds. */
+  final case class FunnelState(minViewUs: Long, hasView: Boolean,
+      clicks: List[Long], purchases: List[Long], lastMs: Long)
+
+  final case class FunnelStage(user_id: Long, funnel_stage: Long)
+
+  /** Streaming ordered conversion funnel — the unbounded-stream
+    * counterpart of the batch q_a9_funnel: per user, how far through
+    * view → click-at-or-after-first-view → purchase-at-or-after-that
+    * did the event history get. A user's stage emits ONCE, when the
+    * watermark passes their last event (EventTimeTimeout armed at
+    * lastMs+1 — the sessionStats idle-eviction contract), computed over
+    * their full finalized history at microsecond precision, so the
+    * emitted row is bit-identical to the batch operator's.
+    *
+    * State compaction invariant (why the buffers stay O(1) in-order):
+    * minView only decreases as information arrives, so the final
+    * thresholds satisfy mv_final <= mv_cur and mc_final <= mc_cur. A
+    * click is kept iff it is below mv_cur (might validate later) or is
+    * the minimum at-or-above mv_cur; any discarded click c has a kept
+    * click c' with mv_cur <= c' < c, and since mv_final <= mv_cur, c'
+    * is valid at close and smaller — c can never be the winning
+    * minimum. Purchases compact identically against mc_cur. Every
+    * event type (including signup/error) updates lastMs so stage-0
+    * users exist in the output, matching the batch DISTINCT universe.
+    *
+    * Scale shape: state shards by user like every keyed operator here;
+    * per-key state is a handful of longs plus the out-of-order tail,
+    * and evicts at watermark close — bounded on an unbounded stream. */
+  def funnelStream(events: DataFrame,
+                   watermark: String = "1 minute"): Dataset[FunnelStage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(ts: java.sql.Timestamp): Long =
+      ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+    // keep everything below `bound` (it may validate once the running
+    // threshold drops) plus the single best candidate at-or-above it
+    def compact(xs: List[Long], bound: Option[Long]): List[Long] =
+      bound match {
+        case None => xs
+        case Some(b) =>
+          val (lo, hi) = xs.partition(_ < b)
+          lo ::: hi.minOption.toList
+      }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val mv = if (st.hasView) Some(st.minViewUs) else None
+            val mc = mv.flatMap(v => st.clicks.filter(_ >= v).minOption)
+            val mp = mc.flatMap(c => st.purchases.filter(_ >= c).minOption)
+            state.remove()
+            val stage =
+              if (mp.isDefined) 3L
+              else if (mc.isDefined) 2L
+              else if (mv.isDefined) 1L else 0L
+            Iterator.single(FunnelStage(uid, stage))
+          } else {
+            var st = state.getOption
+              .getOrElse(FunnelState(0L, hasView = false, Nil, Nil, 0L))
+            batch.foreach { e =>
+              val t = us(e.ts)
+              st = e.event_type match {
+                case "view" => st.copy(
+                  minViewUs =
+                    if (st.hasView) math.min(st.minViewUs, t) else t,
+                  hasView = true)
+                case "click" => st.copy(clicks = t :: st.clicks)
+                case "purchase" => st.copy(purchases = t :: st.purchases)
+                case _ => st
+              }
+              st = st.copy(lastMs = math.max(st.lastMs, e.ts.getTime))
+            }
+            val mv = if (st.hasView) Some(st.minViewUs) else None
+            val clicks = compact(st.clicks, mv)
+            val mcCur = mv.flatMap(v => clicks.filter(_ >= v).minOption)
+            val purchases = compact(st.purchases, mcCur)
+            st = st.copy(clicks = clicks, purchases = purchases)
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + 1, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming exact distinct users per hour — chained stateful
+    * operators (dedup → windowed aggregate) in append mode, the
+    * COUNT(DISTINCT) a streaming aggregate cannot express directly.
+    * `dropDuplicatesWithinWatermark` on (user_id, hour) keeps the first
+    * row per key; each survivor contributes exactly 1 to its hour's
+    * count. The watermark delay must cover the dedup key's event-time
+    * SPAN (two rows of one (user, hour) key can sit 59 minutes apart,
+    * and WithinWatermark only guarantees dedup for rows within the
+    * delay of each other) — hence the 65-minute default: window span
+    * plus out-of-order slack. Dedup state evicts one horizon after a
+    * key's hour passes; aggregate windows emit (append) once the
+    * watermark passes their end — bounded state on both operators. */
+  def windowedDistinctUsers(events: DataFrame,
+                            watermark: String = "65 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window.start").as("window_start"), col("n_users"))
+
   def sessionStats(events: DataFrame,
                    watermark: String = "365 days"): Dataset[UserSession] = {
     val spark = events.sparkSession

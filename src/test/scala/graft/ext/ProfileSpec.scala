@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The profiling metrics must count exactly, and the quality checks must
+  * DETECT: the gate corpus is clean by construction, so violations are
+  * planted here — orphan FKs, duplicated keys, out-of-range and NULL
+  * values — and the audit rows must count them precisely. */
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def metric(df: org.apache.spark.sql.DataFrame,
+                     c: String, m: String): Double =
+    df.filter(col("col_name") === c && col("metric") === m)
+      .head().getAs[Double]("value")
+
+  test("profile: counts, nulls, completeness, distinct, length moments") {
+    val df = Seq(
+      (1L, Option("aa"), Option(10.0)),
+      (2L, Option("bbbb"), None),
+      (3L, None, Option(30.0)),
+      (4L, Option("aa"), Option(20.0))
+    ).toDF("id", "s", "v")
+    val p = Profile.profile(df, numericCols = Seq("id", "v"),
+      stringCols = Seq("s")).cache()
+    assert(metric(p, "id", "count") == 4.0)
+    assert(metric(p, "id", "nulls") == 0.0)
+    assert(metric(p, "id", "distinct") == 4.0)
+    assert(metric(p, "id", "mean") == 2.5)
+    assert(metric(p, "v", "count") == 3.0)
+    assert(metric(p, "v", "nulls") == 1.0)
+    assert(metric(p, "v", "completeness") == 0.75)
+    assert(metric(p, "v", "min") == 10.0)
+    assert(metric(p, "v", "max") == 30.0)
+    assert(metric(p, "v", "mean") == 20.0)
+    assert(metric(p, "s", "count") == 3.0)
+    assert(metric(p, "s", "distinct") == 2.0)
+    assert(metric(p, "s", "min_len") == 2.0)
+    assert(metric(p, "s", "max_len") == 4.0)
+    // (2 + 4 + 2) / 3
+    assert(metric(p, "s", "avg_len") == 2.666667)
+    // 2 numeric + 1 string column, 7 metrics each
+    assert(p.count() == 21)
+    p.unpersist()
+  }
+
+  test("fkCheck: orphans counted, including NULL child keys") {
+    val child = Seq(Option(1L), Option(2L), Option(99L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Profile.fkCheck("fk", child, "fk", parent, "pk").head()
+    assert(r.getAs[Long]("n_checked") == 4L)
+    assert(r.getAs[Long]("n_violations") == 2L) // 99 and NULL
+  }
+
+  test("uniqueCheck: every row of a duplicated key is a violation") {
+    val df = Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("k")
+    val r = Profile.uniqueCheck("uk", df, Seq("k")).head()
+    assert(r.getAs[Long]("n_checked") == 6L)
+    assert(r.getAs[Long]("n_violations") == 5L) // 2x2 + 3x3
+  }
+
+  test("predicateCheck: NULL predicate counts as a violation") {
+    val df = Seq(Option(5.0), Option(500.0), None).toDF("v")
+    val r = Profile.predicateCheck("range", df,
+      col("v").between(0, 100)).head()
+    assert(r.getAs[Long]("n_checked") == 3L)
+    assert(r.getAs[Long]("n_violations") == 2L) // 500 and NULL
+  }
+
+  test("gate audit over sf0.001 is clean: zero violations on every check") {
+    val q = graft.operators.Catalog.byName("q_x_quality_checks")
+    val rows = q.run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getAs[Long]("n_violations") == 0L))
+    assert(rows.forall(_.getAs[Long]("n_checked") > 0L))
+  }
+}
