@@ -101,6 +101,28 @@ object Profile {
     checkRow(name, joined, col("__pk").isNull)
   }
 
+  /** Key-skew audit for one (label, frame, key) triple: the
+    * salting/bucketing decision metrics this repo's own skew mitigations
+    * (saltedJoin, sharded sessionize, maxBucket caps) are chosen by,
+    * computed exactly — n_rows, n_keys, the hottest key's row count, its
+    * share of the table, and the hot-key multiplier max·keys/rows (how
+    * many times the average key the whale is: >~32 means one task owns
+    * the key under a 32-way shuffle and salting is due). One two-level
+    * hash aggregate per audited key; NULL keys group like any value. */
+  def keySkew(label: String, df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("__k"))
+      .agg(sum(col("__k")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__k")).as("max_key_n"))
+      .select(lit(label).as("keyed"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("n_keys").cast("long").as("n_keys"),
+        col("max_key_n").cast("long").as("max_key_n"),
+        round(col("max_key_n").cast("double") / col("n_rows"), 6)
+          .as("top_share"),
+        round(col("max_key_n").cast("double") * col("n_keys") /
+          col("n_rows"), 4).as("skew_ratio"))
+
   /** Uniqueness check: rows carrying a key that occurs more than once
     * (a key seen k>1 times contributes k violations — every row of a
     * duplicated key is implicated, matching the Deequ convention). */

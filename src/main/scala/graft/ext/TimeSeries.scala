@@ -173,4 +173,71 @@ object TimeSeries {
       when(varX =!= 0.0 && varY =!= 0.0,
         round(covN / (sqrt(varX) * sqrt(varY)), 6)).as("pearson_r"))
   }
+
+  /** Exact autocorrelation (ACF) per key over an integer-valued regular
+    * series — the seasonality probe behind every forecasting pipeline.
+    *
+    * Input: one row per (key, t, x) with `t` an integer grid index
+    * (e.g. hours since epoch) and `x` an exact integer measure (a count,
+    * or a centi-unit). For each lag k the estimator is the full-mean
+    * Pearson form over the pairs that EXIST on the grid (missing grid
+    * points simply contribute no pair — the sparse-series convention,
+    * matched exactly by the oracle's self-join):
+    *
+    *   r_k = Σ(x_t − μ)(x_{t+k} − μ) / Σ(x_t − μ)²,   μ = S/n
+    *
+    * Denominator-cleared to integer arithmetic (the trend/changePoint
+    * discipline — multiply through by n²):
+    *
+    *   r_k = (n²·P_k − n·S·(A_k+B_k) + m_k·S²) / (n²·Q − n·S²)
+    *
+    * with P_k = Σ x_t·x_{t+k}, A_k/B_k the pair-side sums, m_k the pair
+    * count, Q = Σx² — every term an exact DECIMAL(38,0), one double
+    * division at the end, so the output is layout- and engine-exact.
+    * Headroom: n²·Q stays inside DECIMAL(38,0)/HUGEINT through ~1e5 grid
+    * points of 1e9-sized values (a decade of hours at 100 TB event
+    * rates).
+    *
+    * Shape: the series table is aggregate-sized (calendar-bounded — the
+    * changePoint/bigram discipline: windows and self-joins run over the
+    * AGGREGATED frame, never the raw corpus); one equi-join per lag on
+    * (key, t+k), each broadcast-or-hash sized by the grid, never by the
+    * input rows. Zero-variance keys report NULL, not an ANSI error. */
+  def acf(series: DataFrame, keyCol: String, tCol: String, xCol: String,
+          lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), s"bad lags: $lags")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // the grid table feeds one join pair per lag plus the stats pass:
+    // materialize once (MarketBasket/TfIdf idiom)
+    val base = series.select(col(keyCol).as("k"), col(tCol).as("t"),
+      dec(col(xCol)).as("x")).localCheckpoint(true)
+    val stats = base.groupBy(col("k")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q"))
+    val perLag = lags.map { k =>
+      val a = base.select(col("k"), col("t"), col("x").as("xa"))
+      // b shifted so that joining on t pairs x_t with x_{t+k}
+      val b = base.select(col("k"), (col("t") - k).as("t"),
+        col("x").as("xb"))
+      a.join(b, Seq("k", "t"))
+        .groupBy(col("k"))
+        .agg(
+          count(lit(1)).cast("decimal(38,0)").as("m"),
+          sum(col("xa") * col("xb")).as("p"),
+          sum(col("xa")).as("a"),
+          sum(col("xb")).as("b"))
+        .withColumn("lag", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    val num = (col("n") * col("n") * col("p") -
+      col("n") * col("s") * (col("a") + col("b")) +
+      col("m") * col("s") * col("s")).cast("double")
+    val den = (col("n") * col("n") * col("q") -
+      col("n") * col("s") * col("s")).cast("double")
+    perLag.join(stats, "k")
+      .select(col("k").as(keyCol), col("lag"),
+        col("n").cast("long").as("n_obs"),
+        col("m").cast("long").as("n_pairs"),
+        when(den =!= 0.0, round(num / den, 6)).as("acf"))
+  }
 }

@@ -929,10 +929,98 @@ object AnalyticsQueries {
            |     AS chi2_term
            | FROM g CROSS JOIN t""".stripMargin.replace("\n", "")))
 
+  /** Key-skew audit ([[graft.ext.Profile.keySkew]]): the hot-key report
+    * the repo's own mitigations (salted join, sharded sessionize,
+    * maxBucket caps) are sized by — n_rows / n_keys / hottest-key count
+    * / share / hot-key multiplier per audited (table, key), all exact.
+    * One two-level hash aggregate per key column, nothing collected. */
+  val skewReportQ = Q(
+    "q_x_skew_report",
+    "Key-skew audit: exact hot-key share and multiplier per join key",
+    (s, dir) => {
+      import graft.ext.Profile
+      Seq(
+        Profile.keySkew("events.user_id", t(s, dir, "events"), "user_id"),
+        Profile.keySkew("events.event_type", t(s, dir, "events"),
+          "event_type"),
+        Profile.keySkew("lineitem.l_orderkey", t(s, dir, "lineitem"),
+          "l_orderkey"),
+        Profile.keySkew("lineitem.l_partkey", t(s, dir, "lineitem"),
+          "l_partkey"),
+        Profile.keySkew("orders.o_custkey", t(s, dir, "orders"),
+          "o_custkey"),
+        Profile.keySkew("documents.source", t(s, dir, "documents"),
+          "source")
+      ).reduce(_ unionByName _)
+    },
+    Some {
+      def leg(label: String, table: String, key: String): String =
+        s"""SELECT '$label' AS keyed,
+           | CAST(sum(k) AS BIGINT) AS n_rows,
+           | CAST(count(*) AS BIGINT) AS n_keys,
+           | CAST(max(k) AS BIGINT) AS max_key_n,
+           | round(CAST(max(k) AS DOUBLE) / sum(k), 6) AS top_share,
+           | round(CAST(max(k) AS DOUBLE) * count(*) / sum(k), 4)
+           |   AS skew_ratio
+           | FROM (SELECT count(*) AS k FROM $table GROUP BY $key)"""
+          .stripMargin.replace("\n", "")
+      Seq(
+        leg("events.user_id", "events", "user_id"),
+        leg("events.event_type", "events", "event_type"),
+        leg("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        leg("lineitem.l_partkey", "lineitem", "l_partkey"),
+        leg("orders.o_custkey", "orders", "o_custkey"),
+        leg("documents.source", "documents", "source")
+      ).mkString(" UNION ALL ")
+    })
+
+  /** Exact autocorrelation ([[graft.ext.TimeSeries.acf]]) of the hourly
+    * event-count series per type at lags 1–3 — the seasonality probe,
+    * denominator-cleared to DECIMAL(38,0) like trend/changePoint so the
+    * single final division is of identical exact operands in both
+    * engines. Self-joins run over the AGGREGATED hourly grid
+    * (calendar-bounded), one per lag. */
+  val acfQ = Q(
+    "q_x_acf",
+    "Exact hourly-count autocorrelation per event type, lags 1-3",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")) / 3600000000L).cast("long").as("t"))
+        .agg(count(lit(1)).as("x"))
+      graft.ext.TimeSeries.acf(hourly, "event_type", "t", "x", Seq(1, 2, 3))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |     epoch_us(ts) // 3600000000 AS t,
+           |     CAST(count(*) AS HUGEINT) AS x
+           |   FROM events GROUP BY 1, 2),
+           | st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+           |     sum(x) AS s, sum(x * x) AS q
+           |   FROM h GROUP BY 1),
+           | l AS (SELECT a.event_type, k.lag,
+           |     CAST(count(*) AS HUGEINT) AS m,
+           |     sum(a.x * b.x) AS p, sum(a.x) AS aa, sum(b.x) AS bb
+           |   FROM h a
+           |   JOIN h b ON a.event_type = b.event_type
+           |   JOIN (VALUES (1), (2), (3)) k(lag) ON b.t = a.t + k.lag
+           |   GROUP BY 1, 2)
+           | SELECT l.event_type, CAST(l.lag AS BIGINT) AS lag,
+           |   CAST(st.n AS BIGINT) AS n_obs,
+           |   CAST(l.m AS BIGINT) AS n_pairs,
+           |   CASE WHEN CAST(st.n * st.n * st.q - st.n * st.s * st.s
+           |       AS DOUBLE) = 0 THEN NULL
+           |     ELSE round(CAST(st.n * st.n * l.p
+           |         - st.n * st.s * (l.aa + l.bb)
+           |         + l.m * st.s * st.s AS DOUBLE)
+           |       / CAST(st.n * st.n * st.q - st.n * st.s * st.s
+           |         AS DOUBLE), 6) END AS acf
+           | FROM l JOIN st USING (event_type)"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
     sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
     scd2Build, scd2Lookup, scd2Incremental, textrank, triangles, twapQ,
     rfmQ, trendQ, changePointQ, assocRulesQ, robustStatsQ, qualityChecksQ,
-    corrMatrixQ, mutualInfoQ, benfordQ)
+    corrMatrixQ, mutualInfoQ, benfordQ, skewReportQ, acfQ)
 }

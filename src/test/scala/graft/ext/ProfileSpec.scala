@@ -72,6 +72,17 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_violations") == 2L) // 500 and NULL
   }
 
+  test("keySkew: exact hot-key share and multiplier, NULL keys grouped") {
+    val df = Seq(Option("a"), Option("a"), Option("a"), Option("b"), None)
+      .toDF("k")
+    val r = Profile.keySkew("t.k", df, "k").head()
+    assert(r.getAs[Long]("n_rows") == 5L)
+    assert(r.getAs[Long]("n_keys") == 3L) // a, b, NULL
+    assert(r.getAs[Long]("max_key_n") == 3L)
+    assert(r.getAs[Double]("top_share") == 0.6)
+    assert(r.getAs[Double]("skew_ratio") == 1.8) // 3 * 3 / 5
+  }
+
   test("gate audit over sf0.001 is clean: zero violations on every check") {
     val q = graft.operators.Catalog.byName("q_x_quality_checks")
     val rows = q.run(spark, "/root/testdata/sf0.001").collect()

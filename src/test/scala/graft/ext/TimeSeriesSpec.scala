@@ -142,4 +142,42 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(a.getDouble(2) == b.getDouble(2))
     assert(a.getDouble(3) == b.getDouble(3))
   }
+
+  test("acf: hand-computed lags over [1,2,3,4] — 0.25, -0.3, -0.45") {
+    import spark.implicits._
+    val s = Seq(("a", 0L, 1L), ("a", 1L, 2L), ("a", 2L, 3L), ("a", 3L, 4L))
+      .toDF("key", "t", "x")
+    val r = TimeSeries.acf(s, "key", "t", "x", Seq(1, 2, 3))
+      .collect().map(row => row.getAs[Long]("lag") ->
+        (row.getAs[Long]("n_obs"), row.getAs[Long]("n_pairs"),
+          row.getAs[Double]("acf"))).toMap
+    assert(r(1L) == (4L, 3L, 0.25))
+    assert(r(2L) == (4L, 2L, -0.3))
+    assert(r(3L) == (4L, 1L, -0.45))
+  }
+
+  test("acf: grid gaps pair only existing points; zero variance is NULL") {
+    import spark.implicits._
+    // t=2 missing: lag-1 pairs only (t0,t1) → m=1, r = 4/42
+    val gap = Seq(("a", 0L, 1L), ("a", 1L, 2L), ("a", 3L, 4L))
+      .toDF("key", "t", "x")
+    val g = TimeSeries.acf(gap, "key", "t", "x", Seq(1)).head()
+    assert(g.getAs[Long]("n_pairs") == 1L)
+    assert(g.getAs[Double]("acf") == 0.095238)
+    val const = Seq(("c", 0L, 7L), ("c", 1L, 7L), ("c", 2L, 7L))
+      .toDF("key", "t", "x")
+    val c = TimeSeries.acf(const, "key", "t", "x", Seq(1)).head()
+    assert(c.isNullAt(c.fieldIndex("acf")))
+  }
+
+  test("acf: layout-independent — repartitioned input gives identical bits") {
+    import spark.implicits._
+    val s = (0L until 300L).map(i => ("k", i, (i * 37) % 101))
+      .toDF("key", "t", "x")
+    val a = TimeSeries.acf(s, "key", "t", "x", Seq(1, 2))
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    val b = TimeSeries.acf(s.repartition(13), "key", "t", "x", Seq(1, 2))
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(a == b)
+  }
 }
