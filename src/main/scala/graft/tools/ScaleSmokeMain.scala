@@ -612,7 +612,20 @@ object ScaleSmokeMain {
       ("heavy",
         (e: DataFrame) => graft.streaming.EventsStream
           .windowedHeavyHitters(e),
-        "complete"))
+        "complete"),
+      // state claim: one EXACTLY-compacted funnel buffer per user (min
+      // view + dominated-pruned click/purchase candidates — O(1) per key
+      // on an in-order stream), evicted at watermark close
+      ("funnel",
+        (e: DataFrame) => graft.streaming.EventsStream
+          .funnelStream(e).toDF(),
+        "append"),
+      // state claim: dedup rows ∝ (user, hour) keys inside the 65-min
+      // horizon; window-agg rows ∝ open hours — both horizon-bounded
+      ("distinct",
+        (e: DataFrame) => graft.streaming.EventsStream
+          .windowedDistinctUsers(e),
+        "append"))
 
     println(f"${"op"}%-12s ${"in_1x"}%9s ${"state_1x"}%9s ${"MB_1x"}%7s ${"in_Nx"}%9s ${"state_Nx"}%9s ${"MB_Nx"}%7s ${"stateR"}%6s")
     ops.foreach { case (label, mk, mode) =>
