@@ -101,6 +101,28 @@ object Profile {
     checkRow(name, joined, col("__pk").isNull)
   }
 
+  /** Functional-dependency check det → dep: counts the rows living in
+    * determinant groups that map to MORE than one distinct dependent
+    * value (every row of a violating group is implicated, the
+    * uniqueCheck convention — an FD holds or fails per GROUP, and the
+    * repair cost is proportional to the group's rows). Two-level
+    * aggregate: (det → distinct-dep count, rows), then one summed 1-row
+    * frame. NULL determinants group together like any key; NULL
+    * dependents are IGNORED (both engines' COUNT(DISTINCT) convention —
+    * the FD is checked over the dependent's non-null assignments). */
+  def fdCheck(name: String, df: DataFrame, detCol: String, depCol: String)
+      : DataFrame = {
+    val grouped = df.groupBy(col(detCol))
+      .agg(count(lit(1)).as("__k"),
+        count_distinct(col(depCol)).as("__d"))
+    grouped.agg(
+      coalesce(sum(col("__k")), lit(0L)).as("n_checked"),
+      coalesce(sum(when(col("__d") > 1, col("__k")).otherwise(0L)), lit(0L))
+        .as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_checked").cast("long"),
+        col("n_violations").cast("long").as("n_violations"))
+  }
+
   /** Key-skew audit for one (label, frame, key) triple: the
     * salting/bucketing decision metrics this repo's own skew mitigations
     * (saltedJoin, sharded sessionize, maxBucket caps) are chosen by,

@@ -1017,10 +1017,75 @@ object AnalyticsQueries {
            | FROM l JOIN st USING (event_type)"""
       .stripMargin.replace("\n", "")))
 
+  /** Hopping (sliding) event-time windows — `window(ts, 1h, 15m)`: each
+    * event lands in exactly 4 overlapping hour windows. The one window
+    * flavor the surface didn't yet pin (tumbling = q_s_stream_window,
+    * session = q_w_session_window, frames = q_w_*). Counts are exact;
+    * the value sum uses the ExactMoney fixed-point discipline. The
+    * oracle reconstructs Spark's epoch-aligned window set explicitly:
+    * slot = floor(us / 15min), window starts at slot−k·15min for
+    * k = 0..3 (every one satisfies ws ≤ ts < ws+1h by construction). */
+  val hoppingWindowAgg = Q(
+    "q_w_hopping_window",
+    "Sliding window(1h, 15min): exact counts + value sums per overlap",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        ExactMoney.fixedSum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value")),
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+           |     CAST(round(value * 100.0) AS BIGINT) AS vc FROM events)
+           | SELECT make_timestamp((us // 900000000) * 900000000
+           |     - CAST(k.i AS BIGINT) * 900000000) AS window_start,
+           |   event_type, count(*) AS n,
+           |   sum(vc) / 100.0e0 AS sum_value
+           | FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) k(i)
+           | GROUP BY 1, 2""".stripMargin.replace("\n", "")))
+
+  /** Functional-dependency audit ([[graft.ext.Profile.fdCheck]]): does
+    * det → dep hold, reported as implicated-row counts — two FDs that
+    * HOLD in the warehouse (nationkey → name, orderkey → custkey) and
+    * two that genuinely DON'T (an order has many suppliers, a user many
+    * event types), so the gate pins nonzero detection on real data, not
+    * only on planted fixtures. One two-level aggregate per rule. */
+  val fdAuditQ = Q(
+    "q_x_fd_audit",
+    "Functional-dependency audit: held and violated FDs, exact row counts",
+    (s, dir) => {
+      import graft.ext.Profile
+      Seq(
+        Profile.fdCheck("nation_key_name", t(s, dir, "nation"),
+          "n_nationkey", "n_name"),
+        Profile.fdCheck("order_custkey", t(s, dir, "orders"),
+          "o_orderkey", "o_custkey"),
+        Profile.fdCheck("order_single_supplier", t(s, dir, "lineitem"),
+          "l_orderkey", "l_suppkey"),
+        Profile.fdCheck("user_single_event_type", t(s, dir, "events"),
+          "user_id", "event_type")
+      ).reduce(_ unionByName _)
+    },
+    Some {
+      def leg(label: String, table: String, det: String, dep: String) =
+        s"""SELECT '$label' AS check_name,
+           | CAST(coalesce(sum(k), 0) AS BIGINT) AS n_checked,
+           | CAST(coalesce(sum(CASE WHEN d > 1 THEN k ELSE 0 END), 0)
+           |   AS BIGINT) AS n_violations
+           | FROM (SELECT count(*) AS k, count(DISTINCT $dep) AS d
+           |   FROM $table GROUP BY $det)""".stripMargin.replace("\n", "")
+      Seq(
+        leg("nation_key_name", "nation", "n_nationkey", "n_name"),
+        leg("order_custkey", "orders", "o_orderkey", "o_custkey"),
+        leg("order_single_supplier", "lineitem", "l_orderkey", "l_suppkey"),
+        leg("user_single_event_type", "events", "user_id", "event_type")
+      ).mkString(" UNION ALL ")
+    })
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
     sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
     scd2Build, scd2Lookup, scd2Incremental, textrank, triangles, twapQ,
     rfmQ, trendQ, changePointQ, assocRulesQ, robustStatsQ, qualityChecksQ,
-    corrMatrixQ, mutualInfoQ, benfordQ, skewReportQ, acfQ)
+    corrMatrixQ, mutualInfoQ, benfordQ, skewReportQ, acfQ,
+    hoppingWindowAgg, fdAuditQ)
 }

@@ -68,6 +68,7 @@ object ScaleSmokeMain {
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: src :: out :: n :: Nil => gen(src, out, n.toInt)
     case "genskew" :: src :: out :: n :: Nil => gen(src, out, n.toInt, skew = true)
+    case "gensorted" :: src :: out :: Nil => gensorted(src, out)
     case "gensf" :: src :: out :: n :: Nil => gensf(src, out, n.toInt)
     case "run" :: src :: scaled :: Nil => run(src, scaled)
     case "bpe" :: src :: k :: Nil => bpe(src, k.toInt)
@@ -1390,6 +1391,25 @@ object ScaleSmokeMain {
     eventsN.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     embsN.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"[scale-smoke] wrote ${n}x tables to $out")
+    spark.stop()
+  }
+
+  /** A time-CLUSTERED copy of a scaled dir's events (range-partitioned +
+    * sorted by ts — the layout a date-partitioned production ingest has
+    * for free). Evidence companion for the calendar-celled aggregates
+    * (hopping windows, hourly grids): their partial-agg exchange is
+    * |map tasks| · |cells touched per task|, so on time-interleaved
+    * replicas every task touches EVERY cell (the census's flagged
+    * constant), while on this layout each task touches only its time
+    * slice's cells and the exchange is row-linear. Same rows, same
+    * results — xcheck-equal by construction. */
+  private def gensorted(src: String, out: String): Unit = {
+    val spark = session()
+    spark.read.parquet(s"$src/events.parquet")
+      .repartitionByRange(32, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"[scale-smoke] wrote ts-clustered events to $out")
     spark.stop()
   }
 

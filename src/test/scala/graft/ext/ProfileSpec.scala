@@ -72,6 +72,20 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_violations") == 2L) // 500 and NULL
   }
 
+  test("fdCheck: rows of violating determinant groups counted; held FD clean") {
+    val df = Seq(
+      (1L, "a"), (1L, "a"),          // det 1 → {a}: holds
+      (2L, "a"), (2L, "b"), (2L, "b"), // det 2 → {a,b}: 3 rows implicated
+      (3L, "c")
+    ).toDF("det", "dep")
+    val bad = Profile.fdCheck("fd", df, "det", "dep").head()
+    assert(bad.getAs[Long]("n_checked") == 6L)
+    assert(bad.getAs[Long]("n_violations") == 3L)
+    val held = Profile.fdCheck("fd2", df.filter(col("det") =!= 2L),
+      "det", "dep").head()
+    assert(held.getAs[Long]("n_violations") == 0L)
+  }
+
   test("keySkew: exact hot-key share and multiplier, NULL keys grouped") {
     val df = Seq(Option("a"), Option("a"), Option("a"), Option("b"), None)
       .toDF("k")
