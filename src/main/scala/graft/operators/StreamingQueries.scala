@@ -443,7 +443,32 @@ object StreamingQueries {
            | HAVING epoch_ms(date_trunc('hour', ts)) + 3600000 <= m.wm"""
       .stripMargin.replace("\n", "")))
 
+  /** Streaming hopping windows under the driver gate
+    * ([[graft.streaming.EventsStream.hoppingCounts]]): the sliding
+    * `window(ts, 1h, 15m)` aggregate streamed in complete mode must
+    * reproduce the batch sliding-window result exactly — same oracle as
+    * the batch `q_w_hopping_window` (Spark's epoch-aligned window set
+    * reconstructed as slot − k·15 min, k = 0..3), value sums through
+    * the ExactMoney fixed-point path so state-store merge order can't
+    * move a cent. */
+  val streamHopping = Q(
+    "q_s_stream_hopping",
+    "Streaming sliding windows(1h, 15min) = batch hopping aggregation",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream.hoppingCounts(src)
+      runToMemory(s, out, "complete", "graft_stream_hop")
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+           |     CAST(round(value * 100.0) AS BIGINT) AS vc FROM events)
+           | SELECT make_timestamp((us // 900000000) * 900000000
+           |     - CAST(k.i AS BIGINT) * 900000000) AS window_start,
+           |   event_type, count(*) AS n,
+           |   sum(vc) / 100.0e0 AS sum_value
+           | FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) k(i)
+           | GROUP BY 1, 2""".stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin,
     streamJoinCapped, streamEnrich, streamSession, streamAsof, streamHeavy,
-    streamScd2, streamEwma, streamFunnel, streamDistinct)
+    streamScd2, streamEwma, streamFunnel, streamDistinct, streamHopping)
 }

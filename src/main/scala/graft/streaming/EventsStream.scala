@@ -100,6 +100,25 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Hopping (sliding) windowed aggregation over the stream —
+    * `window(ts, 1h, 15m)`: each event contributes to exactly 4
+    * overlapping hour windows, the "smooth dashboard" flavor of
+    * [[windowedCounts]]. The value sum is the ExactMoney fixed-point
+    * form (per-row centi-rounding, exact long sums through the state
+    * store, one division at emit), so the streamed result is
+    * bit-identical to the batch sliding window on the same data. State
+    * is |open windows| × |types| rows — 4× the tumbling operator's, the
+    * overlap factor, still calendar-bounded and watermark-evicted. */
+  def hoppingCounts(events: DataFrame,
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("vc"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), (col("vc") / 100.0).as("sum_value"))
+
   /** Streaming heavy hitters: the SpaceSaving summary
     * ([[graft.functions.SpaceSavingAgg]]) as a windowed streaming
     * aggregate — "which items are frequent per hour" over an unbounded

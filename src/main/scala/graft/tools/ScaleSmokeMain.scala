@@ -626,7 +626,12 @@ object ScaleSmokeMain {
       ("distinct",
         (e: DataFrame) => graft.streaming.EventsStream
           .windowedDistinctUsers(e),
-        "append"))
+        "append"),
+      // state claim: |windows|·|types| rows — 4× tumbling (the overlap
+      // factor), calendar-bounded, cardinality-independent
+      ("hopping",
+        (e: DataFrame) => graft.streaming.EventsStream.hoppingCounts(e),
+        "complete"))
 
     println(f"${"op"}%-12s ${"in_1x"}%9s ${"state_1x"}%9s ${"MB_1x"}%7s ${"in_Nx"}%9s ${"state_Nx"}%9s ${"MB_Nx"}%7s ${"stateR"}%6s")
     ops.foreach { case (label, mk, mode) =>

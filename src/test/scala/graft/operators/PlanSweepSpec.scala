@@ -45,8 +45,12 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_x_bm25_capped_top1",        // same single-row avgdl join, capped cfg
     "q_x_rfm",                     // two 1-row broadcast frames (corpus max
                                    // date; the 3-quartile cutoff row)
-    "q_x_assoc_rules")             // single-row basket-universe count (the
+    "q_x_assoc_rules",             // single-row basket-universe count (the
                                    // support denominator) broadcast join
+    "q_x_mutual_info",             // single-row N-total broadcast join (the
+                                   // joint-distribution denominator)
+    "q_x_benford")                 // single-row digit-total broadcast join
+                                   // (the share/expectation denominator)
 
   Catalog.all.filterNot(_.name.startsWith("q_s_")).foreach { q =>
     test(s"${q.name}: no CartesianProduct; BNLJ only by design") {

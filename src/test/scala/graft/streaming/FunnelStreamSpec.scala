@@ -125,6 +125,38 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping windows = batch sliding aggregation, exact cents") {
+    val dir = Files.createTempDirectory("graft-hop")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val out = EventsStream.hoppingCounts(
+      EventsStream.readEvents(spark, dir.toString))
+    val q = out.writeStream.format("memory").queryName("hop_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hop_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val want = Sources.table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("vc"))
+        .select(col("window.start"), col("event_type"), col("n"),
+          (col("vc") / 100.0).as("sum_value"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+      // overlap sanity: events land in 4 windows, so the per-window row
+      // count sum is 4x the tumbling count sum
+      val n = Sources.table(spark, "/root/testdata/sf0.001", "events").count()
+      assert(got.toSeq.map(_._3).sum == 4L * n)
+    } finally q.stop()
+  }
+
   test("dedup→window chain = batch COUNT(DISTINCT) per finalized hour") {
     val dir = Files.createTempDirectory("graft-distinct")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
