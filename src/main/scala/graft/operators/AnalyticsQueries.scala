@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.TimeSeries
@@ -1081,11 +1082,74 @@ object AnalyticsQueries {
       ).mkString(" UNION ALL ")
     })
 
+  /** The ranking-function family in one row — rank / dense_rank /
+    * percent_rank / cume_dist over centi-exact order totals per
+    * priority class. Every output is a pure function of the ORDER-KEY
+    * VALUE (not of tie placement), so ties cannot make the row set
+    * engine- or layout-dependent. Note the scale shape: a window
+    * partitioned by a LOW-CARDINALITY column is a per-partition sort —
+    * the hazard class the sharded sessionize escapes; this row is the
+    * reference-parity form, sized by |orders|/|priorities| per task. */
+  val rankFamilyQ = Q(
+    "q_w_rank_family",
+    "rank / dense_rank / percent_rank / cume_dist per priority class",
+    (s, dir) => {
+      val pc = round(col("o_totalprice") * 100, 0).cast("long")
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("pc"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), pc.as("pc"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("pc"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+           |   CAST(round(o_totalprice * 100.0) AS BIGINT) AS pc,
+           |   CAST(rank() OVER w AS BIGINT) AS rnk,
+           |   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           |   round(percent_rank() OVER w, 6) AS prank,
+           |   round(cume_dist() OVER w, 6) AS cdist
+           | FROM orders
+           | WINDOW w AS (PARTITION BY o_orderpriority
+           |   ORDER BY CAST(round(o_totalprice * 100.0) AS BIGINT))"""
+      .stripMargin.replace("\n", "")))
+
+  /** INTERSECT ALL / EXCEPT ALL — the multiset forms (the distinct
+    * forms are q_q2_set_ops): bag semantics preserve multiplicity, the
+    * SQL surface Spark plans as aggregate+generate rather than the
+    * distinct forms' semi/anti joins. Tagged union so one row pins
+    * both. */
+  val setOpsAllQ = Q(
+    "q_q2b_set_ops_all",
+    "INTERSECT ALL / EXCEPT ALL multiset semantics over customer keys",
+    (s, dir) => {
+      val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority").startsWith("1"))
+        .select(col("o_custkey"))
+      f.intersectAll(urgent).select(lit("intersect_all").as("op"),
+          col("o_custkey"))
+        .unionByName(f.exceptAll(urgent)
+          .select(lit("except_all").as("op"), col("o_custkey")))
+    },
+    Some("""SELECT 'intersect_all' AS op, o_custkey FROM
+           | (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           |  INTERSECT ALL
+           |  SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')
+           | UNION ALL
+           | SELECT 'except_all' AS op, o_custkey FROM
+           | (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           |  EXCEPT ALL
+           |  SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(fullOuter, existsSubquery, scalarSubquery,
     movingAvg, cohortRetention, collocations, rangeFrame, unpivotMetrics,
     sessionWindowAgg, rollupAgg, argExtremum, eventTransitions, eventAnomaly,
     scd2Build, scd2Lookup, scd2Incremental, textrank, triangles, twapQ,
     rfmQ, trendQ, changePointQ, assocRulesQ, robustStatsQ, qualityChecksQ,
     corrMatrixQ, mutualInfoQ, benfordQ, skewReportQ, acfQ,
-    hoppingWindowAgg, fdAuditQ)
+    hoppingWindowAgg, fdAuditQ, rankFamilyQ, setOpsAllQ)
 }

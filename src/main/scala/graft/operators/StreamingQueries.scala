@@ -468,7 +468,49 @@ object StreamingQueries {
            | FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) k(i)
            | GROUP BY 1, 2""".stripMargin.replace("\n", "")))
 
+  /** LEFT OUTER stream-stream interval join under the driver gate
+    * ([[graft.streaming.EventsStream.clickToPurchaseLeftJoin]]): matched
+    * pairs are exactly the inner join's (they emit on arrival); a
+    * never-matched click's NULL row emits when its state evicts — joint
+    * watermark (min of the two sides, the default min-policy) strictly
+    * past click_ts + 24 h. The oracle reproduces both sets: the batch
+    * interval join, plus the unmatched clicks whose eviction bound is
+    * below the resting joint watermark. */
+  val streamJoinOuter = Q(
+    "q_s_stream_join_outer",
+    "Streaming LEFT OUTER interval join = batch pairs + evicted NULL rows",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream.clickToPurchaseLeftJoin(src)
+      runToMemory(s, out, "append", "graft_stream_join_outer")
+    },
+    Some("""WITH m AS (SELECT least(
+           |     (SELECT max(epoch_ms(ts)) FROM events
+           |       WHERE event_type = 'click'),
+           |     (SELECT max(epoch_ms(ts)) FROM events
+           |       WHERE event_type = 'purchase')) - 60000 AS wm),
+           | c AS (SELECT user_id, event_id AS click_id, ts AS click_ts,
+           |     epoch_ms(ts) AS cms
+           |   FROM events WHERE event_type = 'click'),
+           | p AS (SELECT user_id, event_id AS purchase_id,
+           |     ts AS purchase_ts
+           |   FROM events WHERE event_type = 'purchase'),
+           | pairs AS (SELECT c.user_id, c.click_id, p.purchase_id
+           |   FROM c JOIN p ON c.user_id = p.user_id
+           |     AND c.click_ts <= p.purchase_ts
+           |     AND c.click_ts >= p.purchase_ts - INTERVAL 24 HOURS),
+           | matched AS (SELECT DISTINCT click_id FROM pairs)
+           | SELECT user_id, click_id, purchase_id FROM pairs
+           | UNION ALL
+           | SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT)
+           |   AS purchase_id
+           | FROM c CROSS JOIN m LEFT JOIN matched USING (click_id)
+           | WHERE matched.click_id IS NULL
+           |   AND c.cms + 86400000 < m.wm"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin,
     streamJoinCapped, streamEnrich, streamSession, streamAsof, streamHeavy,
-    streamScd2, streamEwma, streamFunnel, streamDistinct, streamHopping)
+    streamScd2, streamEwma, streamFunnel, streamDistinct, streamHopping,
+    streamJoinOuter)
 }

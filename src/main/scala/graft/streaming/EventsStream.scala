@@ -240,6 +240,38 @@ object EventsStream {
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[clickToPurchaseJoin]]'s
+    * pair semantics plus one NULL-extended row per click that matches
+    * nothing: "which clicks never converted", the abandonment side of
+    * attribution an inner join cannot express. Matched pairs emit the
+    * moment both sides arrive (inner behavior); an unmatched click's
+    * NULL row emits only when its state EVICTS — once the joint
+    * watermark (min of both sides under the default min-policy) passes
+    * click_ts + windowHours, the point where no future purchase can
+    * legally match it. That eviction bound is also what keeps outer
+    * state finite on an unbounded stream: the NULL row is a
+    * watermark-proof, not a timeout guess. Same whale-output hazard as
+    * the inner form (see clickToPurchaseJoin's scale note). */
+  def clickToPurchaseLeftJoin(events: DataFrame,
+                              windowHours: Int = 24,
+                              watermark: String = "1 minute"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $windowHours HOURS"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Per-user buffered state for [[intervalJoinBudgeted]]: clicks within
     * the join-window horizon and purchases awaiting their watermark, both
     * as (epoch-ms, event_id) — the same ms grain as [[AsofState]]. */

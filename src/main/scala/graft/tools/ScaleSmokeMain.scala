@@ -631,7 +631,14 @@ object ScaleSmokeMain {
       // factor), calendar-bounded, cardinality-independent
       ("hopping",
         (e: DataFrame) => graft.streaming.EventsStream.hoppingCounts(e),
-        "complete"))
+        "complete"),
+      // state claim: identical buffers to ss_join (same sides, same
+      // watermark bounds) — the outer flavor only adds null-row
+      // emission at eviction, not state
+      ("ss_join_outer",
+        (e: DataFrame) => graft.streaming.EventsStream
+          .clickToPurchaseLeftJoin(e, watermark = "1 hour"),
+        "append"))
 
     println(f"${"op"}%-12s ${"in_1x"}%9s ${"state_1x"}%9s ${"MB_1x"}%7s ${"in_Nx"}%9s ${"state_Nx"}%9s ${"MB_Nx"}%7s ${"stateR"}%6s")
     ops.foreach { case (label, mk, mode) =>

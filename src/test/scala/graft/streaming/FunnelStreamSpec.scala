@@ -157,6 +157,51 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: batch pairs + NULL rows for evicted unmatched clicks") {
+    val dir = Files.createTempDirectory("graft-ssjo")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val out = EventsStream.clickToPurchaseLeftJoin(
+      EventsStream.readEvents(spark, dir.toString))
+    val q = out.writeStream.format("memory").queryName("ssjo_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssjo_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+
+      val e = Sources.table(spark, "/root/testdata/sf0.001", "events")
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      val pairs = c.join(p, col("user_id") === col("pu") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+      val wm = math.min(
+        e.filter(col("event_type") === "click")
+          .agg(max(unix_millis(col("ts")))).head().getLong(0),
+        e.filter(col("event_type") === "purchase")
+          .agg(max(unix_millis(col("ts")))).head().getLong(0)) - 60000L
+      val unmatched = c
+        .join(pairs.select(col("click_id")).distinct(), Seq("click_id"),
+          "left_anti")
+        .filter(unix_millis(col("click_ts")) + 86400000L < wm)
+        .select(col("user_id"), col("click_id"))
+      val want = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ++
+        unmatched.collect().map(r => (r.getLong(0), r.getLong(1), -1L)).toSet
+
+      assert(got == want)
+      // both behaviors must actually occur in the fixture
+      assert(got.exists(_._3 == -1L) && got.exists(_._3 != -1L))
+    } finally q.stop()
+  }
+
   test("dedup→window chain = batch COUNT(DISTINCT) per finalized hour") {
     val dir = Files.createTempDirectory("graft-distinct")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
