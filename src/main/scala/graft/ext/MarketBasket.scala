@@ -60,10 +60,17 @@ object MarketBasket {
     // The kept (basket, item) table feeds FOUR consumers (both pair-join
     // sides, item supports, the basket-universe count); without a
     // materialization each re-runs the scan+distinct+size-join subtree —
-    // measured 5.1 s -> 1.4 s at sf0.1. Eager localCheckpoint is the
-    // repo's idiom for exactly this (TfIdf postings): ~16 B/row, far
-    // cheaper than 4 recomputes at any scale.
-    val b = b0.join(kept.select(col("basket")), "basket").localCheckpoint(true)
+    // measured 5.1 s -> 1.4 s at sf0.1. Materialize via persist+count,
+    // NOT localCheckpoint: a checkpoint erases plan statistics, and with
+    // no stats Catalyst judged this table broadcastable at ANY size —
+    // at sf1 it broadcast all ~6M rows into both pair-join sides (29.6 s
+    // measured, and a driver OOM at 100 TB). The counted InMemoryRelation
+    // carries exact sizeInBytes, so join planning stays size-aware:
+    // broadcast while the basket table is small, shuffled hash join once
+    // it isn't.
+    val b = b0.join(kept.select(col("basket")), "basket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b.count()
     // one tiny frame: the kept-basket universe size (support denominator).
     // `kept` is already one row per basket — no distinct needed.
     val n = kept.agg(count(lit(1)).as("n_baskets"))
