@@ -29,6 +29,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions",
         shufflePartitions.getOrElse(cpus))
       .config("spark.sql.adaptive.enabled", "true")
+      // Production-typical broadcast budget (Spark's 10 MB default is
+      // sized for small executors; at 128 GiB a 64 MB dim broadcast is
+      // routine). Paired with ACCURATE stats on materialized frames
+      // (persist+count, never stats-blind localCheckpoint, on every
+      // corpus-scale join input — the MarketBasket driver-bomb fix),
+      // this keeps join planning size-aware at every scale: the sf1
+      // membership/shingle tables (~40-100 MB) broadcast, a 100 TB one
+      // sort-merges. Raising the threshold WITHOUT honest stats would
+      // just enlarge the bomb.
+      .config("spark.sql.autoBroadcastJoinThreshold", "128m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

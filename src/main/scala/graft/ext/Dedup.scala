@@ -76,14 +76,20 @@ object Dedup {
       f: (DataFrame, DataFrame) => T): T = {
     val ids = df.select(col(idCol).as("id"), col(textCol).as("text"))
 
-    // fanOut only wraps the CPU-bound sketch pass; localCheckpoint
+    // fanOut only wraps the CPU-bound sketch pass; persist+count
     // materializes it so the bucket self-join below doesn't run the
-    // sketch twice (each side of a self-join re-executes its plan)
+    // sketch twice (each side of a self-join re-executes its plan).
+    // persist, NOT localCheckpoint: the membership table is CORPUS-scale
+    // (docs × bands rows), and a checkpoint's snapshot stats let Catalyst
+    // broadcast it into the self-join regardless of size — the
+    // MarketBasket driver-bomb class; the counted cache carries exact
+    // sizeInBytes so the join stays size-aware at every scale
     val memb = fanOut(ids).select(col("id"),
         posexplode(band_hashes(
           minhash_sig(col("text"), numHashes, shingleN), bands))
           .as(Seq("band", "bh")))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    memb.count()
     // bound pathological buckets BEFORE the pair join, then self-join on the
     // bucket key — pairs stream through the hash join instead of
     // materializing per-bucket arrays
@@ -221,14 +227,17 @@ object Dedup {
     val ids = fanOut(df.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"), simhash(col("text")).as("sh"))
 
-    // chunk c key = (sh >>> 16c) & 0xffff; checkpoint so the self-join
-    // doesn't run the sketch pass twice
+    // chunk c key = (sh >>> 16c) & 0xffff; persist+count so the self-join
+    // doesn't run the sketch pass twice (size-aware stats — see the
+    // minhash memb note: a checkpointed corpus-scale frame gets
+    // stats-blind-broadcast into the self-join)
     val memb = ids
       .select(col("id"), col("sh"), posexplode(
         array((0 until 4).map(c =>
           shiftrightunsigned(col("sh"), 16 * c).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk", "key")))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    memb.count()
     val sizes = memb.groupBy(col("chunk"), col("key"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, maxBucket))
