@@ -126,7 +126,15 @@ object Dedup {
       // `f` consumes `edges` eagerly (take or checkpoint), so the cache
       // can be dropped as soon as it returns
       f(ids, edges)
-    } finally cand.unpersist(blocking = false)
+    } finally {
+      cand.unpersist(blocking = false)
+      // memb too: unlike localCheckpoint RDDs (ContextCleaner-reclaimed),
+      // CacheManager holds cached plans strongly until clearCache — a
+      // library caller outside the Bench/Verify cache sweep would
+      // otherwise accumulate a corpus-scale (docs × bands) cache entry
+      // per dedup call for the session lifetime
+      memb.unpersist(blocking = false)
+    }
   }
 
   /** The corpus-side artifact for INCREMENTAL dedup: every doc's LSH band
@@ -249,8 +257,13 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 
-    connectedComponents(ids.select(col("id")), edges)
+    // connectedComponents consumes edges eagerly (take or checkpoint),
+    // so memb's corpus-scale cache entry can drop as soon as it returns
+    // (CacheManager pins it until clearCache otherwise — see the
+    // withMinhashEdges note)
+    try connectedComponents(ids.select(col("id")), edges)
       .withColumnRenamed("id", idCol)
+    finally memb.unpersist(blocking = false)
   }
 
   /** Embedding-cosine near-dup report via hyperplane LSH: vectors sharing a

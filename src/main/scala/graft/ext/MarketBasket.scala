@@ -83,7 +83,7 @@ object MarketBasket {
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairCount)
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    pairs
+    val rules = pairs
       .join(itemCnt.select(col("item").as("item_a"), col("c").as("n_a")), "item_a")
       .join(itemCnt.select(col("item").as("item_b"), col("c").as("n_b")), "item_b")
       .crossJoin(broadcast(n))
@@ -94,5 +94,12 @@ object MarketBasket {
         round(col("n_pair").cast("double") / col("n_b"), 6).as("conf_b_a"),
         round((dec(col("n_pair")) * col("n_baskets")).cast("double") /
           (dec(col("n_a")) * col("n_b")).cast("double"), 6).as("lift"))
+    // The rule set is minPairCount-thresholded and therefore far smaller
+    // than the basket table; materialize it eagerly (ContextCleaner-
+    // reclaimed localCheckpoint) so the corpus-scale `b` cache can drop
+    // now — CacheManager would otherwise pin it for the session lifetime
+    // of any library caller outside the Bench/Verify cache sweep.
+    try rules.localCheckpoint(true)
+    finally b.unpersist(blocking = false)
   }
 }

@@ -56,17 +56,19 @@ object Stats {
     // re-runs the full scan+aggregate subtree
     val m = d.agg(moments.head, moments.tail: _*).localCheckpoint(true)
     val rows = pairs.map { case (a, b) =>
+      val num = (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+        .cast("double")
+      val den = sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+        .cast("double") *
+        (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+          .cast("double"))
+      // zero-variance guard (acf's convention): a constant column makes
+      // num and den both 0 and Spark's 0.0/0.0 is NaN while DuckDB's
+      // differs by build flag — emit NULL, the only bit-stable answer.
       m.select(
         lit(a).as("col_a"), lit(b).as("col_b"),
         col("n").cast("long").as("n"),
-        round(
-          (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
-            .cast("double") /
-            sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
-              .cast("double") *
-              (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
-                .cast("double")),
-          6).as("corr"))
+        when(den =!= 0.0, round(num / den, 6)).as("corr"))
     }
     rows.reduce(_ unionByName _)
   }

@@ -864,10 +864,15 @@ object AnalyticsQueries {
           }).mkString(", ")
       val rows = pairs.map { case (a, b) =>
         val (x, y) = (short(a), short(b))
+        // zero-variance guard mirrors corrMatrixCenti: NULL (not the
+        // engine-specific 0/0) when either column is constant
         s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+           | CASE WHEN sqrt(CAST(n * ss_$x - s_$x * s_$x AS DOUBLE) *
+           |        CAST(n * ss_$y - s_$y * s_$y AS DOUBLE)) <> 0 THEN
            | round(CAST(n * sp_$x$y - s_$x * s_$y AS DOUBLE) /
            |   sqrt(CAST(n * ss_$x - s_$x * s_$x AS DOUBLE) *
-           |        CAST(n * ss_$y - s_$y * s_$y AS DOUBLE)), 6) AS corr
+           |        CAST(n * ss_$y - s_$y * s_$y AS DOUBLE)), 6)
+           | END AS corr
            | FROM m""".stripMargin.replace("\n", "")
       }.mkString(" UNION ALL ")
       s"WITH c AS (SELECT $centiSel FROM lineitem), " +

@@ -843,7 +843,10 @@ object ExtensionQueries {
     (s, dir) => {
       val toks = size(split(col("text"), " ")).cast("long")
       Sources.table(s, dir, "documents")
-        .select((toks / 32L).cast("long").as("bucket"), toks.as("n_tok"))
+        // integer `div`, not `/` — Spark's `/` on longs routes through
+        // DOUBLE (exact only below 2^53); div is exact at any width.
+        .select(toks.as("n_tok"))
+        .select(expr("n_tok div 32").as("bucket"), col("n_tok"))
         .groupBy(col("bucket"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -853,13 +856,17 @@ object ExtensionQueries {
         .withColumn("padding_ub",
           col("n_batches") * 8L * col("max_tokens") - col("sum_tokens"))
     },
+    // NOTE oracle typing: DuckDB promotes sum(BIGINT) to HUGEINT and the
+    // driver's hash is type-sensitive — every aggregate (and arithmetic
+    // over one) must carry an explicit CAST back to BIGINT. This row was
+    // round 9's only red for exactly that omission.
     Some("""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
            |     AS n_tok FROM documents)
            | SELECT n_tok // 32 AS bucket, count(*) AS n_docs,
-           |   sum(n_tok) AS sum_tokens, max(n_tok) AS max_tokens,
+           |   CAST(sum(n_tok) AS BIGINT) AS sum_tokens, max(n_tok) AS max_tokens,
            |   CAST(ceil(count(*) / 8.0) AS BIGINT) AS n_batches,
-           |   CAST(ceil(count(*) / 8.0) AS BIGINT) * 8 * max(n_tok)
-           |     - sum(n_tok) AS padding_ub
+           |   CAST(CAST(ceil(count(*) / 8.0) AS BIGINT) * 8 * max(n_tok)
+           |     - sum(n_tok) AS BIGINT) AS padding_ub
            | FROM d GROUP BY 1""".stripMargin.replace("\n", "")))
 
   /** Quality scoring (C4/Gopher-style heuristics, declarative). */

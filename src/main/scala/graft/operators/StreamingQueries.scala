@@ -445,28 +445,37 @@ object StreamingQueries {
 
   /** Streaming hopping windows under the driver gate
     * ([[graft.streaming.EventsStream.hoppingCounts]]): the sliding
-    * `window(ts, 1h, 15m)` aggregate streamed in complete mode must
-    * reproduce the batch sliding-window result exactly — same oracle as
-    * the batch `q_w_hopping_window` (Spark's epoch-aligned window set
-    * reconstructed as slot − k·15 min, k = 0..3), value sums through
-    * the ExactMoney fixed-point path so state-store merge order can't
-    * move a cent. */
+    * `window(ts, 1h, 15m)` aggregate streamed in APPEND mode — the mode
+    * where the watermark actually evicts state (complete mode disables
+    * eviction, so on an unbounded stream both state and the result table
+    * would grow with every calendar window ever opened). Append emits
+    * exactly the FINALIZED windows — window_end ≤ watermark (max event
+    * time − 2 h, the q_s_stream_distinct idiom) — so the oracle is the
+    * batch sliding-window result (Spark's epoch-aligned window set
+    * reconstructed as slot − k·15 min, k = 0..3) restricted to those
+    * windows; value sums ride the ExactMoney fixed-point path so
+    * state-store merge order can't move a cent. */
   val streamHopping = Q(
     "q_s_stream_hopping",
-    "Streaming sliding windows(1h, 15min) = batch hopping aggregation",
+    "Streaming sliding windows(1h,15m), append mode = finalized batch windows",
     (s, dir) => withStagedEvents(dir) { staged =>
       val src = graft.streaming.EventsStream.readEvents(s, staged)
       val out = graft.streaming.EventsStream.hoppingCounts(src)
-      runToMemory(s, out, "complete", "graft_stream_hop")
+      runToMemory(s, out, "append", "graft_stream_hop")
     },
-    Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us,
-           |     CAST(round(value * 100.0) AS BIGINT) AS vc FROM events)
-           | SELECT make_timestamp((us // 900000000) * 900000000
-           |     - CAST(k.i AS BIGINT) * 900000000) AS window_start,
+    Some("""WITH m AS (SELECT max(epoch_ms(ts)) - 7200000 AS wm FROM events),
+           | e AS (SELECT event_type, epoch_us(ts) AS us,
+           |     CAST(round(value * 100.0) AS BIGINT) AS vc FROM events),
+           | w AS (SELECT event_type, vc, (us // 900000000) * 900000000
+           |     - CAST(k.i AS BIGINT) * 900000000 AS ws_us
+           |   FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) k(i))
+           | SELECT make_timestamp(ws_us) AS window_start,
            |   event_type, count(*) AS n,
            |   sum(vc) / 100.0e0 AS sum_value
-           | FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) k(i)
-           | GROUP BY 1, 2""".stripMargin.replace("\n", "")))
+           | FROM w CROSS JOIN m
+           | GROUP BY ws_us, event_type, m.wm
+           | HAVING ws_us // 1000 + 3600000 <= m.wm"""
+      .stripMargin.replace("\n", "")))
 
   /** LEFT OUTER stream-stream interval join under the driver gate
     * ([[graft.streaming.EventsStream.clickToPurchaseLeftJoin]]): matched

@@ -108,7 +108,11 @@ object EventsStream {
     * store, one division at emit), so the streamed result is
     * bit-identical to the batch sliding window on the same data. State
     * is |open windows| × |types| rows — 4× the tumbling operator's, the
-    * overlap factor, still calendar-bounded and watermark-evicted. */
+    * overlap factor, calendar-bounded and watermark-evicted. The eviction
+    * claim holds in append/update mode ONLY: complete mode disables
+    * watermark state eviction entirely (state and the result table then
+    * grow with every calendar window ever opened), so the gate row
+    * (q_s_stream_hopping) runs append over finalized windows. */
   def hoppingCounts(events: DataFrame,
                     watermark: String = "2 hours"): DataFrame =
     events
@@ -742,10 +746,12 @@ object EventsStream {
     * belong to the batch/incremental-agg surface). */
   /** Per-user funnel buffers — the state of [[funnelStream]]. The buffers
     * are EXACTLY compacted, not truncated: a discarded click/purchase is
-    * provably dominated (see funnelStream's invariant note), so on an
-    * in-order stream each user's state is O(1) — minView + one candidate
-    * click + one candidate purchase — and out-of-order arrival grows it
-    * only by the events that undercut the running thresholds. */
+    * provably dominated OR provably dead below the watermark (see
+    * funnelStream's invariant note), so on an in-order stream each user's
+    * state is O(1) — minView + one candidate click + one candidate
+    * purchase — including view-less users (whose buffered events prune at
+    * the watermark floor); out-of-order arrival grows it only by events
+    * inside the watermark horizon that undercut the running thresholds. */
   final case class FunnelState(minViewUs: Long, hasView: Boolean,
       clicks: List[Long], purchases: List[Long], lastMs: Long)
 
@@ -767,9 +773,13 @@ object EventsStream {
     * the minimum at-or-above mv_cur; any discarded click c has a kept
     * click c' with mv_cur <= c' < c, and since mv_final <= mv_cur, c'
     * is valid at close and smaller — c can never be the winning
-    * minimum. Purchases compact identically against mc_cur. Every
-    * event type (including signup/error) updates lastMs so stage-0
-    * users exist in the output, matching the batch DISTINCT universe.
+    * minimum. Purchases compact identically against mc_cur. Below the
+    * WATERMARK the lo buffers prune too: a buffered t < wm validates
+    * only via a future view/click <= t, which arrives late and drops —
+    * so view-less users' click/purchase buffers stay watermark-bounded
+    * instead of O(events). Every event type (including signup/error)
+    * updates lastMs so stage-0 users exist in the output, matching the
+    * batch DISTINCT universe.
     *
     * Scale shape: state shards by user like every keyed operator here;
     * per-key state is a handful of longs plus the out-of-order tail,
@@ -780,14 +790,20 @@ object EventsStream {
     import spark.implicits._
     def us(ts: java.sql.Timestamp): Long =
       ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
-    // keep everything below `bound` (it may validate once the running
-    // threshold drops) plus the single best candidate at-or-above it
-    def compact(xs: List[Long], bound: Option[Long]): List[Long] =
+    // keep everything in [wmUs, bound) (it may validate once the running
+    // threshold drops) plus the single best candidate at-or-above bound.
+    // The watermark floor is what bounds state for view-less / long-lived
+    // keys: a buffered timestamp t < wmUs could only validate via a
+    // future view/click <= t, which the watermark would drop as late —
+    // so below-watermark lo-side events are provably dead and pruned
+    // (without this, a user with clicks but no view kept EVERY click,
+    // O(events) state on an unbounded stream).
+    def compact(xs: List[Long], bound: Option[Long], wmUs: Long): List[Long] =
       bound match {
-        case None => xs
+        case None => xs.filter(_ >= wmUs)
         case Some(b) =>
           val (lo, hi) = xs.partition(_ < b)
-          lo ::: hi.minOption.toList
+          lo.filter(_ >= wmUs) ::: hi.minOption.toList
       }
     events
       .withWatermark("ts", watermark)
@@ -826,9 +842,10 @@ object EventsStream {
               st = st.copy(lastMs = math.max(st.lastMs, e.ts.getTime))
             }
             val mv = if (st.hasView) Some(st.minViewUs) else None
-            val clicks = compact(st.clicks, mv)
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val clicks = compact(st.clicks, mv, wmUs)
             val mcCur = mv.flatMap(v => clicks.filter(_ >= v).minOption)
-            val purchases = compact(st.purchases, mcCur)
+            val purchases = compact(st.purchases, mcCur, wmUs)
             st = st.copy(clicks = clicks, purchases = purchases)
             state.update(st)
             state.setTimeoutTimestamp(

@@ -628,10 +628,13 @@ object ScaleSmokeMain {
           .windowedDistinctUsers(e),
         "append"),
       // state claim: |windows|·|types| rows — 4× tumbling (the overlap
-      // factor), calendar-bounded, cardinality-independent
+      // factor), calendar-bounded, cardinality-independent. Append, not
+      // complete: complete mode disables watermark eviction, so the
+      // measured state would (correctly) grow with every window ever
+      // opened — the gate row (q_s_stream_hopping) runs append too
       ("hopping",
         (e: DataFrame) => graft.streaming.EventsStream.hoppingCounts(e),
-        "complete"),
+        "append"),
       // state claim: identical buffers to ss_join (same sides, same
       // watermark bounds) — the outer flavor only adds null-row
       // emission at eviction, not state

@@ -31,6 +31,17 @@ class StatsSpec extends AnyFunSuite {
     assert(m.size == 6)
   }
 
+  test("corrMatrixCenti: constant column yields NULL corr, never NaN") {
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "k")
+    val rows = Stats.corrMatrixCenti(df, Seq("x", "k")).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(2) == 3L)
+    // 0/0 would be NaN (and engine-dependent in DuckDB); the contract
+    // is NULL, matching TimeSeries.acf's zero-variance convention
+    assert(r.isNullAt(3), s"expected NULL corr, got ${r.get(3)}")
+  }
+
   test("mutualInfoCells: identity joint carries 1 bit, independent 0") {
     val ident = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
       .toDF("l", "r")

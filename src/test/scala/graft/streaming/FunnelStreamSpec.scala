@@ -125,6 +125,61 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("view-less user: below-watermark clicks prune without changing the stage") {
+    // User 7 streams clicks every batch but no view until late — the shape
+    // where compact()'s watermark floor matters (bound=None kept EVERY
+    // click before the fix). Old clicks fall below the advancing watermark
+    // and are provably dead (a view validating them would arrive late), so
+    // pruning them must not change the final stage; a prune that is too
+    // aggressive (dropping ABOVE-watermark events) would break stage 2/3.
+    val dir = Files.createTempDirectory("graft-funnel-prune")
+    def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double)])
+        : Unit = {
+      val tmp = Files.createTempDirectory("funnel-prune-batch")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing
+        .filter(_.getFileName.toString.matches("part-.*\\.parquet"))
+        .findFirst().get()
+      finally listing.close()
+      Files.move(part, dir.resolve(s"$name.parquet"))
+    }
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    write("b1", Seq((70L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0)))
+    val out = EventsStream.funnelStream(
+      EventsStream.readEvents(spark, dir.toString))
+    val q = out.writeStream.format("memory").queryName("funnel_prune")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: wm is now 09:59 — click@10:00 still above it, kept
+      write("b2", Seq((71L, ts("2024-01-01 10:30:00"), 7L, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 3: wm 10:29 — click@10:00 is BELOW the watermark now and
+      // prunes (a view <= 10:00 would be late); click@10:30 survives
+      write("b3", Seq((72L, ts("2024-01-01 11:00:00"), 7L, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 4: the view (above wm 10:59), plus a click and purchase
+      // after it — the events stage 3 is built from
+      write("b4", Seq(
+        (73L, ts("2024-01-01 11:10:00"), 7L, "view", 0.0),
+        (74L, ts("2024-01-01 11:11:00"), 7L, "click", 1.0),
+        (75L, ts("2024-01-01 11:12:00"), 7L, "purchase", 9.0)))
+      q.processAllAvailable()
+      // batch 5: far-future pacer finalizes user 7
+      write("b5", Seq((99L, ts("2024-06-01 00:00:00"), 9L, "signup", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("funnel_prune")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // view@11:10 → first valid click 11:11 → purchase 11:12 → stage 3;
+      // the pruned 10:00 click is < view anyway, so semantics agree
+      assert(got(7L) == 3L)
+    } finally q.stop()
+  }
+
   test("streaming hopping windows = batch sliding aggregation, exact cents") {
     val dir = Files.createTempDirectory("graft-hop")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),

@@ -20,6 +20,8 @@ sweep):
                     after every query, so progress survives a killed run
 """
 import sys, json, glob, os, time, argparse, subprocess
+from datetime import date
+from decimal import Decimal
 import duckdb
 import pandas as pd
 import numpy as np
@@ -36,6 +38,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("Int64")
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
+        elif s.dtype == object:
+            # DuckDB HUGEINT (sum(BIGINT) promotes!) and DECIMAL arrive as
+            # object dtype: int or decimal.Decimal python objects. The
+            # driver's hash is TYPE-sensitive, so a value-equal HUGEINT
+            # column still fails there. Surface that here: try to coerce
+            # integral object columns to Int64; if any value overflows
+            # int64 or is a non-integral Decimal, leave a loud marker
+            # dtype instead of silently comparing value-equal.
+            nn = s.dropna()
+            if len(nn) and all(
+                    isinstance(v, int) or
+                    (isinstance(v, Decimal) and v == v.to_integral_value())
+                    for v in nn):
+                try:
+                    df[c] = s.map(lambda v: v if v is None or
+                                  (isinstance(v, float) and pd.isna(v))
+                                  else int(v)).astype("Int64")
+                except (OverflowError, TypeError):
+                    pass  # keep object; dtype gate below will flag it
     df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
     return df
 
@@ -61,19 +82,58 @@ def connect(sf_dir):
                     f"(make_timestamp_ns(ts) AS ts) FROM {src}")
     return con
 
+def raw_kind(s: pd.Series) -> str:
+    """Driver-visible type class of a column BEFORE normalization. The
+    driver's hash is type-sensitive, so a DuckDB HUGEINT (object dtype of
+    python ints — what sum(BIGINT) silently promotes to) vs a Spark BIGINT
+    is a driver failure even when every value matches."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if s.dtype == object:
+        nn = s.dropna()
+        if len(nn) and all(isinstance(v, int) and not isinstance(v, bool)
+                           for v in nn):
+            return "hugeint"
+        if len(nn) and all(isinstance(v, Decimal) for v in nn):
+            return "decimal"
+        # Spark DATE columns arrive from pandas read_parquet as object
+        # dtype of datetime.date while DuckDB DATE arrives as
+        # datetime64 — the driver hashes these equal (both r09 DATE
+        # rows were green), so they are one kind here
+        if len(nn) and all(isinstance(v, date) for v in nn):
+            return "ts"
+    return "other"
+
 def check_one(con, name, sql, out_dir):
     """Returns (status, detail) for one query; status OK/MISSING/ERROR/
-    SCHEMA/ROWS/VALUES."""
+    SCHEMA/ROWS/DTYPE/VALUES."""
     spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not spark_files:
         return "MISSING", "no spark output"
     try:
-        got = normalize(pd.concat([pd.read_parquet(f) for f in spark_files]))
-        want = normalize(con.execute(sql).df())
+        got_raw = pd.concat([pd.read_parquet(f) for f in spark_files])
+        want_raw = con.execute(sql).df()
+        got, want = normalize(got_raw), normalize(want_raw)
     except Exception as e:
         return "ERROR", str(e)
     if list(got.columns) != list(want.columns):
         return "SCHEMA", f"spark={list(got.columns)} duckdb={list(want.columns)}"
+    # dtype gate: mirror the driver's type-sensitive hash. HUGEINT/DECIMAL
+    # vs BIGINT is a driver fail even if values are equal — flag it here
+    # so the local pre-check can never pass what the driver fails.
+    for c in got.columns:
+        gk, wk = raw_kind(got_raw[c]), raw_kind(want_raw[c])
+        if gk != wk and not (len(got_raw[c].dropna()) == 0 or
+                             len(want_raw[c].dropna()) == 0):
+            return "DTYPE", (f"col={c} spark={gk} duckdb={wk} — un-CAST "
+                             f"aggregate in the oracle SQL? (DuckDB "
+                             f"sum(BIGINT)->HUGEINT)")
     if len(got) != len(want):
         return "ROWS", f"spark={len(got)} duckdb={len(want)}"
     for c in got.columns:
@@ -151,9 +211,10 @@ def main():
         else:
             n_fail += 1
     # skipped rows are counted in the summary so an all-skipped sweep
-    # can't read as a clean "0 passed, 0 failed" gate
+    # can't read as a clean "0 passed, 0 failed" gate — and a sweep that
+    # verified NOTHING (all skipped / filtered to zero) exits non-zero.
     print(f"\n{n_pass} passed, {n_fail} failed, {n_skip} skipped", flush=True)
-    return 1 if n_fail else 0
+    return 1 if (n_fail or n_pass == 0) else 0
 
 if __name__ == "__main__":
     sys.exit(main())
