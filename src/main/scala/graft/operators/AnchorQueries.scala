@@ -644,6 +644,59 @@ object AnchorQueries {
       noRows("reason" -> "VARCHAR", "got" -> "VARCHAR",
         "want" -> "VARCHAR"))
 
+  /** Q-digest rank guarantee ([[graft.functions.QDigestAgg]]): the value
+    * reported for quantile q has exact rank within ε·n of q·n, ε = bits/k
+    * (tree height × per-node mass bound), and the compressed digest holds
+    * ≤ 3k entries (the paper's size theorem). Checked at 3× the
+    * theoretical ε as margin (measured deviation at sf0.01/sf0.1 is ~10×
+    * tighter); prices quantize EXACTLY to cents so the quantization adds
+    * no rank slack. Two bounded driver probes (one digest row, one 7-value
+    * rank row) — the violation check itself never shuffles data. */
+  val quantileSketchAnchor = anchor(
+    "q_x_quantile_sketch_anchor",
+    "q-digest quantiles within 3·(bits/k)·n exact rank + size<=3k (expect 0 rows)",
+    (s, dir) => {
+      import graft.functions.QDigestAgg
+      val bits = 24; val k = 2048
+      val cents = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      val qd = udaf(new QDigestAgg(bits, k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val agg = cents.agg(qd(col("c")).as("digest"),
+        count(lit(1)).as("n")).head()
+      val digest = agg.getAs[scala.collection.Seq[Long]]("digest").toArray
+      val n = agg.getAs[Long]("n")
+      val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val reported = qs.map(q => QDigestAgg.quantile(digest, bits, q))
+      // exact rank envelope of each reported value, one aggregate pass
+      val rankCols = reported.zipWithIndex.flatMap { case (v, i) => Seq(
+        sum(when(col("c") < v, 1L).otherwise(0L)).as(s"lo$i"),
+        sum(when(col("c") <= v, 1L).otherwise(0L)).as(s"hi$i")) }
+      val ranks = cents.agg(rankCols.head, rankCols.tail: _*).head()
+      val bound = (3.0 * bits / k * n).toLong + 1L
+      val sizeViolation =
+        if (QDigestAgg.entries(digest) <= 3 * k) Seq.empty
+        else Seq((-1.0, QDigestAgg.entries(digest).toLong, 0L, 0L,
+          3L * k, 0L))
+      val rankViolations = qs.zipWithIndex.flatMap { case (q, i) =>
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        val lo = ranks.getAs[Long](s"lo$i")
+        val hi = ranks.getAs[Long](s"hi$i")
+        // the reported value's rank interval [lo+1, hi] must intersect
+        // [target - bound, target + bound]
+        if (hi < target - bound || lo + 1 > target + bound)
+          Seq((q, reported(i), lo, hi, target, bound))
+        else Seq.empty
+      }
+      import s.implicits._
+      (sizeViolation ++ rankViolations)
+        .toDF("quantile", "reported", "rank_lo", "rank_hi", "target",
+          "bound")
+    },
+    noRows("quantile" -> "DOUBLE", "reported" -> "BIGINT",
+      "rank_lo" -> "BIGINT", "rank_hi" -> "BIGINT",
+      "target" -> "BIGINT", "bound" -> "BIGINT"))
+
   val imagePhashGolden = golden(
     "q_x_phash_golden",
     "image-hash output matches committed fingerprint (expect 0 rows)",
@@ -665,5 +718,6 @@ object AnchorQueries {
     dedupIncrementalAnchor, decontaminateBloomAnchor,
     decontaminateSemanticAnchor, kmeansAnchor, bpeEncodeAnchor,
     multimodalAnchor, imagePhashAnchor, heavyHittersAnchor,
-    tfidfCappedAnchor, imagePhashGolden, multimodalGolden, kmeansGolden)
+    tfidfCappedAnchor, quantileSketchAnchor,
+    imagePhashGolden, multimodalGolden, kmeansGolden)
 }

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Q-digest invariants (Shrivastava et al. 2004): quantile reads stay
+  * within the ε·n rank guarantee (ε = bits/k), the compressed digest
+  * respects the 3k size theorem, total mass is conserved exactly, and the
+  * guarantees survive merging partial digests in any order — the property
+  * that makes the sketch a fixed-size shuffle payload at corpus scale. */
+class QDigestSpec extends AnyFunSuite {
+
+  private val bits = 10 // universe [0, 1024)
+  private val k = 64    // eps = 10/64 ~ 0.156
+
+  private def exactRank(data: Seq[Long], v: Long): (Long, Long) =
+    (data.count(_ < v).toLong, data.count(_ <= v).toLong)
+
+  private def checkQuantiles(digest: Array[Long], data: Seq[Long],
+                             epsFactor: Double = 1.0): Unit = {
+    val n = data.size.toLong
+    assert(QDigestAgg.total(digest) == n, "mass not conserved")
+    val bound = (epsFactor * bits.toDouble / k * n).toLong + 1
+    Seq(0.05, 0.25, 0.5, 0.75, 0.95).foreach { q =>
+      val v = QDigestAgg.quantile(digest, bits, q)
+      val (lo, hi) = exactRank(data, v)
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      assert(hi >= target - bound && lo + 1 <= target + bound,
+        s"q=$q reported $v rank[$lo,$hi] target $target bound $bound")
+    }
+  }
+
+  // Deterministic skewed data: quadratic ramp + a heavy spike at 700.
+  private val data: Seq[Long] =
+    (0 until 4000).map(i => (i.toLong * i / 16000) % 1024) ++
+      Seq.fill(1500)(700L)
+
+  test("single-stream digest: rank guarantee, size bound, mass") {
+    val agg = new QDigestAgg(bits, k)
+    val d = agg.finish(data.foldLeft(agg.zero)(agg.reduce))
+    assert(QDigestAgg.entries(d) <= 3 * k,
+      s"size ${QDigestAgg.entries(d)} > 3k=${3 * k}")
+    checkQuantiles(d, data)
+  }
+
+  test("merge is order-insensitive for the GUARANTEE (8 shuffled partials)") {
+    val agg = new QDigestAgg(bits, k)
+    val parts = data.grouped(700).toSeq
+      .map(p => agg.finish(p.foldLeft(agg.zero)(agg.reduce)))
+    Seq(parts, parts.reverse, parts.sortBy(QDigestAgg.entries)).foreach {
+      order =>
+        val merged = agg.finish(order.reduce(agg.merge))
+        assert(QDigestAgg.entries(merged) <= 3 * k)
+        checkQuantiles(merged, data)
+    }
+  }
+
+  test("uncompressed regime (n <= k) reads back exact quantiles") {
+    // With n below the compression threshold nothing merges upward, so
+    // every stored node is a leaf and quantile() is exact.
+    val small = Seq(5L, 9L, 13L, 200L, 201L, 202L, 900L, 1000L)
+    val agg = new QDigestAgg(bits, k)
+    val d = agg.finish(small.foldLeft(agg.zero)(agg.reduce))
+    assert(QDigestAgg.quantile(d, bits, 0.5) == 200L) // lower median, rank 4
+    assert(QDigestAgg.quantile(d, bits, 1.0) == 1000L)
+    assert(QDigestAgg.quantile(d, bits, 0.0) == 5L)
+  }
+
+  test("out-of-universe values are rejected loudly") {
+    val agg = new QDigestAgg(bits, k)
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, 1024L))
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
+  }
+
+  test("duplicate node ids from concatenated partials sum, not clobber") {
+    val agg = new QDigestAgg(bits, k)
+    val a = agg.finish(Seq.fill(10)(7L).foldLeft(agg.zero)(agg.reduce))
+    val b = agg.finish(Seq.fill(5)(7L).foldLeft(agg.zero)(agg.reduce))
+    val m = agg.finish(agg.merge(a, b))
+    assert(QDigestAgg.total(m) == 15L)
+    assert(QDigestAgg.quantile(m, bits, 0.5) == 7L)
+  }
+}
