@@ -697,6 +697,65 @@ object AnchorQueries {
       "rank_lo" -> "BIGINT", "rank_hi" -> "BIGINT",
       "target" -> "BIGINT", "bound" -> "BIGINT"))
 
+  /** CDC chunk-table invariants ([[graft.ext.Cdc]]): per doc the chunks
+    * tile the byte range exactly (start at 0, lengths sum to both the
+    * document's UTF-8 byte length and the maximum chunk end — which rules
+    * out gaps AND overlaps in one equality), every chunk respects the
+    * [min, max] size bounds with only the per-doc LAST chunk allowed to
+    * undershoot min (the remainder), and chunking is a pure function of
+    * the text: byte-identical documents must produce identical
+    * (n_chunks, hash-sum) signatures — the property that makes CDC a
+    * dedup key. Violations aggregate to (reason, n) rows. */
+  val cdcAnchor = anchor(
+    "q_x_cdc_anchor",
+    "CDC chunks tile each doc, respect size bounds, text-deterministic (expect 0 rows)",
+    (s, dir) => {
+      val minSize = 16; val maxSize = 256 // match the q_x_cdc_dedup config
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          encode(col("text"), "UTF-8").as("bytes"))
+      val lastIdx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      val chunks = graft.ext.Cdc.chunkTable(docs, "doc_id", "bytes",
+          minSize = minSize, avgBits = 6, maxSize = maxSize).toDF()
+        .withColumn("max_idx", max(col("chunk_idx")).over(lastIdx))
+      val perDoc = chunks.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("sum_len"),
+        max(col("offset") + col("len")).as("max_end"),
+        min(col("offset")).as("min_off"),
+        max(col("len")).as("max_len"),
+        // min length over all but the final (remainder) chunk; vacuously
+        // minSize for single-chunk docs
+        coalesce(min(when(col("chunk_idx") < col("max_idx"), col("len"))),
+          lit(minSize.toLong)).as("min_nonlast_len"),
+        // decimal(38,0): a long sum of 64-bit hashes overflows ANSI mode
+        // (same convention as Golden.fingerprint)
+        sum(col("chunk_hash").cast("decimal(38,0)")).as("hash_sum"))
+      val joined = docs
+        .select(col("doc_id"), col("text"), length(col("bytes")).as("n_bytes"))
+        .join(perDoc, Seq("doc_id"), "left")
+      val tiling = joined.filter(
+        coalesce(col("sum_len"), lit(0L)) =!= col("n_bytes") ||
+          (col("n_bytes") > 0 && (col("min_off") =!= 0L ||
+            col("max_end") =!= col("n_bytes"))))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("tiling_broken").as("reason"), col("n"))
+      val bounds = joined.filter(col("max_len") > maxSize ||
+          col("min_nonlast_len") < minSize)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("size_bounds").as("reason"), col("n"))
+      val nondet = joined.filter(col("n_chunks").isNotNull)
+        .groupBy(col("text"))
+        .agg(count_distinct(struct(col("n_chunks"), col("hash_sum")))
+          .as("v"))
+        .filter(col("v") > 1)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("text_nondeterministic").as("reason"), col("n"))
+      tiling.unionAll(bounds).unionAll(nondet).filter(col("n") > 0)
+    },
+    noRows("reason" -> "VARCHAR", "n" -> "BIGINT"))
+
   val imagePhashGolden = golden(
     "q_x_phash_golden",
     "image-hash output matches committed fingerprint (expect 0 rows)",
@@ -712,12 +771,17 @@ object AnchorQueries {
     "k-means cluster profile matches committed fingerprint (expect 0 rows)",
     "q_x_kmeans_sizes", GoldenSnapshots.kmeansSizes)
 
+  val cdcGolden = golden(
+    "q_x_cdc_golden",
+    "CDC dedup accounting matches committed fingerprint (expect 0 rows)",
+    "q_x_cdc_dedup", GoldenSnapshots.cdcDedup)
+
   val all: Seq[Q] = Seq(
     percentileApproxAnchor, annLshAnchor, annIvfAnchor, embNearDupAnchor,
     vocabCmAnchor, winnowAnchor, sourceSignatureAnchor,
     dedupIncrementalAnchor, decontaminateBloomAnchor,
     decontaminateSemanticAnchor, kmeansAnchor, bpeEncodeAnchor,
     multimodalAnchor, imagePhashAnchor, heavyHittersAnchor,
-    tfidfCappedAnchor, quantileSketchAnchor,
-    imagePhashGolden, multimodalGolden, kmeansGolden)
+    tfidfCappedAnchor, quantileSketchAnchor, cdcAnchor,
+    imagePhashGolden, multimodalGolden, kmeansGolden, cdcGolden)
 }

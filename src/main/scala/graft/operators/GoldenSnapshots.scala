@@ -24,6 +24,12 @@ object GoldenSnapshots {
     "sf0.1" -> (5000L, "-223105732010355359022"),
     "testdata_sf1" -> (50000L, "-934384430905317758919"))
 
+  val cdcDedup: Map[String, (Long, String)] = Map(
+    "sf0.001" -> (5L, "11279766699794210170"),
+    "sf0.01" -> (5L, "1076948753418236008"),
+    "sf0.1" -> (5L, "-8247012922596709772"),
+    "testdata_sf1" -> (5L, "20603684107022638283"))
+
   val kmeansSizes: Map[String, (Long, String)] = Map(
     "sf0.001" -> (8L, "-5366198007469340652"),
     "sf0.01" -> (8L, "-11496621668772080012"),

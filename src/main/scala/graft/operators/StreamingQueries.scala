@@ -518,8 +518,46 @@ object StreamingQueries {
            |   AND c.cms + 86400000 < m.wm"""
       .stripMargin.replace("\n", "")))
 
+  /** Late-data quarantine under the driver gate
+    * ([[graft.streaming.EventsStream.lateQuarantine]]): the fixture's
+    * events are perfectly time-ordered by event_id, so the gate simulates
+    * the standard real-world disorder source — multi-shard ingestion —
+    * with a PORTABLE arithmetic arrival order: 50-event ingest blocks
+    * drain across 7 shards ((id div 50), then id mod 7). Every event
+    * regressing >1 h behind its user's running event-time frontier in
+    * that order lands in quarantine with its measured lateness; DuckDB
+    * reproduces the same set with a running-max window over the same
+    * arrival sequence. ~4% of the fixture quarantines — non-vacuous at
+    * every SF. */
+  val streamLate = Q(
+    "q_s_stream_late",
+    "Streaming late-data quarantine = batch frontier-regression audit",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+        .withColumn("arrival_seq",
+          expr("((event_id DIV 50) * 7 + event_id % 7) * 10000000" +
+            " + event_id"))
+      val out = graft.streaming.EventsStream.lateQuarantine(
+        src, "arrival_seq", latenessUs = 3600L * 1000000L,
+        watermark = "365 days")
+      runToMemory(s, out.toDF(), "append", "graft_stream_late")
+    },
+    Some("""WITH a AS (SELECT user_id, event_id,
+           |   date_trunc('microseconds', ts) AS ts,
+           |   ((event_id // 50) * 7 + event_id % 7) * 10000000
+           |     + event_id AS arrival_seq FROM events),
+           | f AS (SELECT user_id, event_id, ts,
+           |   max(ts) OVER (PARTITION BY user_id ORDER BY arrival_seq
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |     AS frontier FROM a)
+           | SELECT user_id, event_id,
+           |   CAST(epoch_us(frontier) - epoch_us(ts) AS BIGINT)
+           |     AS lateness_us
+           | FROM f WHERE epoch_us(frontier) - epoch_us(ts) > 3600000000"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin,
     streamJoinCapped, streamEnrich, streamSession, streamAsof, streamHeavy,
     streamScd2, streamEwma, streamFunnel, streamDistinct, streamHopping,
-    streamJoinOuter)
+    streamJoinOuter, streamLate)
 }

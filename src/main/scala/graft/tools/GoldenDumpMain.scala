@@ -22,7 +22,8 @@ object GoldenDumpMain {
     // so print exactly the Map[String, (Long, String)] entry to paste.
     val key = new java.io.File(dir).getName
     val queries = Seq(
-      "q_x_image_phash", "q_x_multimodal_features", "q_x_kmeans_sizes")
+      "q_x_image_phash", "q_x_multimodal_features", "q_x_kmeans_sizes",
+      "q_x_cdc_dedup")
     queries.foreach { q =>
       val fp = Golden.fingerprint(Catalog.byName(q).run(spark, dir)).head()
       println(s"""[golden] $q: "$key" -> (${fp.getLong(0)}L, "${fp.getString(1)}")""")
