@@ -697,6 +697,43 @@ object AnchorQueries {
       "rank_lo" -> "BIGINT", "rank_hi" -> "BIGINT",
       "target" -> "BIGINT", "bound" -> "BIGINT"))
 
+  /** Count-min inner product as a JOIN-SIZE estimator
+    * ([[graft.functions.CountMinAgg.innerProduct]]): |lineitem ⋈ orders|
+    * on l_orderkey equals the key-frequency inner product, which two
+    * independently built sketches estimate with NO UNDERCOUNT (each row's
+    * dot product adds only non-negative collision mass) and expected
+    * per-row overcount N_l·N_o/width. The anchor checks est ≥ exact and
+    * est ≤ exact + 3·N_l·N_o/width (3× the expectation; measured
+    * overcount is far lower at both gate SFs). This is the 100 TB
+    * planner input: two 2 MB map-side-mergeable sketches size a join
+    * without scanning either table — exactly the honest-stats discipline
+    * GraftSession's size-aware planning wants BEFORE the join runs.
+    * Three bounded driver probes (two sketches + one exact count). */
+  val joinCardAnchor = anchor(
+    "q_x_join_card_anchor",
+    "count-min join-size estimate in [exact, exact + 3*Nl*No/width] (expect 0 rows)",
+    (s, dir) => {
+      import graft.functions.CountMinAgg
+      val depth = 4; val width = 65536
+      val cm = udaf(new CountMinAgg(depth, width),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val aggL = l.agg(cm(col("k")).as("sk"), count(lit(1)).as("n")).head()
+      val aggO = o.agg(cm(col("k")).as("sk"), count(lit(1)).as("n")).head()
+      val est = CountMinAgg.innerProduct(
+        aggL.getAs[scala.collection.Seq[Long]]("sk").toArray,
+        aggO.getAs[scala.collection.Seq[Long]]("sk").toArray, depth, width)
+      val exact = l.join(o, "k").count()
+      val bound = exact +
+        3L * aggL.getAs[Long]("n") * aggO.getAs[Long]("n") / width
+      import s.implicits._
+      Seq((est, exact, bound))
+        .filter { case (e, x, b) => e < x || e > b }
+        .toDF("est", "exact", "bound")
+    },
+    noRows("est" -> "BIGINT", "exact" -> "BIGINT", "bound" -> "BIGINT"))
+
   /** CDC chunk-table invariants ([[graft.ext.Cdc]]): per doc the chunks
     * tile the byte range exactly (start at 0, lengths sum to both the
     * document's UTF-8 byte length and the maximum chunk end — which rules
@@ -782,6 +819,6 @@ object AnchorQueries {
     dedupIncrementalAnchor, decontaminateBloomAnchor,
     decontaminateSemanticAnchor, kmeansAnchor, bpeEncodeAnchor,
     multimodalAnchor, imagePhashAnchor, heavyHittersAnchor,
-    tfidfCappedAnchor, quantileSketchAnchor, cdcAnchor,
+    tfidfCappedAnchor, quantileSketchAnchor, cdcAnchor, joinCardAnchor,
     imagePhashGolden, multimodalGolden, kmeansGolden, cdcGolden)
 }

@@ -37,6 +37,24 @@ class CountMinSpec extends AnyFunSuite {
     assert(ghost <= epsN)
   }
 
+  test("inner product estimates the exact join size, never undercounting") {
+    // A: item i in [1,100] appears i times; B: evens in [2,100] appear
+    // 3 times each. Exact inner product = sum over evens of i*3.
+    val a = sketchOf(stream)
+    val bItems = (1 to 50).flatMap(i => Seq.fill(3)(2L * i))
+    val b = sketchOf(bItems)
+    val exact = (1 to 50).map(i => 2L * i * 3L).sum
+    val est = CountMinAgg.innerProduct(a, b, depth, width)
+    assert(est >= exact, s"undercount: $est < $exact")
+    val bound = exact +
+      3L * stream.size * bItems.size / width
+    assert(est <= bound, s"overcount: $est > $bound")
+    // disjoint key sets: estimate must collapse to (near) zero
+    val c = sketchOf(Seq.fill(100)(1000001L))
+    assert(CountMinAgg.innerProduct(a, c, depth, width) <=
+      3L * stream.size * 100 / width)
+  }
+
   test("merge of half-sketches == sketch of whole") {
     val (a, b) = stream.splitAt(stream.size / 2)
     val agg = new CountMinAgg(depth, width)
