@@ -187,6 +187,173 @@ object Similarity {
       element_at(nearest_cells(col(vecCol), centroids, 1), 1)
         .cast("long").as("cluster_id"))
 
+  /** Product-quantization codebook (Jégou, Douze & Schmid 2011, "Product
+    * quantization for nearest neighbor search", IEEE TPAMI): the vector
+    * space splits into `m` orthogonal subspaces, each quantized by its own
+    * `kStar`-centroid k-means codebook. A 64-dim float vector (256 B)
+    * compresses to m codes (m bytes at kStar ≤ 256) — the memory step that
+    * makes a 100 TB vector corpus scannable: IVF prunes WHICH vectors to
+    * score, PQ shrinks WHAT a scan reads per vector by 32×, and the two
+    * compose (IVF-PQ). Training mirrors [[trainCentroids]]'s determinism
+    * contract: a bounded, id-ordered driver sample, first-kStar init per
+    * subspace, fixed Lloyd iterations on L2 — vectors are L2-NORMALIZED
+    * first so subspace inner products sum to the cosine.
+    * Returns codebook(j)(c) = centroid c of subspace j. */
+  def trainPqCodebook(emb: DataFrame, m: Int = 8, kStar: Int = 16,
+                      iters: Int = 10, maxSample: Int = 100000,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
+    val sample = emb.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(maxSample)
+      .collect().map(r => normalize(r.getSeq[Float](1).toArray))
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(
+        v, j * subDim, (j + 1) * subDim))
+      var centroids = subs.take(kStar).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(centroids.length, subDim)(0.0)
+        val counts = new Array[Int](centroids.length)
+        subs.foreach { v =>
+          val best = nearestSub(v, centroids)
+          counts(best) += 1
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+        }
+        centroids = centroids.indices.map { c =>
+          if (counts(c) == 0) centroids(c)
+          else Array.tabulate(subDim)(i => (sums(c)(i) / counts(c)).toFloat)
+        }.toArray
+        it += 1
+      }
+      centroids
+    }
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+    val s = math.sqrt(n)
+    if (s == 0) v else Array.tabulate(v.length)(i => (v(i) / s).toFloat)
+  }
+
+  private def nearestSub(v: Array[Float],
+                         centroids: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) {
+        val diff = v(i).toDouble - centroids(c)(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ-encode the corpus: map-only, one (id, m-code) row per vector —
+    * the compressed layout a vector store persists. Codes are a pure
+    * function of (vector, codebook): deterministic across runs/layouts. */
+  def pqEncode(emb: DataFrame, codebook: Array[Array[Array[Float]]],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = codebook.length
+    val subDim = codebook.head.head.length
+    emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        rows.map { case (id, vec) =>
+          val v = normalize(vec)
+          val codes = Array.tabulate(m) { j =>
+            nearestSub(java.util.Arrays.copyOfRange(
+              v, j * subDim, (j + 1) * subDim), codebook(j))
+          }
+          (id, codes)
+        }
+      }.toDF(idCol, "codes")
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: each probe keeps its EXACT
+    * (normalized) vector and precomputes one m×kStar lookup table of
+    * subspace inner products; a corpus vector scores as the sum of m table
+    * lookups — no float vector is ever read at scan time. Same output
+    * shape as [[bruteForceTopK]]; accuracy is bounded by quantization
+    * distortion (the anchor + SimilaritySpec pin recall and the quality
+    * gap).
+    *
+    * `rerank > 0` adds the production recall-recovery stage: the ADC scan
+    * keeps a per-probe shortlist of `rerank` candidates, and only THOSE
+    * ids fetch their float vectors for exact cosine scoring — the
+    * compressed scan does the corpus-size work, the exact math touches
+    * |probes|·rerank rows. This is the standard IVF-PQ + refine layout
+    * (Jégou et al. 2011 §V): at 100 TB the code table is the only
+    * corpus-wide scan, the refine join is a broadcast-semi-join against
+    * the id-keyed vector store.
+    *
+    * Scale shape: the probes' LUTs broadcast (m·kStar doubles each), the
+    * code table streams map-only into the bounded top-k aggregate —
+    * per-vector cost m adds, per-query shuffle k (or rerank) rows per map
+    * task. */
+  def pqTopK(emb: DataFrame, probeIds: Seq[Long], k: Int,
+             codebook: Array[Array[Array[Float]]],
+             rerank: Int = 0,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = codebook.length
+    val subDim = codebook.head.head.length
+    // bounded driver probe: |probeIds| vectors (the ANN-family contract)
+    val probes = emb.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, normalize(v)) }
+    val luts = probes.map { case (pid, q) =>
+      (pid, Array.tabulate(m) { j =>
+        codebook(j).map { c =>
+          var s = 0.0; var i = 0
+          while (i < subDim) { s += q(j * subDim + i).toDouble * c(i); i += 1 }
+          s
+        }
+      })
+    }
+    val scored = pqEncode(emb, codebook, idCol, vecCol)
+      .as[(Long, Array[Int])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (nid, codes) =>
+          luts.iterator.filter(_._1 != nid).map { case (pid, lut) =>
+            var s = 0.0; var j = 0
+            while (j < codes.length) { s += lut(j)(codes(j)); j += 1 }
+            (pid, nid, s)
+          }
+        }
+      }.toDF("vec_id", "neighbor_id", "cos")
+    if (rerank <= 0) topK(scored, k)
+    else {
+      // exact refine: ADC shortlist ids -> float vectors -> true cosine.
+      // The shortlist is |probes|*rerank rows; broadcasting it keeps the
+      // vector fetch a corpus-side semi-join, no second corpus shuffle.
+      val shortlist = topK(scored, rerank)
+        .select(col("vec_id"), col("neighbor_id"))
+      val probeVecs = probes.toSeq.toDF("vec_id", "pvec")
+      val refined = emb
+        .select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).as("cvec"))
+        .join(broadcast(shortlist), "neighbor_id")
+        .join(broadcast(probeVecs), "vec_id")
+        .select(col("vec_id"), col("neighbor_id"),
+          cosine_sim(col("pvec"), col("cvec")).as("cos"))
+      topK(refined, k)
+    }
+  }
+
   /** Group-wise top-k via the bounded-heap aggregate (TopKAgg): partial
     * aggregation ships at most k candidates per probe per map task into the
     * exchange — a window (row_number) would shuffle and sort the entire

@@ -697,6 +697,30 @@ object AnchorQueries {
       "rank_lo" -> "BIGINT", "rank_hi" -> "BIGINT",
       "target" -> "BIGINT", "bound" -> "BIGINT"))
 
+  /** PQ ANN vs exact top-3 ([[graft.ext.Similarity.pqTopK]]): same
+    * three-part contract as the LSH/IVF anchors — well-formed per-probe
+    * result structure, every returned neighbor within the quality-gap
+    * bound of the true kth cosine, and a total-recall floor. PQ's error
+    * source differs from LSH/IVF (quantization DISTORTION of the scores,
+    * not candidate pruning — every vector is scored, through m=8 code
+    * lookups), and the exact-refine stage collapses it for returned
+    * rows. Measured: hits 30/30 at sf0.01, 29/30 at sf0.1; worst
+    * per-probe gap 0 and 0.023 — the 0.15 / 12 thresholds are >5×
+    * margin. */
+  val annPqAnchor = anchor(
+    "q_x_ann_pq_anchor",
+    "PQ ANN: structure + quality gap + total recall (expect 0 rows)",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val codebook = Similarity.trainPqCodebook(emb, m = 16, kStar = 64,
+        maxSample = 20000)
+      annAnchor(emb,
+        Similarity.pqTopK(emb, (0L until 10L).toSeq, 3, codebook,
+          rerank = 32),
+        k = 3, minTotalHits = 12L, gapBound = 0.15)
+    },
+    noRows(annCols: _*))
+
   /** Count-min inner product as a JOIN-SIZE estimator
     * ([[graft.functions.CountMinAgg.innerProduct]]): |lineitem ⋈ orders|
     * on l_orderkey equals the key-frequency inner product, which two
@@ -814,7 +838,8 @@ object AnchorQueries {
     "q_x_cdc_dedup", GoldenSnapshots.cdcDedup)
 
   val all: Seq[Q] = Seq(
-    percentileApproxAnchor, annLshAnchor, annIvfAnchor, embNearDupAnchor,
+    percentileApproxAnchor, annLshAnchor, annIvfAnchor, annPqAnchor,
+    embNearDupAnchor,
     vocabCmAnchor, winnowAnchor, sourceSignatureAnchor,
     dedupIncrementalAnchor, decontaminateBloomAnchor,
     decontaminateSemanticAnchor, kmeansAnchor, bpeEncodeAnchor,

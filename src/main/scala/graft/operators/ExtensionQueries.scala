@@ -655,6 +655,25 @@ object ExtensionQueries {
     },
     None)
 
+  /** Product-quantization ANN ([[graft.ext.Similarity.pqTopK]]) — the
+    * compressed-scan path: 16 sub-codebooks of 64 centroids shrink each
+    * 64-dim float vector (256 B) to 16 codes (12 B); probes score via
+    * asymmetric-distance lookup tables and only a 32-candidate shortlist
+    * per probe fetches float vectors for exact refine.
+    * Approximate → rows-only; recall + quality gap pinned by
+    * q_x_ann_pq_anchor and SimilaritySpec. */
+  val annPq = Q(
+    "q_x_ann_pq",
+    "Approximate cosine top-3 via PQ ADC scan + exact refine (m=16, k*=64)",
+    (s, dir) => {
+      val emb = Sources.table(s, dir, "embeddings")
+      val codebook = Similarity.trainPqCodebook(emb, m = 16, kStar = 64,
+        maxSample = 20000)
+      Similarity.pqTopK(emb, (0L until 10L).toSeq, 3, codebook, rerank = 32)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"))
+    },
+    None)
+
   /** As-of join (AsofJoin.backward — single-shuffle merge shape): each
     * click event picks up the latest purchase value at-or-before it for
     * the same user. Oracle = DuckDB's native ASOF LEFT JOIN; both sides
@@ -1867,7 +1886,7 @@ object ExtensionQueries {
     editDistance, decontaminate, decontaminateBloom, decontaminateSemantic,
     resampleFfill, embNearDup,
     embNearDupExact, sourceSignature, sourceOverlapExact, annBruteForce,
-    annLsh, annIvf, asofJoin,
+    annLsh, annIvf, annPq, asofJoin,
     asofNative, rangeJoin, trainSplit, leakageSplit,
     textTokens, lengthBuckets, textQuality, textLangId, textFingerprint, textWinnow,
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,

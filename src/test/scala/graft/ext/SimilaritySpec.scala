@@ -70,6 +70,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("PQ+refine top-3: recall >= 0.8, scores plausible, codes in range") {
+    val probes = (0L until 20L).toSeq
+    val codebook = Similarity.trainPqCodebook(emb, m = 16, kStar = 64)
+    assert(codebook.length == 16 && codebook.head.length == 64 &&
+      codebook.head.head.length == 4)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, 3))
+    val approxDf = Similarity.pqTopK(emb, probes, 3, codebook, rerank = 32)
+    val approx = pairs(approxDf)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall too low")
+    info(f"PQ recall@3 on sf0.001 = $recall%.3f")
+    // refined scores are exact cosines: bounded by 1, and positive for
+    // the best pairs (this corpus's probe top-1s sit ~0.3-0.5 by design
+    // -- see annAnchor's recall note)
+    val maxCos = approxDf.agg(org.apache.spark.sql.functions.max("cos"))
+      .head().getDouble(0)
+    assert(maxCos <= 1.0 + 1e-9 && maxCos > 0.2,
+      s"refined scores out of plausible range: max=$maxCos")
+    // codes are dense in [0, kStar)
+    val codes = Similarity.pqEncode(emb, codebook)
+      .selectExpr("explode(codes) c").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(codes.forall(c => c >= 0 && c < 64))
+  }
+
+  test("PQ encoding is deterministic across partition layouts") {
+    val codebook = Similarity.trainPqCodebook(emb, m = 16, kStar = 64)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Golden.fingerprint(
+        df.selectExpr("vec_id", "cast(codes as string) cs"))
+        .head().getString(1)
+    val a = fp(Similarity.pqEncode(emb, codebook))
+    val b = fp(Similarity.pqEncode(emb.repartition(7), codebook))
+    assert(a == b, "PQ codes changed under repartition")
+  }
+
   test("k-means planted clusters: pure cells, deterministic across layouts") {
     val spark0 = spark
     import spark0.implicits._
