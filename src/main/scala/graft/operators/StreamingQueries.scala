@@ -524,7 +524,7 @@ object StreamingQueries {
     * the standard real-world disorder source — multi-shard ingestion —
     * with a PORTABLE arithmetic arrival order: 50-event ingest blocks
     * drain across 7 shards ((id div 50), then id mod 7). Every event
-    * regressing >1 h behind its user's running event-time frontier in
+    * regressing >5 min behind its user's running event-time frontier in
     * that order lands in quarantine with its measured lateness; DuckDB
     * reproduces the same set with a running-max window over the same
     * arrival sequence. ~4% of the fixture quarantines — non-vacuous at
@@ -538,7 +538,7 @@ object StreamingQueries {
           expr("((event_id DIV 50) * 7 + event_id % 7) * 10000000" +
             " + event_id"))
       val out = graft.streaming.EventsStream.lateQuarantine(
-        src, "arrival_seq", latenessUs = 3600L * 1000000L,
+        src, "arrival_seq", latenessUs = 300L * 1000000L,
         watermark = "365 days")
       runToMemory(s, out.toDF(), "append", "graft_stream_late")
     },
@@ -553,7 +553,7 @@ object StreamingQueries {
            | SELECT user_id, event_id,
            |   CAST(epoch_us(frontier) - epoch_us(ts) AS BIGINT)
            |     AS lateness_us
-           | FROM f WHERE epoch_us(frontier) - epoch_us(ts) > 3600000000"""
+           | FROM f WHERE epoch_us(frontier) - epoch_us(ts) > 300000000"""
       .stripMargin.replace("\n", "")))
 
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin,
