@@ -354,6 +354,68 @@ object Similarity {
     }
   }
 
+  /** Contrastive hard-negative mining — for each probe, the top-k most
+    * cosine-similar vectors carrying a DIFFERENT label: the "confusable
+    * but wrong" examples a contrastive/triplet trainer wants next to each
+    * anchor. Identical scan shape to [[bruteForceTopK]] (probes
+    * broadcast, corpus streamed once, bounded-heap top-k), with the
+    * label-mismatch predicate evaluated inside the broadcast join so
+    * same-label vectors never reach scoring. The 100 TB path swaps the
+    * full scan for [[ivfTopK]]-style cell probing exactly as for plain
+    * ANN — the mining semantics live entirely in the predicate + top-k.
+    */
+  def hardNegatives(emb: DataFrame, probeIds: Seq[Long], k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val probes = emb.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("pvec"),
+        col(labelCol).as("plabel"))
+    val corpus = emb.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"), col(labelCol).as("clabel"))
+    val scored = corpus.join(broadcast(probes),
+        col("clabel") =!= col("plabel"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine_sim(col("pvec"), col("cvec")).as("cos"))
+    topK(scored, k)
+  }
+
+  /** SemDeDup-style semantic prune (Abbas et al. 2023, arXiv:2303.09540):
+    * within each CELL of a clustering, drop every vector that has a
+    * lower-id neighbor at cosine ≥ `tau` — keep-first inside semantic
+    * duplicates, evaluated only within cells so the pairwise work is
+    * Σ|cell|² instead of |corpus|². Output one row per surviving-cell
+    * vector: (vec_id, cell, kept 1|0).
+    *
+    * Cells larger than `maxCell` are dropped entirely (the
+    * [[FuzzyJoin]] `maxBlock` contract): an oversized cell means the
+    * CLUSTERING is too coarse for the pairwise budget, and the fix is a
+    * finer clustering (in production the cells come from
+    * [[trainCentroids]]/[[assignCells]], whose k bounds cell size), not a
+    * silently quadratic join. The drop is deterministic and part of the
+    * operator contract, so the DuckDB oracle reproduces it and results
+    * agree at every scale factor — including when ALL cells exceed the
+    * cap and the honest answer is "refine the clustering first" (an
+    * empty frame).
+    */
+  def semDedupPrune(emb: DataFrame, idCol: String, vecCol: String,
+                    cellCol: String, tau: Double = 0.9,
+                    maxCell: Int = 2048): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        col(cellCol).cast("long").as("cell"))
+      .withColumn("csz", count(lit(1)).over(
+        Window.partitionBy(col("cell"))))
+      .filter(col("csz") <= maxCell).drop("csz")
+    val a = v.select(col("cell"), col("id").as("a"), col("v").as("va"))
+    val b = v.select(col("cell"), col("id").as("b"), col("v").as("vb"))
+    val pruned = a.join(b, Seq("cell"))
+      .filter(col("a") < col("b") &&
+        cosine_sim(col("va"), col("vb")) >= tau)
+      .select(col("b").as("id")).distinct()
+    v.join(pruned.withColumn("pr", lit(1L)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cell"),
+        when(col("pr").isNotNull, 0L).otherwise(1L).as("kept"))
+  }
+
   /** Group-wise top-k via the bounded-heap aggregate (TopKAgg): partial
     * aggregation ships at most k candidates per probe per map task into the
     * exchange — a window (row_number) would shuffle and sort the entire

@@ -30,7 +30,7 @@ object Catalog {
   lazy val all: Seq[Q] =
     ParityQueries.all ++ TpchQueries.all ++ AnalyticsQueries.all ++
       ExtensionQueries.all ++ PipelineQueries.all ++ StreamingQueries.all ++
-      AnchorQueries.all
+      AnchorQueries.all ++ CurationQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Compaction, Dsir, Similarity}
+import graft.sources.Sources
+
+/** Wave-8 curation operators — the corpus-selection and table-maintenance
+  * steps around the existing dedup/similarity/sampling families:
+  * importance-resampling weights (DSIR), contrastive hard-negative
+  * mining, SemDeDup-style within-cell semantic pruning, and small-file
+  * compaction planning. All four are exact computations with full DuckDB
+  * oracles; the float-bearing ones (DSIR's ln, the cosine ranks) follow
+  * the repo's established hash-stability idioms (milli-nat floor before
+  * aggregation; int-only rank output).
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  /** DuckDB-side value of one hex digit of an md5 string (no conv()). */
+  private def hexDigitSql(expr: String, pos: Int): String =
+    s"(strpos('0123456789abcdef', substring($expr, $pos, 1)) - 1)"
+
+  /** DSIR importance weights toward the English slice ([[graft.ext.Dsir]]).
+    * The synthetic corpus draws every lang from one vocab, so the weights
+    * are small (pure sampling noise between the slices) — but every
+    * integer is exact and cross-engine, and DsirSpec plants a genuinely
+    * skewed fixture to pin the discrimination semantics. */
+  val dsirWeights = Q(
+    "q_x_dsir_weights",
+    "DSIR hashed-unigram importance weights (target = lang 'en')",
+    (s, dir) => Dsir.importanceWeights(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+      .select(col("doc_id"), col("n_tok"), col("dsir_milli")),
+    Some(s"""WITH tk AS (SELECT doc_id, (lang = 'en') AS is_t,
+           |   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           |   FROM documents),
+           | tb AS (SELECT doc_id, is_t,
+           |   CAST(16 * ${hexDigitSql("md5(tok)", 1)}
+           |      + ${hexDigitSql("md5(tok)", 2)} AS BIGINT) AS b FROM tk),
+           | c AS (SELECT b, count(*) AS n_raw,
+           |   count(*) FILTER (is_t) AS n_t FROM tb GROUP BY b),
+           | tot AS (SELECT b, n_raw, n_t, sum(n_raw) OVER () AS nr_tot,
+           |   sum(n_t) OVER () AS nt_tot FROM c),
+           | l AS (SELECT b, CAST(floor(ln(
+           |     (CAST(n_t + 1 AS DOUBLE) * CAST(nr_tot + 256 AS DOUBLE)) /
+           |     (CAST(n_raw + 1 AS DOUBLE) * CAST(nt_tot + 256 AS DOUBLE)))
+           |     * 1000) AS BIGINT) AS lambda_milli FROM tot)
+           | SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           |   CAST(sum(l.lambda_milli) AS BIGINT) AS dsir_milli
+           | FROM tb JOIN l USING (b) GROUP BY tb.doc_id"""
+      .stripMargin.replace("\n", "")))
+
+  /** Contrastive hard negatives: top-3 cosine neighbors with a different
+    * label for probes 0–9 ([[graft.ext.Similarity.hardNegatives]]).
+    * Int-only output (ranks + ids), the ann_cosine_topk idiom. */
+  val hardNegatives = Q(
+    "q_x_hard_negatives",
+    "Top-3 different-label cosine neighbors per probe (hard negatives)",
+    (s, dir) => Similarity.hardNegatives(
+        t(s, dir, "embeddings"), (0L until 10L).toSeq, 3)
+      .select(col("vec_id"), col("rank"), col("neighbor_id")),
+    Some("""WITH p AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 10),
+           | s AS (SELECT p.vec_id, e.vec_id AS neighbor_id,
+           |   list_cosine_similarity(p.embedding, e.embedding) AS cos
+           |   FROM p, embeddings e WHERE e.label <> p.label),
+           | r AS (SELECT vec_id, neighbor_id, row_number() OVER
+           |   (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+           | SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+           | FROM r WHERE rank <= 3""".stripMargin.replace("\n", "")))
+
+  /** SemDeDup within-cell prune over the label clustering
+    * ([[graft.ext.Similarity.semDedupPrune]]). The synthetic embeddings
+    * hold no within-label pair near cosine 0.9 (max ≈ 0.475 at the gate
+    * SFs), so every surviving row is kept — the same
+    * degenerate-but-green shape as q_x_emb_near_dup_exact, with
+    * SimilaritySpec planting real near-dups for the prune semantics. */
+  val semDedup = Q(
+    "q_x_semdedup",
+    "SemDeDup prune: drop lower-id cosine>=0.9 dups within each cell",
+    (s, dir) => Similarity.semDedupPrune(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        tau = 0.9, maxCell = 2048)
+      .select(col("vec_id"), col("cell"), col("kept")),
+    Some("""WITH v AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS cell
+           |   FROM embeddings
+           |   QUALIFY count(*) OVER (PARTITION BY label) <= 2048),
+           | pr AS (SELECT DISTINCT b.vec_id FROM v a JOIN v b
+           |   ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9)
+           | SELECT v.vec_id, v.cell,
+           |   CAST(CASE WHEN pr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+           | FROM v LEFT JOIN pr USING (vec_id)"""
+      .stripMargin.replace("\n", "")))
+
+  /** Compaction planning over the per-source "file" manifest
+    * ([[graft.ext.Compaction.plan]]): sources stand in for data files
+    * (name-ordered, bytes = total chars); in production the input is the
+    * real file manifest — metadata-sized either way. */
+  val compactionPlan = Q(
+    "q_x_compaction_plan",
+    "Bin-pack the source manifest into ~16 KB merge bins (cumsum rule)",
+    (s, dir) => Compaction.plan(
+        t(s, dir, "documents").groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("bytes")),
+        "source", "bytes", targetBytes = 16384L)
+      .select(col("bin"), col("n_files"), col("bin_bytes"),
+        col("first_file"), col("last_file")),
+    Some("""WITH f AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes
+           |   FROM documents GROUP BY source),
+           | c AS (SELECT source, bytes, CAST(coalesce(sum(bytes) OVER
+           |   (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |   0) AS BIGINT) AS cum_before FROM f),
+           | a AS (SELECT source, bytes, cum_before // 16384 AS bin FROM c)
+           | SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_files,
+           |   CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+           |   min(source) AS first_file, max(source) AS last_file
+           | FROM a GROUP BY bin""".stripMargin.replace("\n", "")))
+
+  val all: Seq[Q] =
+    Seq(dsirWeights, hardNegatives, semDedup, compactionPlan)
+}
