@@ -120,6 +120,28 @@ object CurationQueries {
            |   min(source) AS first_file, max(source) AS last_file
            | FROM a GROUP BY bin""".stripMargin.replace("\n", "")))
 
+  /** ε-DP per-source count release ([[graft.ext.Privacy.dpCountRelease]],
+    * ε = 1): the Laplace mechanism with the repo's portable md5-uniform
+    * standing in for the keyed PRF a production release would use — which
+    * is exactly what makes the released figures deterministic enough for
+    * a cross-engine hash check (same key → same uniform → same inverse-CDF
+    * double → same milli floor on both engines). */
+  val dpRelease = Q(
+    "q_x_dp_release",
+    "Laplace eps=1 DP count release per source (deterministic md5 uniform)",
+    (s, dir) => graft.ext.Privacy.dpCountRelease(
+        t(s, dir, "documents"), "source", epsilon = 1.0)
+      .select(col("source"), col("released_milli")),
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+           | u AS (SELECT source, n,
+           |   (CAST('0x' || substring(md5(source), 1, 12) AS BIGINT) + 0.5)
+           |     / 281474976710656.0 AS uu FROM c)
+           | SELECT source, CAST(floor((CAST(n AS DOUBLE) + -1.0 *
+           |   (CASE WHEN uu - 0.5 >= 0 THEN 1.0 ELSE -1.0 END) *
+           |   ln(1.0 - 2.0 * abs(uu - 0.5))) * 1000) AS BIGINT)
+           |   AS released_milli
+           | FROM u""".stripMargin.replace("\n", "")))
+
   val all: Seq[Q] =
-    Seq(dsirWeights, hardNegatives, semDedup, compactionPlan)
+    Seq(dsirWeights, hardNegatives, semDedup, compactionPlan, dpRelease)
 }

@@ -556,8 +556,44 @@ object StreamingQueries {
            | FROM f WHERE epoch_us(frontier) - epoch_us(ts) > 300000000"""
       .stripMargin.replace("\n", "")))
 
+  /** Streaming per-user budget admission
+    * ([[graft.streaming.EventsStream.budgetAdmission]]) under the driver
+    * gate: the take-while prefix cut (admit while running max of the
+    * centi-exact cumsum stays within 3000.00) must equal the batch
+    * two-stacked-windows formulation, restricted — like q_s_stream_funnel
+    * — to users whose entire history is final under the resting
+    * watermark. The 3000.00 budget sits near the per-user spend median,
+    * so both exhausted and unexhausted users appear at every SF. */
+  val streamBudget = Q(
+    "q_s_stream_budget",
+    "Streaming budget admission (take-while prefix) = batch cumsum cut",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream
+        .budgetAdmission(src, budgetCenti = 300000L)
+      runToMemory(s, out.toDF(), "append", "graft_stream_budget")
+    },
+    Some("""WITH m AS (SELECT max(epoch_ms(ts)) - 60000 AS wm FROM events),
+           | e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ems,
+           |   CAST(round(value * 100.0) AS BIGINT) AS vc FROM events),
+           | done AS (SELECT user_id FROM e CROSS JOIN m
+           |   GROUP BY user_id, m.wm HAVING max(ems) + 1 < m.wm),
+           | c AS (SELECT user_id, event_id, ts, vc, sum(vc) OVER
+           |   (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS UNBOUNDED PRECEDING) AS cum FROM e),
+           | a AS (SELECT user_id, vc, max(cum) OVER
+           |   (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS UNBOUNDED PRECEDING) AS cummax FROM c)
+           | SELECT a.user_id,
+           |   CAST(count(*) FILTER (cummax <= 300000) AS BIGINT)
+           |     AS n_admitted,
+           |   CAST(coalesce(sum(vc) FILTER (cummax <= 300000), 0)
+           |     AS BIGINT) AS spend_centi
+           | FROM a JOIN done USING (user_id) GROUP BY a.user_id"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin,
     streamJoinCapped, streamEnrich, streamSession, streamAsof, streamHeavy,
     streamScd2, streamEwma, streamFunnel, streamDistinct, streamHopping,
-    streamJoinOuter, streamLate)
+    streamJoinOuter, streamLate, streamBudget)
 }

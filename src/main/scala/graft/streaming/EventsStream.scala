@@ -803,6 +803,91 @@ object EventsStream {
       }
   }
 
+  /** State of [[budgetAdmission]]: the finalized running admission fold
+    * (cum / cumMax / admitted count / admitted spend, all exact centi
+    * longs) plus the out-of-order tail still above the watermark. The
+    * buffer holds ONLY events the watermark hasn't finalized — each
+    * invocation folds the below-watermark prefix into the four longs and
+    * drops it — so per-key state is O(horizon), not O(events). */
+  final case class BudgetState(buf: List[(Long, Long, Long)],
+      cum: Long, cumMax: Long, nAdm: Long, spend: Long, lastMs: Long)
+
+  final case class BudgetRow(user_id: Long, n_admitted: Long,
+                             spend_centi: Long)
+
+  /** Streaming per-key budget admission — curation-at-ingest: admit each
+    * key's events in EVENT-TIME order while the running spend stays
+    * within `budgetCenti`; once the prefix first exceeds the budget,
+    * everything after is rejected (take-while, not knapsack — a later
+    * small event does NOT sneak in, so the admitted set is a prefix and
+    * batch-reproducible). The per-user row (admitted count, admitted
+    * spend) emits ONCE when the watermark passes the user's last event —
+    * the [[funnelStream]] finalization contract — computed over the full
+    * history, so it is bit-identical to the batch cumsum formulation.
+    *
+    * The admission test is `max(cum) so far <= budget`, not
+    * `cum <= budget`: with possibly-negative values the cumsum is
+    * non-monotone, and the running-max form is what makes "stop at the
+    * first overflow" well-defined (and expressible as two stacked
+    * windows in the DuckDB oracle). Values fold at exact centi precision
+    * (the ExactMoney idiom), so no float sum order can perturb the cut.
+    *
+    * Scale shape: shards by key like every state machine here; per-key
+    * state is four longs plus the above-watermark tail (in-order ingest:
+    * at most one micro-batch of tail), evicted at watermark close. A
+    * returning evicted key restarts from a zero fold — admission is a
+    * within-horizon policy, like [[sessionStats]]' running view. */
+  def budgetAdmission(events: DataFrame, budgetCenti: Long,
+                      watermark: String = "1 minute"): Dataset[BudgetRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(ts: java.sql.Timestamp): Long =
+      ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+    def fold(st: BudgetState, entries: List[(Long, Long, Long)])
+        : BudgetState =
+      entries.foldLeft(st) { case (s, (_, _, vc)) =>
+        val cum = s.cum + vc
+        val cumMax = math.max(s.cumMax, cum)
+        if (cumMax <= budgetCenti)
+          s.copy(buf = Nil, cum = cum, cumMax = cumMax,
+            nAdm = s.nAdm + 1, spend = s.spend + vc)
+        else s.copy(buf = Nil, cum = cum, cumMax = cumMax)
+      }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), round(col("value") * 100, 0).cast("long"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BudgetState, BudgetRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[BudgetState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastMs => every buffered event is final
+            val st = state.get
+            val fin = fold(st, st.buf.sortBy(e => (e._1, e._2)))
+            state.remove()
+            Iterator.single(BudgetRow(uid, fin.nAdm, fin.spend))
+          } else {
+            var st = state.getOption
+              .getOrElse(BudgetState(Nil, 0L, Long.MinValue, 0L, 0L, 0L))
+            val add = rows.map(r => (us(r._3), r._2, r._4)).toList
+            val lastMs = add.foldLeft(st.lastMs)((m, e) =>
+              math.max(m, e._1 / 1000L))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // fold the finalized prefix (no event below the watermark can
+            // still arrive — the engine drops it as late), keep the tail
+            val (fin, tail) = (st.buf ::: add)
+              .sortBy(e => (e._1, e._2)).partition(_._1 < wmUs)
+            st = fold(st, fin).copy(buf = tail, lastMs = lastMs)
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Running stats + last-seen event-time ms — the timeout anchor that
     * bounds [[sessionStats]] state. */
   final case class UserStatsState(stats: UserSession, lastMs: Long)

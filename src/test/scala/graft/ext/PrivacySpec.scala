@@ -36,4 +36,38 @@ class PrivacySpec extends AnyFunSuite {
     assert(out.select("id").collect().map(_.getLong(0)).sorted
       .sameElements(Array(0L, 1L, 2L, 3L, 4L)))
   }
+
+  test("dpCountRelease: noise matches the driver-side Laplace inverse CDF") {
+    val spark0 = spark
+    import spark0.implicits._
+    val data = (1 to 30).map(i => (i.toLong, s"g${i % 3}"))
+      .toDF("id", "g")
+    val got = Privacy.dpCountRelease(data, "g", epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def expected(key: String, n: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(md5.take(12), 16) + 0.5) /
+        math.pow(2.0, 48)
+      val z = u - 0.5
+      val noise = -1.0 * (if (z >= 0) 1.0 else -1.0) *
+        math.log(1.0 - 2.0 * math.abs(z))
+      math.floor((n + noise) * 1000).toLong
+    }
+    assert(got == Map("g0" -> expected("g0", 10L),
+      "g1" -> expected("g1", 10L), "g2" -> expected("g2", 10L)))
+    // the mechanism perturbs: some released figure differs from n*1000
+    assert(got.values.exists(_ != 10000L))
+  }
+
+  test("dpCountRelease: noise scale shrinks as epsilon grows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val data = (1 to 40).map(i => (i.toLong, s"k${i % 4}")).toDF("id", "g")
+    def maxAbsErrMilli(eps: Double): Long =
+      Privacy.dpCountRelease(data, "g", eps)
+        .collect().map(r => math.abs(r.getLong(1) - 10000L)).max
+    assert(maxAbsErrMilli(10.0) * 5 < maxAbsErrMilli(0.1),
+      "eps=10 noise should be far smaller than eps=0.1 noise")
+  }
 }
