@@ -183,4 +183,23 @@ object Curation {
         col("__cnt").as("n_dropped"),
         (col("__total") - col("__before") - col("__cnt")).as("n_out"))
   }
+
+  /** Contrastive training-pair synthesis — the DPR/retrieval-trainer prep
+    * step: from every document long enough, (query = its first 32-token
+    * chunk, positive = its third), the stride-16 chunking making the two
+    * spans token-disjoint (tokens 1-32 vs 33-64) so the positive is
+    * semantically related but textually distinct; in-batch negatives are
+    * the trainer's business (pair with [[Similarity.hardNegatives]] for
+    * mined ones). Output: (idCol, query_chunk, positive_chunk), one pair per doc with
+    * >= 33 tokens. Scale shape: one chunking pass, one self-join by doc
+    * id on the two chunk indexes -- co-keyed, no fan-out. */
+  def contrastivePairs(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val ch = TextAnalysis.chunk(docs, idCol, textCol, 32, 16)
+    val q = ch.filter(col("chunk_idx") === 0)
+      .select(col(idCol), col("chunk").as("query_chunk"))
+    val p = ch.filter(col("chunk_idx") === 2)
+      .select(col(idCol), col("chunk").as("positive_chunk"))
+    q.join(p, Seq(idCol))
+  }
 }

@@ -113,4 +113,36 @@ object Decontaminate {
       .select(col(idCol)).distinct()
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** N-gram novelty scoring — the inverse reading of decontamination: how
+    * much of each document is NOT already covered by a reference slice
+    * (memorization-risk / novelty audit: a doc whose grams the reference
+    * corpus mostly contains adds little new signal and inflates
+    * repetition). Per non-reference document: its distinct-gram count,
+    * how many of those grams the reference slice contains, and
+    * novelty_bp = floor(10000·(n_grams − n_known)/n_grams).
+    *
+    * Scale shape: the same gram-join skeleton as [[exact]] — grams are
+    * 64-bit shingle hashes (8 B each, never gram STRINGS, on the
+    * exchange), the reference gram set joins by hash (AQE broadcasts a
+    * benchmark-sized reference; a corpus-sized one degrades to a shuffle
+    * join, still linear), and the per-doc aggregate is map-side
+    * combined. For a reference too big to join at all, swap the
+    * membership join for [[bloom]]'s sketch — identical scoring, ±FPP.
+    * Docs with no tokens produce no gram rows and drop out, as in the
+    * dedup family. */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+                   isRef: Column, n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol), isRef.as("__is_ref"),
+      explode(gramCol(textCol, n)).as("__g"))
+    val ref = grams.filter(col("__is_ref")).select(col("__g")).distinct()
+    grams.filter(!col("__is_ref"))
+      .join(ref.withColumn("__known", lit(1L)), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__known"), lit(0L))).as("n_known"))
+      .select(col(idCol), col("n_grams"), col("n_known"),
+        floor(lit(10000.0) * (col("n_grams") - col("n_known")).cast("double")
+          / col("n_grams").cast("double")).cast("long").as("novelty_bp"))
+  }
 }

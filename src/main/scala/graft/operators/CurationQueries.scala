@@ -142,6 +142,58 @@ object CurationQueries {
            |   AS released_milli
            | FROM u""".stripMargin.replace("\n", "")))
 
+  /** N-gram novelty audit ([[graft.ext.Decontaminate.noveltyScore]]):
+    * score every non-src0 document's distinct trigrams against the src0
+    * reference slice. Spark matches 64-bit shingle HASHES while the
+    * oracle matches gram STRINGS — green certifies the hash-membership
+    * join reproduces exact string membership (no collision skew), the
+    * q_x_decontaminate argument at per-doc-count granularity. */
+  val novelty = Q(
+    "q_x_novelty",
+    "Trigram novelty vs the src0 reference slice (per-doc bp score)",
+    (s, dir) => graft.ext.Decontaminate.noveltyScore(
+        t(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0", n = 3)
+      .select(col("doc_id"), col("n_grams"), col("n_known"),
+        col("novelty_bp")),
+    Some("""WITH d AS (SELECT doc_id, source,
+           |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+           | sh AS (SELECT doc_id, source, list_distinct(CASE
+           |   WHEN len(toks) = 0 THEN []
+           |   WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+           |   ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+           |   END) AS s FROM d),
+           | ref AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+           | dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0'),
+           | agg AS (SELECT doc_id, count(*) AS n_grams,
+           |   count(*) FILTER (g IN (SELECT g FROM ref)) AS n_known
+           |   FROM dg GROUP BY doc_id)
+           | SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           |   CAST(n_known AS BIGINT) AS n_known,
+           |   CAST(floor(10000.0 * (n_grams - n_known) / n_grams) AS BIGINT)
+           |     AS novelty_bp
+           | FROM agg""".stripMargin.replace("\n", "")))
+
+  /** Contrastive pair synthesis ([[graft.ext.Curation.contrastivePairs]]):
+    * the full pair TEXT is what hashes, so green pins the chunk slicing
+    * and the disjointness arithmetic end-to-end. */
+  val contrastivePairs = Q(
+    "q_x_contrastive_pairs",
+    "DPR-style (query, positive) pairs: token-disjoint chunks 0 and 2",
+    (s, dir) => graft.ext.Curation.contrastivePairs(
+        t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("query_chunk"), col("positive_chunk")),
+    Some("""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+           | e AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 16)) AS s FROM d),
+           | ch AS (SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS chunk_idx,
+           |   array_to_string(toks[s:s+31], ' ') AS chunk FROM e)
+           | SELECT q.doc_id, q.chunk AS query_chunk, p.chunk AS positive_chunk
+           | FROM ch q JOIN ch p USING (doc_id)
+           | WHERE q.chunk_idx = 0 AND p.chunk_idx = 2"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] =
-    Seq(dsirWeights, hardNegatives, semDedup, compactionPlan, dpRelease)
+    Seq(dsirWeights, hardNegatives, semDedup, compactionPlan, dpRelease,
+      novelty, contrastivePairs)
 }

@@ -592,8 +592,44 @@ object StreamingQueries {
            | FROM a JOIN done USING (user_id) GROUP BY a.user_id"""
       .stripMargin.replace("\n", "")))
 
+  /** Streaming distribution-drift monitor
+    * ([[graft.streaming.EventsStream.driftCells]]): per finalized hour
+    * window × type, the milli-floored log rate ratio against a static
+    * expected-rate table (here the fixture's own mean hourly rate, so
+    * cells measure hour-to-hour deviation around 0). Append mode emits
+    * exactly the windows whose end is at or below the resting watermark
+    * (max event ms − 2 h, the hopping-gate idiom); the oracle mirrors
+    * both the restriction and the double arithmetic order. */
+  val streamDrift = Q(
+    "q_s_stream_drift",
+    "Streaming per-window rate-drift cells vs static expected rates",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val batchEv = graft.sources.Sources.table(s, dir, "events")
+      val nh = batchEv.select(date_trunc("hour", col("ts")))
+        .distinct().count()
+      val expected = batchEv.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          (col("c").cast("double") / lit(nh.toDouble))
+            .as("exp_per_window"))
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream.driftCells(src, expected)
+      runToMemory(s, out, "append", "graft_stream_drift")
+    },
+    Some("""WITH m AS (SELECT max(epoch_ms(ts)) - 7200000 AS wm FROM events),
+           | h AS (SELECT count(DISTINCT date_trunc('hour', ts)) AS nh FROM events),
+           | e AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+           | w AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+           |   count(*) AS n FROM events CROSS JOIN m GROUP BY 1, 2, m.wm
+           |   HAVING epoch_ms(date_trunc('hour', ts)) + 3600000 <= m.wm)
+           | SELECT w.window_start, w.event_type, CAST(w.n AS BIGINT) AS n,
+           |   CAST(floor(ln(w.n / (e.c / h.nh)) * 1000) AS BIGINT)
+           |     AS drift_milli
+           | FROM w JOIN e USING (event_type) CROSS JOIN h"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin,
     streamJoinCapped, streamEnrich, streamSession, streamAsof, streamHeavy,
     streamScd2, streamEwma, streamFunnel, streamDistinct, streamHopping,
-    streamJoinOuter, streamLate, streamBudget)
+    streamJoinOuter, streamLate, streamBudget, streamDrift)
 }

@@ -123,6 +123,36 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), (col("vc") / 100.0).as("sum_value"))
 
+  /** Streaming distribution-drift monitor — the MLOps alarm beside every
+    * production pipeline: per finalized hour window and event type, the
+    * observed count against a STATIC expected-rate table (yesterday's
+    * profile, a capacity plan), scored as the milli-floored log rate
+    * ratio floor(1000·ln(n/expected)). Cells near 0 are on-profile;
+    * large |cells| flag rate drift per type, and the per-cell form (the
+    * q_x_mutual_info convention) keeps every value an exact integer
+    * derived from one double ratio — no cross-engine float-sum hazard
+    * and, crucially, NO second streaming aggregation (a per-window KL
+    * total would need window totals = chained stateful aggs, which
+    * Spark's streaming planner rejects).
+    *
+    * Scale shape: one watermarked windowed aggregate (the
+    * [[windowedCounts]] state bound) + a broadcast join against the
+    * |types|-row expected table — the static side never shuffles the
+    * stream. Event types absent from the expected table drop (inner
+    * join): an unknown type is a schema alarm, not a rate alarm —
+    * route those through the quarantine family instead. */
+  def driftCells(events: DataFrame, expected: DataFrame,
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(expected), Seq("event_type"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"),
+        floor(log(col("n").cast("double") / col("exp_per_window")) * 1000)
+          .cast("long").as("drift_milli"))
+
   /** Streaming heavy hitters: the SpaceSaving summary
     * ([[graft.functions.SpaceSavingAgg]]) as a windowed streaming
     * aggregate — "which items are frequent per hour" over an unbounded

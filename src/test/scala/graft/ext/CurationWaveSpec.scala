@@ -116,6 +116,39 @@ class CurationWaveSpec extends AnyFunSuite {
     assert(plan.values.map(_._2).sum == 410L)
   }
 
+  // ------------------------------------------------------------ novelty --
+
+  test("novelty: fully-covered doc scores 0 bp, fully-new doc 10000 bp") {
+    val docs = Seq(
+      (1L, "a b c d e", true),      // reference: grams abc bcd cde
+      (2L, "a b c d e", false),     // all 3 grams known -> 0 bp
+      (3L, "x y z w", false),       // grams xyz yzw unknown -> 10000 bp
+      (4L, "a b c x y z", false))   // abc known; bcx cxy xyz: 1/4 known
+      .toDF("doc_id", "text", "is_ref")
+    val got = Decontaminate.noveltyScore(docs, "doc_id", "text",
+        col("is_ref"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(2L) == ((3L, 3L, 0L)))
+    assert(got(3L) == ((2L, 0L, 10000L)))
+    assert(got(4L) == ((4L, 1L, 7500L)))
+    assert(!got.contains(1L), "reference docs must not be scored")
+  }
+
+  // -------------------------------------------------- contrastive pairs --
+
+  test("contrastive pairs: disjoint 32-token spans, short docs skipped") {
+    val long = (1 to 70).map(i => s"t$i").mkString(" ")   // 70 tokens
+    // 30 tokens: chunk starts 1, 17 only — no chunk 2, so no pair
+    val short = (1 to 30).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val got = Curation.contrastivePairs(docs, "doc_id", "text").collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L))
+    val r = got.head
+    assert(r.getString(1) == (1 to 32).map(i => s"t$i").mkString(" "))
+    assert(r.getString(2) == (33 to 64).map(i => s"t$i").mkString(" "))
+  }
+
   test("compaction plan: layout-invariant (global order, not partition order)") {
     val files = (1 to 40).map(i => (f"f$i%03d", (i * 7 % 13 + 1) * 10L))
       .toDF("file", "bytes")

@@ -32,6 +32,13 @@ class PlanSweepSpec extends AnyFunSuite {
     // not the production operator's plan
     "q_x_ann_lsh_anchor",          // bruteForceTopK: 10 probes broadcast
     "q_x_ann_ivf_anchor",          // bruteForceTopK: 10 probes broadcast
+    "q_x_ann_pq_anchor",           // bruteForceTopK ground truth (10 probes
+                                   // broadcast, =!= cond) embedded twice:
+                                   // once vs the PQ path, once for recall
+    "q_x_hard_negatives",          // 10 probe vectors broadcast vs corpus;
+                                   // the label-mismatch predicate is the
+                                   // MINING semantics, evaluated inside the
+                                   // broadcast join (bruteForceTopK shape)
     "q_x_emb_near_dup_anchor",     // flagged near-dup set broadcast vs corpus
     "q_x_source_signature_anchor", // per-source pairs + exact jaccard, ≤ |sources|²
     "q_x_dedup_incremental_anchor",// 1-in-25 probe docs broadcast vs corpus
