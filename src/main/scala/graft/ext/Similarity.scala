@@ -177,6 +177,54 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Persist the IVF layout as a cell-partitioned parquet index — the
+    * serving form of [[ivfTopK]]: one directory partition per cell, so a
+    * probe's candidate read is a PARTITION-PRUNED scan of its nProbe
+    * cells' files instead of a full-corpus pass. The write is one
+    * map-only assignment (centroids inside codegen) + the partitioned
+    * write; rebuild when the centroids move, append new batches with
+    * mode("append") — assignment is per-row, so an append never touches
+    * existing partitions' data. The [[graft.ext.Dedup.writeBandIndex]]
+    * counterpart for dense vectors. */
+  def writeIvfIndex(emb: DataFrame, centroids: Array[Array[Float]],
+                    path: String, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        element_at(nearest_cells(col(vecCol), centroids, 1), 1)
+          .as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Serve top-k from a persisted [[writeIvfIndex]] directory. The probe
+    * set is bounded by contract (the bruteForceTopK discipline), so its
+    * nProbe cell ids collect to the driver and become a STATIC
+    * `cell IN (...)` predicate — guaranteed partition pruning visible in
+    * the scan's PartitionFilters (IvfIndexSpec asserts it), no reliance
+    * on runtime DPP firing. Per query the index contributes only the
+    * probed cells' files; the join inside is the same broadcast
+    * cell-join as the in-memory path, so results are identical
+    * (spec-pinned). Centroids and nProbe must match the build. */
+  def ivfTopKFromIndex(path: String, probes: DataFrame, k: Int,
+                       centroids: Array[Array[Float]], nProbe: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = probes.sparkSession
+    val p = probes
+      .select(col(idCol).as("vec_id"), col(vecCol).as("pvec"),
+        explode(nearest_cells(col(vecCol), centroids, nProbe)).as("cell"))
+      .localCheckpoint(true) // bounded probe frame: cells collect + rejoin
+    val cells = p.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec"), col("cell"))
+    val scored = idx.join(broadcast(p), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine_sim(col("pvec"), col("cvec")).as("cos"))
+    topK(scored, k)
+  }
+
   /** Cluster assignment (the k-means "predict" half): every vector to its
     * single nearest centroid — map-only, centroids inside codegen, no
     * shuffle until the caller aggregates. */
