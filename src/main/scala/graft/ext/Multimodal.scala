@@ -263,4 +263,32 @@ object Multimodal {
         }
       }
   }
+
+  final case class VadRow(doc_id: Long, seg_idx: Int, start_ms: Long,
+                          end_ms: Long, n_frames: Int)
+
+  /** Voice-activity segments for the corpus's audio rows
+    * ([[AudioCodec.vadSegments]] batched per partition — the speech
+    * prep stage before transcription/ASR cost is spent on silence).
+    * Map-only like every codec stage here: no shuffle, bytes never
+    * leave their partition, output is (doc, segment) rows on the frame
+    * grid. Non-audio rows are filtered BEFORE deserialization to the
+    * typed row; undecodable audio contributes no segments (the codec
+    * totality convention). */
+  def audioVad(media: DataFrame, frameMs: Int = 20,
+               thresholdMilli: Long = 50): Dataset[VadRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("format") === "audio/wav")
+      .select("doc_id", "media", "format", "width", "height", "duration_ms")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AudioCodec.vadSegments(r.media, frameMs, thresholdMilli)
+            .zipWithIndex.map { case (seg, i) =>
+              VadRow(r.doc_id, i, seg.startMs, seg.endMs, seg.nFrames)
+            }
+        }
+      }
+  }
 }

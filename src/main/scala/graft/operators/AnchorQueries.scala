@@ -837,6 +837,38 @@ object AnchorQueries {
     "CDC dedup accounting matches committed fingerprint (expect 0 rows)",
     "q_x_cdc_dedup", GoldenSnapshots.cdcDedup)
 
+  /** VAD structural invariants over every audio clip in the corpus: each
+    * segment sits on the frame grid (end − start = 20·n_frames), segments
+    * are ordered and non-overlapping per doc, and no segment runs past
+    * the clip's duration + one frame of grid slack. The DISCRIMINATION
+    * semantics (silence gaps split segments at the planted boundaries)
+    * are spec-pinned on envelope fixtures (AudioVadSpec); this anchor
+    * keeps the whole-corpus decode+segment path driver-visible. */
+  val audioVadAnchor = anchor(
+    "q_x_audio_vad_anchor",
+    "VAD segments on-grid, ordered, in-bounds per clip (expect 0 rows)",
+    (s, dir) => {
+      val media = Multimodal.attachMedia(t(s, dir, "documents"))
+      val segs = Multimodal.audioVad(media).toDF()
+      val dur = media.filter(col("format") === "audio/wav")
+        .select(col("doc_id"), col("duration_ms"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("seg_idx"))
+      segs.join(dur, "doc_id")
+        .withColumn("prev_end", lag(col("end_ms"), 1).over(w))
+        .filter(col("start_ms") < 0 ||
+          col("end_ms") <= col("start_ms") ||
+          col("n_frames") <= 0 ||
+          col("end_ms") - col("start_ms") =!= col("n_frames") * 20L ||
+          (col("prev_end").isNotNull &&
+            col("start_ms") < col("prev_end")) ||
+          col("end_ms") > col("duration_ms") + 20L)
+        .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+          col("start_ms"), col("end_ms"))
+    },
+    noRows("doc_id" -> "BIGINT", "seg_idx" -> "BIGINT",
+      "start_ms" -> "BIGINT", "end_ms" -> "BIGINT"))
+
   val all: Seq[Q] = Seq(
     percentileApproxAnchor, annLshAnchor, annIvfAnchor, annPqAnchor,
     embNearDupAnchor,
@@ -845,5 +877,6 @@ object AnchorQueries {
     decontaminateSemanticAnchor, kmeansAnchor, bpeEncodeAnchor,
     multimodalAnchor, imagePhashAnchor, heavyHittersAnchor,
     tfidfCappedAnchor, quantileSketchAnchor, cdcAnchor, joinCardAnchor,
+    audioVadAnchor,
     imagePhashGolden, multimodalGolden, kmeansGolden, cdcGolden)
 }

@@ -628,8 +628,35 @@ object StreamingQueries {
            | FROM w JOIN e USING (event_type) CROSS JOIN h"""
       .stripMargin.replace("\n", "")))
 
+  /** Streaming weighted sampling
+    * ([[graft.streaming.EventsStream.windowedWeightedSample]]): the
+    * Efraimidis-Spirakis selection of q_x_weighted_sample pushed through
+    * a streaming hour window — the EXACT sampled ids hash-check against
+    * DuckDB recomputing the identical ln(u)/w key, restricted to
+    * finalized windows (the hopping/distinct idiom). */
+  val streamSample = Q(
+    "q_s_stream_sample",
+    "Streaming per-window E-S weighted sample = batch key ranking",
+    (s, dir) => withStagedEvents(dir) { staged =>
+      val src = graft.streaming.EventsStream.readEvents(s, staged)
+      val out = graft.streaming.EventsStream.windowedWeightedSample(src)
+      runToMemory(s, out, "append", "graft_stream_sample")
+    },
+    Some("""WITH m AS (SELECT max(epoch_ms(ts)) - 7200000 AS wm FROM events),
+           | e AS (SELECT date_trunc('hour', ts) AS window_start, event_id,
+           |   ln((CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12)
+           |     AS BIGINT) + 0.5) / 281474976710656.0) / value AS esk
+           |   FROM events WHERE value > 0),
+           | f AS (SELECT e.* FROM e CROSS JOIN m
+           |   WHERE epoch_ms(window_start) + 3600000 <= m.wm),
+           | r AS (SELECT window_start, event_id, row_number() OVER
+           |   (PARTITION BY window_start ORDER BY esk DESC, event_id)
+           |   AS rank FROM f)
+           | SELECT window_start, CAST(rank AS BIGINT) AS rank, event_id
+           | FROM r WHERE rank <= 5""".stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin,
     streamJoinCapped, streamEnrich, streamSession, streamAsof, streamHeavy,
     streamScd2, streamEwma, streamFunnel, streamDistinct, streamHopping,
-    streamJoinOuter, streamLate, streamBudget, streamDrift)
+    streamJoinOuter, streamLate, streamBudget, streamDrift, streamSample)
 }

@@ -153,6 +153,41 @@ object EventsStream {
         floor(log(col("n").cast("double") / col("exp_per_window")) * 1000)
           .cast("long").as("drift_milli"))
 
+  /** Streaming per-window weighted sampling without replacement — the
+    * "keep k representative events per hour, big spenders more likely"
+    * telemetry reducer: per hour window, the k events with the largest
+    * Efraimidis-Spirakis key ln(u)/w (u = the portable 48-bit md5
+    * uniform of the event id, w = `value`), which is exactly a
+    * weight-proportional without-replacement sample — the
+    * [[graft.ext.Sampling.weightedSample]] math pushed through a
+    * streaming window. Zero/negative weights are outside the E-S domain
+    * and filter out by contract.
+    *
+    * The selection is DETERMINISTIC (md5, not a PRNG), so the finalized
+    * windows are batch-reproducible and the gate hash-checks the exact
+    * sampled ids cross-engine. State per window is one bounded k-heap
+    * ([[graft.functions.TopKAgg]] aggregating partially through the
+    * state store, the [[windowedHeavyHitters]] discipline) — each map
+    * task ships at most k candidates per open window, ~fixed memory on
+    * an unbounded stream. */
+  def windowedWeightedSample(events: DataFrame, k: Int = 5,
+                             watermark: String = "2 hours"): DataFrame = {
+    val u = (conv(substring(md5(col("event_id").cast("string")), 1, 12),
+      16, 10).cast("double") + lit(0.5)) / lit(math.pow(2.0, 48))
+    events.withWatermark("ts", watermark)
+      .filter(col("value") > 0)
+      .select(col("ts"), col("event_id"),
+        (log(u) / col("value")).as("esk"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopKAgg
+        .topk_by_score(col("esk"), col("event_id"), k).as("top"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("top")).as(Seq("r0", "s")))
+      .select(col("window_start"),
+        (col("r0") + 1).cast("long").as("rank"),
+        col("s.neighbor_id").as("event_id"))
+  }
+
   /** Streaming heavy hitters: the SpaceSaving summary
     * ([[graft.functions.SpaceSavingAgg]]) as a windowed streaming
     * aggregate — "which items are frequent per hour" over an unbounded
