@@ -531,4 +531,32 @@ object TextAnalysis {
       .select(col("source"), col("n_tokens"),
         round(col("__kl") * 1000, 2).as("kl_mnat"))
   }
+
+  /** Feature-hashing text "embeddings" (the hashing trick — Weinberger
+    * et al. 2009, ICML, arXiv:0902.2206): each token hashes to one of
+    * `dim` buckets with a ±1 sign hash, and a document's vector is the
+    * exact signed count per bucket — a model-free sparse-to-dense
+    * projection whose inner products approximate token-overlap kernels.
+    * The cheap stand-in wherever a real encoder is absent: cluster it,
+    * ANN it, near-dup it with the same downstream operators as the
+    * learned embeddings.
+    *
+    * Dims are one md5 hex digit (16 buckets), the sign a second digit —
+    * the repo's portable hash, so the vector is EXACT INTEGERS and the
+    * oracle reproduces it bit-for-bit; emitted as d0..d15 columns (flat
+    * schema, exact hash compare). One explode + one map-side-combined
+    * aggregate with 16 conditional sums — no pivot exchange, no
+    * per-dim pass. */
+  def hashEmbedding(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(filter(split(col(textCol), " ", -1), t => t =!= lit("")))
+        .as("tok"))
+    val dim = conv(substring(md5(col("tok")), 1, 1), 16, 10).cast("int")
+    val sign = when(conv(substring(md5(col("tok")), 2, 1), 16, 10)
+      .cast("int") >= 8, 1L).otherwise(-1L)
+    val dims = (0 until 16).map(i =>
+      coalesce(sum(when(dim === i, sign)), lit(0L)).as(s"d$i"))
+    toks.groupBy(col(idCol)).agg(dims.head, dims.tail: _*)
+  }
 }

@@ -193,7 +193,31 @@ object CurationQueries {
            | WHERE q.chunk_idx = 0 AND p.chunk_idx = 2"""
       .stripMargin.replace("\n", "")))
 
+  /** Feature-hashing embeddings
+    * ([[graft.ext.TextAnalysis.hashEmbedding]]): 16 exact signed-count
+    * dims per doc, bit-reproduced by the oracle from the same md5
+    * digits. */
+  val hashEmbedding = Q(
+    "q_x_hash_embedding",
+    "Hashing-trick 16-dim signed-count text embedding (exact integers)",
+    (s, dir) => graft.ext.TextAnalysis.hashEmbedding(
+        t(s, dir, "documents"), "doc_id", "text"),
+    Some {
+      val dims = (0 until 16).map(i =>
+        s"CAST(coalesce(sum(CASE WHEN dim = $i THEN sign END), 0) AS BIGINT) AS d$i")
+        .mkString(", ")
+      s"""WITH tk AS (SELECT doc_id,
+         |   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |   FROM documents),
+         | h AS (SELECT doc_id,
+         |   ${hexDigitSql("md5(tok)", 1)} AS dim,
+         |   CASE WHEN ${hexDigitSql("md5(tok)", 2)} >= 8 THEN 1 ELSE -1 END AS sign
+         |   FROM tk)
+         | SELECT doc_id, $dims FROM h GROUP BY doc_id"""
+        .stripMargin.replace("\n", "")
+    })
+
   val all: Seq[Q] =
     Seq(dsirWeights, hardNegatives, semDedup, compactionPlan, dpRelease,
-      novelty, contrastivePairs)
+      novelty, contrastivePairs, hashEmbedding)
 }

@@ -135,6 +135,26 @@ class CurationWaveSpec extends AnyFunSuite {
     assert(!got.contains(1L), "reference docs must not be scored")
   }
 
+  // ------------------------------------------------------ hash embedding --
+
+  test("hash embedding: signed counts are additive and layout-invariant") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta alpha beta"),
+      (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashEmbedding(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 16).map(r.getLong(_)).toVector).toMap
+    // doubling every token doubles the vector exactly
+    assert(rows(2L) == rows(1L).map(_ * 2))
+    // the empty doc has one row of zeros? no — zero tokens, no row
+    assert(!rows.contains(3L))
+    // total mass: |sum of abs| bounded by token count, nonzero for doc 1
+    assert(rows(1L).map(math.abs).sum <= 2 && rows(1L).exists(_ != 0))
+    val re = TextAnalysis.hashEmbedding(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 16).map(r.getLong(_)).toVector).toMap
+    assert(re == rows)
+  }
+
   // -------------------------------------------------- contrastive pairs --
 
   test("contrastive pairs: disjoint 32-token spans, short docs skipped") {
