@@ -131,6 +131,35 @@ object Decontaminate {
     * membership join for [[bloom]]'s sketch — identical scoring, ±FPP.
     * Docs with no tokens produce no gram rows and drop out, as in the
     * dedup family. */
+  /** The map-only scale path for [[noveltyScore]]: reference grams fold
+    * into a Bloom sketch (one pass, ~1.2 B/gram at fpp 0.001), and
+    * scoring becomes a single corpus pass probing the broadcast sketch
+    * per gram — no membership JOIN at all, the [[bloom]] shape applied
+    * to counting instead of filtering. `n_known_est` can only OVERCOUNT
+    * (Bloom filters have no false negatives), so `novelty_bp_est` is a
+    * certified LOWER bound on true novelty — the safe direction for a
+    * keep-the-novel selection policy; the overshoot is fpp-bounded and
+    * the q_x_novelty_bloom_anchor pins both properties against the
+    * exact operator. */
+  def noveltyScoreBloom(docs: DataFrame, idCol: String, textCol: String,
+                        isRef: Column, n: Int = 3,
+                        expectedGrams: Long = 1000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    require(expectedGrams > 0 && fpp > 0 && fpp < 1, "bad bloom parameters")
+    val bf = docs.filter(isRef)
+      .select(explode(gramCol(textCol, n)).as("__g"))
+      .stat.bloomFilter("__g", expectedGrams, fpp)
+    docs.filter(!isRef)
+      .withColumn("__sh", gramCol(textCol, n))
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_grams"),
+        size(filter(col("__sh"), g => bloom_contains(g, bf)))
+          .cast("long").as("n_known_est"))
+      .filter(col("n_grams") > 0)
+      .withColumn("novelty_bp_est",
+        floor(lit(10000.0) * (col("n_grams") - col("n_known_est"))
+          .cast("double") / col("n_grams").cast("double")).cast("long"))
+  }
+
   def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
                    isRef: Column, n: Int = 3): DataFrame = {
     val grams = docs.select(col(idCol), isRef.as("__is_ref"),

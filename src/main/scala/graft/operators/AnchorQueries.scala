@@ -869,7 +869,44 @@ object AnchorQueries {
     noRows("doc_id" -> "BIGINT", "seg_idx" -> "BIGINT",
       "start_ms" -> "BIGINT", "end_ms" -> "BIGINT"))
 
+  /** Bloom novelty vs exact novelty: (a) PER DOC, the sketch estimate
+    * never undercounts known grams (Bloom filters have no false
+    * negatives — a deterministic property, so this leg can never flake);
+    * (b) CORPUS-WIDE, total overcount stays within 2·fpp·total_grams +
+    * 1000 — expectation 1·fpp·total with √-concentration, so the bound
+    * holds with enormous margin while still catching a mis-sized filter
+    * (an undersized sketch's effective fpp blows the budget 10×). */
+  val noveltyBloomAnchor = anchor(
+    "q_x_novelty_bloom_anchor",
+    "Bloom novelty: no undercount per doc; fpp-bounded total overcount",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isRef = col("source") === "src0"
+      val exact = Decontaminate.noveltyScore(docs, "doc_id", "text", isRef)
+        .select(col("doc_id"), col("n_grams"), col("n_known"))
+      val est = Decontaminate.noveltyScoreBloom(
+          docs, "doc_id", "text", isRef, fpp = 0.01)
+        .select(col("doc_id"), col("n_known_est"))
+      val j = exact.join(est, "doc_id")
+      val under = j.filter(col("n_known_est") < col("n_known"))
+        .select(lit("undercount").as("reason"), col("doc_id"),
+          col("n_known_est").as("got"), col("n_known").as("bound"))
+      val total = j.agg(
+          sum(col("n_known_est") - col("n_known")).as("over"),
+          sum(col("n_grams")).as("tot"))
+        .filter(col("over").cast("double") >
+          lit(2 * 0.01) * col("tot").cast("double") + 1000.0)
+        .select(lit("overcount_budget").as("reason"),
+          lit(-1L).as("doc_id"), col("over").as("got"),
+          (lit(2 * 0.01) * col("tot").cast("double") + 1000.0)
+            .cast("long").as("bound"))
+      under.unionByName(total)
+    },
+    noRows("reason" -> "VARCHAR", "doc_id" -> "BIGINT",
+      "got" -> "BIGINT", "bound" -> "BIGINT"))
+
   val all: Seq[Q] = Seq(
+    noveltyBloomAnchor,
     percentileApproxAnchor, annLshAnchor, annIvfAnchor, annPqAnchor,
     embNearDupAnchor,
     vocabCmAnchor, winnowAnchor, sourceSignatureAnchor,

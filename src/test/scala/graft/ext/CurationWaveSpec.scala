@@ -135,6 +135,25 @@ class CurationWaveSpec extends AnyFunSuite {
     assert(!got.contains(1L), "reference docs must not be scored")
   }
 
+  test("novelty bloom path: never undercounts, exact on planted fixture") {
+    val docs = Seq(
+      (1L, "a b c d e", true),
+      (2L, "a b c d e", false),    // all known
+      (3L, "x y z w", false))      // none known
+      .toDF("doc_id", "text", "is_ref")
+    val est = Decontaminate.noveltyScoreBloom(docs, "doc_id", "text",
+        col("is_ref"), expectedGrams = 1000L, fpp = 0.001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = Decontaminate.noveltyScore(docs, "doc_id", "text",
+        col("is_ref"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // no false negatives: est >= exact per doc; at this fpp, equal
+    est.foreach { case (id, (_, kEst, _)) => assert(kEst >= exact(id)) }
+    assert(est(2L)._2 == 3L && est(2L)._3 == 0L)
+    assert(est(3L)._2 == 0L && est(3L)._3 == 10000L)
+  }
+
   // ------------------------------------------------------ hash embedding --
 
   test("hash embedding: signed counts are additive and layout-invariant") {
