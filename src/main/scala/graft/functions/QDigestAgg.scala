@@ -41,10 +41,23 @@ import org.apache.spark.sql.expressions.Aggregator
   * against the invariant, not golden values, exactly like
   * [[SpaceSavingAgg]] (see QuantileSketchAnchor + QDigestSpec).
   *
-  * Reduce appends a leaf increment and only re-canonicalizes when the
-  * scratch tail exceeds the compressed size bound, so the amortized
-  * per-row cost is O(1) appends plus an O(size·log size) sort every ~6k
-  * rows — no per-row tree walk.
+  * BUFFER layout (internal — [[finish]] strips it): slot 0 holds the
+  * logical payload length; (id, count) pairs follow at indices 1..len.
+  * Spark's typed-Aggregator path (`ScalaAggregator`, a
+  * `TypedImperativeAggregate` under `ObjectHashAggregateExec`) keeps the
+  * buffer as a live object between rows, so [[reduce]] appends IN PLACE
+  * into capacity slack and only reallocates when capacity is exhausted
+  * (doubling) — amortized O(1) per row, with an O(size·log size)
+  * canonicalize every ~4k rows once the scratch tail exceeds the
+  * compressed size bound. (The round-10 version returned
+  * `Arrays.copyOf(b, b.length + 2)` on EVERY row — an O(buffer) copy that
+  * near the canonicalize threshold memcpy'd ~160 KB per input row and made
+  * the digest pass ~10× its intrinsic cost; see PERF_NOTES round-11.)
+  * A buffer serialized mid-scratch (partial-aggregation output) carries
+  * its slack, but the header bounds what merge reads, so it stays
+  * well-formed. The FINISHED digest is a plain compact (id, count) array
+  * with no header — the format [[quantile]]/[[total]]/[[entries]] and all
+  * persisted per-group digests use, unchanged.
   */
 final class QDigestAgg(val bits: Int = 20, val k: Int = 2048)
     extends Aggregator[Long, Array[Long], Array[Long]] {
@@ -52,29 +65,39 @@ final class QDigestAgg(val bits: Int = 20, val k: Int = 2048)
   require(k > 0, "compression factor k must be positive")
 
   private val leafBase = 1L << bits
+  // Scratch bound (payload longs): canonicalize once the tail outgrows the
+  // compressed size by this much; capacity never exceeds ~2x this bound.
+  private val scratchCap = 2 * (3 * k + 4096)
 
-  override def zero: Array[Long] = Array.empty
+  override def zero: Array[Long] = Array(0L)
 
   override def reduce(b: Array[Long], value: Long): Array[Long] = {
     require(value >= 0 && value < leafBase,
       s"value $value outside quantized universe [0, $leafBase)")
-    val out = java.util.Arrays.copyOf(b, b.length + 2)
-    out(b.length) = leafBase + value
-    out(b.length + 1) = 1L
-    if (out.length > 2 * (3 * k + 4096)) QDigestAgg.canonicalize(out, bits, k)
-    else out
+    val used = b(0).toInt
+    val buf =
+      if (1 + used + 2 > b.length)
+        java.util.Arrays.copyOf(b, math.max(2 * b.length, 1 + used + 2))
+      else b
+    buf(1 + used) = leafBase + value
+    buf(2 + used) = 1L
+    buf(0) = used + 2
+    if (used + 2 > scratchCap) QDigestAgg.rewrap(buf, bits, k) else buf
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    if (a.isEmpty) return b
-    if (b.isEmpty) return a
-    val out = java.util.Arrays.copyOf(a, a.length + b.length)
-    System.arraycopy(b, 0, out, a.length, b.length)
-    QDigestAgg.canonicalize(out, bits, k)
+    if (a(0) == 0L) return b
+    if (b(0) == 0L) return a
+    val la = a(0).toInt; val lb = b(0).toInt
+    val cat = new Array[Long](la + lb)
+    System.arraycopy(a, 1, cat, 0, la)
+    System.arraycopy(b, 1, cat, la, lb)
+    QDigestAgg.withHeader(QDigestAgg.canonicalize(cat, bits, k))
   }
 
   override def finish(r: Array[Long]): Array[Long] =
-    QDigestAgg.canonicalize(r, bits, k)
+    QDigestAgg.canonicalize(
+      java.util.Arrays.copyOfRange(r, 1, 1 + r(0).toInt), bits, k)
 
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
@@ -83,6 +106,20 @@ final class QDigestAgg(val bits: Int = 20, val k: Int = 2048)
 }
 
 object QDigestAgg {
+
+  /** Canonicalize a headered scratch buffer, returning a fresh compact
+    * headered buffer (subsequent appends re-grow by doubling). */
+  private def rewrap(buf: Array[Long], bits: Int, k: Int): Array[Long] =
+    withHeader(canonicalize(
+      java.util.Arrays.copyOfRange(buf, 1, 1 + buf(0).toInt), bits, k))
+
+  /** Prefix a compact pairs array with the length-header slot. */
+  private def withHeader(pairs: Array[Long]): Array[Long] = {
+    val out = new Array[Long](1 + pairs.length)
+    out(0) = pairs.length
+    System.arraycopy(pairs, 0, out, 1, pairs.length)
+    out
+  }
 
   /** Sort by nodeId, sum duplicate ids, then run the q-digest compression
     * bottom-up: merge any sibling pair (plus parent) carrying ≤ ⌊n/k⌋

@@ -43,10 +43,13 @@ class QDigestSpec extends AnyFunSuite {
   }
 
   test("merge is order-insensitive for the GUARANTEE (8 shuffled partials)") {
+    // Partials stay in BUFFER form (as in Spark's partial->final flow:
+    // zero -> reduce* -> serialize -> merge* -> finish); only the final
+    // result is finished.
     val agg = new QDigestAgg(bits, k)
     val parts = data.grouped(700).toSeq
-      .map(p => agg.finish(p.foldLeft(agg.zero)(agg.reduce)))
-    Seq(parts, parts.reverse, parts.sortBy(QDigestAgg.entries)).foreach {
+      .map(p => p.foldLeft(agg.zero)(agg.reduce))
+    Seq(parts, parts.reverse, parts.sortBy(_.length)).foreach {
       order =>
         val merged = agg.finish(order.reduce(agg.merge))
         assert(QDigestAgg.entries(merged) <= 3 * k)
@@ -73,10 +76,36 @@ class QDigestSpec extends AnyFunSuite {
 
   test("duplicate node ids from concatenated partials sum, not clobber") {
     val agg = new QDigestAgg(bits, k)
-    val a = agg.finish(Seq.fill(10)(7L).foldLeft(agg.zero)(agg.reduce))
-    val b = agg.finish(Seq.fill(5)(7L).foldLeft(agg.zero)(agg.reduce))
+    val a = Seq.fill(10)(7L).foldLeft(agg.zero)(agg.reduce)
+    val b = Seq.fill(5)(7L).foldLeft(agg.zero)(agg.reduce)
     val m = agg.finish(agg.merge(a, b))
     assert(QDigestAgg.total(m) == 15L)
     assert(QDigestAgg.quantile(m, bits, 0.5) == 7L)
+  }
+
+  test("reduce appends in place: amortized O(1), not O(buffer) per row") {
+    // 200k rows through one buffer. With the round-10 per-row
+    // Arrays.copyOf this test alone memcpy'd ~O(n * scratch) long slots;
+    // with capacity slack it is a handful of doublings + periodic
+    // canonicalize. Guard: the identical-array fast path must dominate —
+    // reduce returns the SAME array object on all but O(log n + n/scratch)
+    // calls.
+    val agg = new QDigestAgg(bits, k)
+    var buf = agg.zero
+    var reallocs = 0
+    var i = 0
+    while (i < 200000) {
+      val next = agg.reduce(buf, (i % 1024).toLong)
+      if (!(next eq buf)) reallocs += 1
+      buf = next
+      i += 1
+    }
+    // scratch bound = 2*(3k+4096) payload longs -> a canonicalize roughly
+    // every ~scratch/2 rows plus ~log2(scratch) doublings; anything near
+    // 200k reallocs means the per-row copy came back.
+    assert(reallocs < 2000, s"reallocs=$reallocs — per-row copy regressed?")
+    val d = agg.finish(buf)
+    assert(QDigestAgg.total(d) == 200000L)
+    checkQuantiles(d, (0 until 200000).map(i => (i % 1024).toLong))
   }
 }
