@@ -40,31 +40,21 @@ object Privacy {
         .select(quasiCols.map(col): _*)),
       quasiCols, "left_anti")
 
-  /** ε-differentially-private count release (Dwork et al. 2006, the
-    * Laplace mechanism): per group, `count + Laplace(1/ε)` — sensitivity
-    * of a count is 1, so the noise scale 1/ε gives ε-DP. Released as
-    * exact MILLI-counts (floor((n + noise)·1000) as BIGINT) so the figure
-    * is hash-stable cross-engine.
-    *
-    * The noise here is DETERMINISTIC — the uniform is the repo's portable
-    * 48-bit md5 prefix of the group key, pushed through the Laplace
-    * inverse CDF (−(1/ε)·sign(u−½)·ln(1−2|u−½|)) — which is what makes
-    * the release REPRODUCIBLE and the gate row oracle-checkable: both
-    * engines derive the identical double from the identical key. A real
-    * deployment keeps the mechanism but derives u from a keyed PRF
-    * (HMAC with a secret release key) instead of the public md5, so
-    * observers can't invert the noise; the md5 stand-in is the
-    * testable skeleton of exactly that pipeline. One release per
-    * (key, release-id) — reusing a key's noise across releases would
-    * compose the budgets.
-    *
-    * Scale shape: one hash aggregate (the count) + map-only noise
-    * arithmetic on the |groups|-sized result. Nothing else moves. */
-  def dpCountRelease(df: DataFrame, groupCol: String,
-                     epsilon: Double): DataFrame = {
+  /** Laplace inverse CDF noise from a 48-bit-hex-prefix uniform, then the
+    * milli-count release shape shared by [[dpCountRelease]] and
+    * [[deterministicLaplaceRelease]]: per group, `count + Laplace(1/ε)` —
+    * sensitivity of a count is 1, so noise scale 1/ε is the Dwork et al.
+    * 2006 Laplace mechanism. Released as exact MILLI-counts
+    * (floor((n + noise)·1000) as BIGINT) so the figure is hash-stable
+    * cross-engine. One hash aggregate (the count) + map-only noise
+    * arithmetic on the |groups|-sized result — nothing else moves. */
+  private def laplaceMilliRelease(df: DataFrame, groupCol: String,
+                                  epsilon: Double,
+                                  hexDigest: org.apache.spark.sql.Column)
+      : DataFrame = {
     require(epsilon > 0, s"epsilon $epsilon must be positive")
-    val u = (conv(substring(md5(col(groupCol).cast("string")), 1, 12),
-      16, 10).cast("double") + lit(0.5)) / lit(Math.pow(2.0, 48))
+    val u = (conv(substring(hexDigest, 1, 12), 16, 10).cast("double") +
+      lit(0.5)) / lit(Math.pow(2.0, 48))
     val z = u - lit(0.5)
     val noise = lit(-1.0 / epsilon) *
       when(z >= 0, lit(1.0)).otherwise(lit(-1.0)) *
@@ -75,4 +65,44 @@ object Privacy {
         floor((col("n").cast("double") + noise) * 1000)
           .cast("long").as("released_milli"))
   }
+
+  /** ε-differentially-private count release — the PRODUCTION path: the
+    * Laplace-mechanism uniform derives from a keyed PRF,
+    * `sha256(secret ∥ NUL ∥ group-key)`, so an observer WITHOUT the
+    * release secret cannot recompute the noise and invert the release
+    * (with the secret the release stays reproducible — same
+    * (secret, key) → same uniform → same milli floor, which is what lets
+    * a release be re-derived for audit without storing it). The secret
+    * must be generated fresh per release id and kept out of the released
+    * artifact: reusing one secret across releases of the same counts
+    * re-publishes the same noise and composes the ε budgets; publishing
+    * it reduces this to [[deterministicLaplaceRelease]].
+    *
+    * (A NUL separator makes (secret, key) → bytes injective for
+    * NUL-free secrets; sha256-of-concatenation is PRF-shaped here
+    * because the input layout is fixed — swap in real HMAC-SHA256 if
+    * release secrets ever become attacker-influenced.) */
+  def dpCountRelease(df: DataFrame, groupCol: String, epsilon: Double,
+                     secret: String): DataFrame = {
+    require(secret.nonEmpty,
+      "dpCountRelease requires a non-empty release secret; for the " +
+        "test-only public-hash variant use deterministicLaplaceRelease")
+    laplaceMilliRelease(df, groupCol, epsilon,
+      sha2(concat(lit(secret), lit("\u0000"),
+        col(groupCol).cast("string")), 256))
+  }
+
+  /** TEST-ONLY Laplace-shaped release — NOT differentially private: the
+    * uniform is the PUBLIC md5 of the group key, so anyone can recompute
+    * the noise per key and recover the exact count. It exists because
+    * that same public determinism is what makes the gate row
+    * (`q_x_dp_release`) oracle-checkable cross-engine — both engines
+    * derive the identical double from the identical key — i.e. this is
+    * the testable skeleton of [[dpCountRelease]] (identical mechanism,
+    * public digest instead of the keyed PRF). Never wire THIS variant
+    * into a real release pipeline. */
+  def deterministicLaplaceRelease(df: DataFrame, groupCol: String,
+                                  epsilon: Double): DataFrame =
+    laplaceMilliRelease(df, groupCol, epsilon,
+      md5(col(groupCol).cast("string")))
 }

@@ -120,16 +120,21 @@ object CurationQueries {
            |   min(source) AS first_file, max(source) AS last_file
            | FROM a GROUP BY bin""".stripMargin.replace("\n", "")))
 
-  /** ε-DP per-source count release ([[graft.ext.Privacy.dpCountRelease]],
-    * ε = 1): the Laplace mechanism with the repo's portable md5-uniform
-    * standing in for the keyed PRF a production release would use — which
-    * is exactly what makes the released figures deterministic enough for
-    * a cross-engine hash check (same key → same uniform → same inverse-CDF
-    * double → same milli floor on both engines). */
+  /** Laplace per-source count release
+    * ([[graft.ext.Privacy.deterministicLaplaceRelease]], ε = 1): the
+    * Laplace mechanism with the repo's portable PUBLIC md5-uniform — the
+    * test-only skeleton of the keyed-PRF production path
+    * ([[graft.ext.Privacy.dpCountRelease]], which mixes a required
+    * release secret into the digest). The public digest is exactly what
+    * makes the released figures deterministic enough for a cross-engine
+    * hash check (same key → same uniform → same inverse-CDF double →
+    * same milli floor on both engines); the keyed variant is
+    * spec-verified instead (PrivacySpec — identical mechanism, noise not
+    * recomputable without the secret). */
   val dpRelease = Q(
     "q_x_dp_release",
-    "Laplace eps=1 DP count release per source (deterministic md5 uniform)",
-    (s, dir) => graft.ext.Privacy.dpCountRelease(
+    "Laplace eps=1 count release per source (deterministic md5 uniform; keyed-PRF DP variant is spec-checked)",
+    (s, dir) => graft.ext.Privacy.deterministicLaplaceRelease(
         t(s, dir, "documents"), "source", epsilon = 1.0)
       .select(col("source"), col("released_milli")),
     Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
