@@ -1206,6 +1206,40 @@ object ExtensionQueries {
     },
     None)
 
+  /** Count-min in its NO-COLLISION regime — the oracle-checkable
+    * companion to `q_x_vocab_cm_sketch`: the sketch aggregates the 20
+    * source keys (fixed strings at every SF) into a 4×2048 table. When no
+    * two keys share a cell in ANY row — a deterministic property of the
+    * 20 xxhash64 values, which this row's hash-green IS the proof of —
+    * every row's counter holds exactly one key's count, so
+    * est = min over rows = exact count, and the whole frame hash-equals a
+    * plain GROUP BY. The colliding full-vocabulary regime (where est is a
+    * function of every token's 64-bit hash — not re-derivable by an
+    * engine without xxhash64) keeps its never-undercount/ε-bound
+    * guarantees in q_x_vocab_cm_anchor + CountMinSpec. */
+  val cmSketchExact = Q(
+    "q_x_cm_sketch_exact",
+    "Count-min estimates = exact counts in the no-collision source-key regime",
+    (s, dir) => {
+      import graft.functions.{CountMinAgg, TextExprs}
+      val depth = 4; val width = 2048
+      val srcs = Sources.table(s, dir, "documents")
+        .select(col("source"), xxhash64(col("source")).as("h"))
+      val cm = org.apache.spark.sql.functions.udaf(
+        new CountMinAgg(depth, width),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val sketch = srcs.select(cm(col("h")).as("sk"))
+        .head().getAs[scala.collection.Seq[Long]]("sk").toArray
+      srcs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("source"), col("n"),
+          TextExprs.countmin_estimate(xxhash64(col("source")), sketch,
+            depth, width).as("est_n"))
+    },
+    Some("""SELECT source, count(*) AS n, count(*) AS est_n
+           | FROM documents GROUP BY source"""
+      .stripMargin.replace("\n", "")))
+
   /** Per-source corpus report — the "corpus dashboard" aggregate every
     * curation run logs: doc counts, token/char totals, language spread per
     * source. Exact integer sums (order-independent) keep it oracle-able. */
@@ -1774,37 +1808,39 @@ object ExtensionQueries {
 
   /** SpaceSaving heavy hitters ([[graft.functions.SpaceSavingAgg]]) — the
     * "WHICH items are frequent?" companion to the count-min row: ONE
-    * capacity-16 summary (48 longs) aggregates map-side over the token
-    * stream, returns to the driver (bounded, like the count-min sketch
-    * and IVF centroids), and the tracked hashes join back to tokens via
-    * the vocab frame. Estimates and err bounds are merge-order-dependent
-    * by construction → rows-only (row count = capacity is stable); the
-    * est ≥ true / est − err ≤ true / no-missed-heavy guarantees are
-    * driver-checked by q_x_heavy_hitters_anchor and spec-pinned
-    * (SpaceSavingSpec). */
+    * capacity-16 summary (48 longs) aggregates map-side, returns to the
+    * driver (bounded, like the count-min sketch and IVF centroids), and
+    * the tracked hashes join back to values via a broadcast dim. This row
+    * pins the UNDER-capacity regime — 5 distinct langs against capacity
+    * 16, where SpaceSaving is EXACT by construction (est = true count,
+    * err 0, merge-order-independent), so the decoded summary hash-equals
+    * DuckDB's plain GROUP BY — the same regime argument as
+    * `q_s_stream_heavy`, applied to the batch aggregate. The
+    * OVER-capacity token-stream regime (where est/err are merge-order-
+    * dependent) keeps its guarantees driver-checked by
+    * q_x_heavy_hitters_anchor and spec-pinned (SpaceSavingSpec). */
   val heavyHitters = Q(
     "q_x_heavy_hitters",
-    "SpaceSaving heavy hitters: tracked tokens, est/err vs exact counts",
+    "SpaceSaving summary under capacity = exact per-lang counts (est=n, err=0)",
     (s, dir) => {
       import graft.functions.SpaceSavingAgg
       val cap = 16
-      val toks = Sources.table(s, dir, "documents")
-        .select(explode(split(col("text"), " ", -1)).as("token"))
-        .filter(col("token") =!= "")
-        .select(col("token"), xxhash64(col("token")).as("h"))
+      val langs = Sources.table(s, dir, "documents")
+        .select(col("lang"), xxhash64(col("lang")).as("h"))
       val ss = org.apache.spark.sql.functions.udaf(
         new SpaceSavingAgg(cap), org.apache.spark.sql.Encoders.scalaLong)
-      val sketch = toks.select(ss(col("h")).as("sk"))
+      val sketch = langs.select(ss(col("h")).as("sk"))
         .head().getAs[scala.collection.Seq[Long]]("sk").toArray
       import s.implicits._
       val tracked = SpaceSavingAgg.entries(sketch)
         .toDF("h", "est_n", "err_n")
-      toks.groupBy(col("token"), col("h")).agg(count(lit(1)).as("n"))
+      langs.groupBy(col("lang"), col("h")).agg(count(lit(1)).as("n"))
         .join(broadcast(tracked), "h")
-        .select(col("token"), col("n"), col("est_n"), col("err_n"))
-        .orderBy(col("est_n").desc, col("token"))
+        .select(col("lang"), col("n"), col("est_n"), col("err_n"))
     },
-    None)
+    Some("""SELECT lang, count(*) AS n, count(*) AS est_n,
+           | CAST(0 AS BIGINT) AS err_n FROM documents GROUP BY lang"""
+      .stripMargin.replace("\n", "")))
 
   /** Corpus profiling report ([[graft.ext.Profile.profile]]): the
     * Deequ-style per-column scorecard (completeness, distinctness,
@@ -1891,6 +1927,7 @@ object ExtensionQueries {
     textTokens, lengthBuckets, textQuality, textLangId, textFingerprint, textWinnow,
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
+    cmSketchExact,
     corpusReport, sourceDivergenceQ, bigramLmQ, jsonProps,
     multimodal, imagePhash, tfidfTop1, bm25Top1,
     tfidfCappedTop1, bm25CappedTop1, dupSpans, segDedup, labelStatsQ,

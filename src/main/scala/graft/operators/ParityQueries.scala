@@ -767,6 +767,38 @@ object ParityQueries {
         col("pmax")),
     None)
 
+  /** The approx-percentile EXACT-TIE regime — the oracle-checkable
+    * companion to `q_a7b_percentile_approx`: quantiles of `l_linenumber`,
+    * a 7-value column whose tie-runs each span ~8-25% of every group. The
+    * GK sketch guarantees rank error ≤ n/1000; a requested rank whose
+    * tie-run extends further than that on both sides FORCES the estimate
+    * to the run's value, which is also what any discrete-quantile
+    * convention (DuckDB `quantile_disc`, any rank rounding) returns — so
+    * the sketch output is deterministic and hash-checkable cross-engine
+    * even though the sketch itself compresses (group n ≫ accuracy). The
+    * un-tied price quantiles of a7b stay rows-only with the envelope
+    * anchor (`q_a7b_percentile_anchor`). */
+  val percentilesApproxTies = Q(
+    "q_a7c_percentile_approx_ties",
+    "Approx percentiles on a heavily-tied column = exact quantile_disc",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_linenumber, array(0.25, 0.5, 0.75), 1000)")
+          .as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).cast("long").as("p25"),
+        col("ps").getItem(1).cast("long").as("p50"),
+        col("ps").getItem(2).cast("long").as("p75"),
+        col("n")),
+    Some("""SELECT l_returnflag,
+           | CAST(quantile_disc(l_linenumber, 0.25) AS BIGINT) AS p25,
+           | CAST(quantile_disc(l_linenumber, 0.50) AS BIGINT) AS p50,
+           | CAST(quantile_disc(l_linenumber, 0.75) AS BIGINT) AS p75,
+           | count(*) AS n FROM lineitem GROUP BY l_returnflag"""
+      .stripMargin.replace("\n", "")))
+
   /** CUBE — all 2^k grouping combinations (GROUPING SETS' bigger sibling;
     * same single-pass expand+aggregate plan in Spark). */
   val cubeAgg = Q(
@@ -910,7 +942,8 @@ object ParityQueries {
     joinLeft, joinTwoKey, joinAnti, joinSemi, starJoin,
     aggCount, aggGroup, groupingSets, countDistinct, approxDistinct,
     approxDistinctAnchor, distinctDim,
-    percentiles, percentilesApprox, pivotCounts, cubeAgg, setOps, funnel,
+    percentiles, percentilesApprox, percentilesApproxTies, pivotCounts,
+    cubeAgg, setOps, funnel,
     histogram,
     timeDims, epochRoundtrip, caseFiscal,
     cteTopK, windowRank, windowLagLead, windowNtile, sessionize,
