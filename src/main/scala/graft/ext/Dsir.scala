@@ -51,10 +51,12 @@ object Dsir {
     * way — callers wanting them keep a left join on ids).
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
-                        isTarget: Column, nBuckets: Int = 256): DataFrame = {
-    require(nBuckets == 256,
-      "bucket() hashes to the md5 leading byte; other widths need a mod " +
-        "both engines apply identically — extend bucket() before widening")
+                        isTarget: Column): DataFrame = {
+    // Bucket width is FIXED at 256: bucket() hashes to the md5 leading
+    // byte. A width parameter existed in round 10 but rejected every value
+    // except 256 at runtime — misleading API surface; other widths need a
+    // mod both engines apply identically (extend bucket() before widening).
+    val nBuckets = 256
     val toks = docs.select(col(idCol), isTarget.as("is_t"), col(textCol))
       .select(col(idCol), col("is_t"),
         explode(filter(split(col(textCol), " ", -1), t => t =!= lit("")))

@@ -202,12 +202,29 @@ object Similarity {
     * on runtime DPP firing. Per query the index contributes only the
     * probed cells' files; the join inside is the same broadcast
     * cell-join as the in-memory path, so results are identical
-    * (spec-pinned). Centroids and nProbe must match the build. */
+    * (spec-pinned). Centroids and nProbe must match the build.
+    *
+    * The bound is ENFORCED, not hoped for: the probe frame also feeds a
+    * `broadcast()` and a driver-side cell collect, so a caller handing in
+    * an unbounded frame must hear "no" before either blows up —
+    * `maxProbes` caps the number of probe VECTORS (checked with a bounded
+    * `limit(max+1).count`, never a full count of an unbounded input).
+    * Batch-score a corpus against the index with the bucketed join paths
+    * ([[ivfTopK]] / [[Dedup.dedupAgainstBandIndex]]'s shape) instead. */
   def ivfTopKFromIndex(path: String, probes: DataFrame, k: Int,
                        centroids: Array[Array[Float]], nProbe: Int = 4,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       maxProbes: Int = 4096): DataFrame = {
+    require(maxProbes > 0, s"maxProbes $maxProbes must be positive")
     val spark = probes.sparkSession
+    val probeCount = probes.limit(maxProbes + 1).count()
+    require(probeCount <= maxProbes,
+      s"probe frame exceeds maxProbes=$maxProbes — ivfTopKFromIndex " +
+        "broadcasts the probes and collects their cells to the driver, " +
+        "so it serves BOUNDED query batches; for corpus-vs-corpus " +
+        "scoring use the distributed cell-join paths (ivfTopK), or " +
+        "raise maxProbes deliberately")
     val p = probes
       .select(col(idCol).as("vec_id"), col(vecCol).as("pvec"),
         explode(nearest_cells(col(vecCol), centroids, nProbe)).as("cell"))
@@ -448,11 +465,19 @@ object Similarity {
   def semDedupPrune(emb: DataFrame, idCol: String, vecCol: String,
                     cellCol: String, tau: Double = 0.9,
                     maxCell: Int = 2048): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        col(cellCol).cast("long").as("cell"))
-      .withColumn("csz", count(lit(1)).over(
-        Window.partitionBy(col("cell"))))
-      .filter(col("csz") <= maxCell).drop("csz")
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(cellCol).cast("long").as("cell"))
+    // Oversized-cell drop via aggregate + anti-join (the kAnonymize
+    // idiom), NOT count(*) over (partition by cell): the window form
+    // ships the whole corpus through a shuffle+SORT just to learn cell
+    // sizes, while the aggregate collapses map-side to |cells| rows and
+    // the violating-cell list is small by construction (it is the
+    // exceptional cells), so Spark broadcasts the anti-join probe.
+    val oversized = base.groupBy(col("cell"))
+      .agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > maxCell)
+      .select(col("cell"))
+    val v = base.join(broadcast(oversized), Seq("cell"), "left_anti")
     val a = v.select(col("cell"), col("id").as("a"), col("v").as("va"))
     val b = v.select(col("cell"), col("id").as("b"), col("v").as("vb"))
     val pruned = a.join(b, Seq("cell"))

@@ -97,6 +97,18 @@ class CurationWaveSpec extends AnyFunSuite {
     assert(out.toMap == Map(100L -> 1L, 101L -> 1L))
   }
 
+  test("semDedupPrune: cell-size cap uses an aggregate, not a window sort") {
+    // The maxCell filter must come from groupBy(cell).count + anti-join
+    // (map-side-collapsed) — count(*) over (partition by cell) would ship
+    // the whole corpus through a shuffle+sort just to learn cell sizes.
+    val emb = (1 to 20).map(i => (i.toLong, vec(1f, 0f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val plan = Similarity.semDedupPrune(emb, "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"expected no window operator in semDedupPrune's plan:\n$plan")
+  }
+
   // --------------------------------------------------------- compaction --
 
   test("compaction plan: cumsum first-fit bins; big file overfills but never splits") {

@@ -52,6 +52,21 @@ class IvfIndexSpec extends AnyFunSuite {
       "nProbe=1 scan lost its partition filter")
   }
 
+  test("unbounded probe frames are rejected before any driver collect") {
+    // ivfTopKFromIndex broadcasts the probes and collects their cells —
+    // an unbounded probe frame must fail loudly at the gate, not scale
+    // the driver collect silently.
+    val ex = intercept[IllegalArgumentException](
+      Similarity.ivfTopKFromIndex(indexDir, emb, 3, centroids,
+        maxProbes = 10))
+    assert(ex.getMessage.contains("maxProbes"))
+    // at exactly the bound it serves
+    val atBound = Similarity.ivfTopKFromIndex(indexDir,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 3,
+      centroids, maxProbes = 10)
+    assert(atBound.collect().nonEmpty)
+  }
+
   test("append maintains the index: new batch's vectors become servable") {
     val dir = Files.createTempDirectory("graft-ivf-append").toString
     val old = emb.filter(
