@@ -86,6 +86,36 @@ object Cdc {
       }
   }
 
+  final case class KeyedChunk(doc_id: Long, grp: String, chunk_idx: Int,
+                              offset: Long, len: Int, chunk_hash: Long)
+
+  /** [[chunkTable]] with a group column carried THROUGH the map-only
+    * chunking — for accounting grouped by an attribute of the source row
+    * (lang, source, mime type). Carrying the key beats chunking then
+    * joining the attribute back on doc_id: the join form ships every
+    * full chunk row through a doc_id exchange (and flips from broadcast
+    * to shuffle join once the doc side outgrows the budget — the 100×
+    * census caught `q_x_cdc_dedup` at 127× shuffle for 100× data on
+    * exactly that), while this form's only exchange remains the 16-byte
+    * (grp, hash, len) partial-aggregate output. */
+  def chunkTableKeyed(df: DataFrame, idCol: String, bytesCol: String,
+                      keyCol: String, minSize: Int = 64, avgBits: Int = 8,
+                      maxSize: Int = 1024): Dataset[KeyedChunk] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol),
+        col(keyCol).cast("string"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes, key) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          chunkBytes(b, minSize, avgBits, maxSize).iterator.zipWithIndex
+            .map { case ((off, len, h), idx) =>
+              KeyedChunk(id, key, idx, off, len, h) }
+        }
+      }
+  }
+
   /** Storage-dedup accounting over a chunk table: logical vs unique bytes
     * and the dedup ratio, grouped by `groupCol` (pass a literal for a
     * global row). Chunks are identified by (hash, len) — a 64-bit hash

@@ -1903,13 +1903,13 @@ object ExtensionQueries {
       // the accounting blind to shared byte ranges. Real blob corpora use
       // the defaults. Grouped by lang (not source): the corpus's
       // duplicated ranges CROSS sources, and lang keeps them together
-      // (measured dedup_ratio up to 1.02 per lang at sf0.01).
-      val chunks = Cdc.chunkTable(docs, "doc_id", "bytes",
+      // (measured dedup_ratio up to 1.02 per lang at sf0.01). lang rides
+      // THROUGH the map-only chunking (chunkTableKeyed) — the former
+      // chunk-then-join-lang-on-doc_id form shipped every chunk row
+      // through a doc_id exchange, the 100× census's one flag.
+      val chunks = Cdc.chunkTableKeyed(docs, "doc_id", "bytes", "lang",
         minSize = 16, avgBits = 6, maxSize = 256)
-      Cdc.dedupStats(
-        chunks.toDF().join(docs.select(col("doc_id"), col("lang")),
-          "doc_id"),
-        col("lang"), "lang")
+      Cdc.dedupStats(chunks.toDF(), col("grp"), "lang")
     },
     None)
 

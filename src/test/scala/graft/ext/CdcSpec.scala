@@ -90,4 +90,29 @@ class CdcSpec extends AnyFunSuite {
     val cs = cut(tiny)
     assert(cs == Seq((0L, 10, TextHashing.hashBytes(tiny, 0, 10))))
   }
+
+  test("chunkTableKeyed = chunkTable + key join, without the join") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 8).map(i =>
+        (i.toLong, bytes(400 + 97 * i, i.toLong), s"g${i % 3}"))
+      .toDF("doc_id", "bytes", "grp")
+    val keyed = Cdc.chunkTableKeyed(df, "doc_id", "bytes", "grp",
+        minSize = 16, avgBits = 6, maxSize = 256).toDF()
+      .select("doc_id", "grp", "chunk_idx", "offset", "len", "chunk_hash")
+      .collect().map(_.toSeq).toSet
+    val joined = Cdc.chunkTable(df, "doc_id", "bytes",
+        minSize = 16, avgBits = 6, maxSize = 256).toDF()
+      .join(df.select(col("doc_id"), col("grp")), "doc_id")
+      .select("doc_id", "grp", "chunk_idx", "offset", "len", "chunk_hash")
+      .collect().map(_.toSeq).toSet
+    assert(keyed == joined)
+    // and the keyed plan has no join operator at all
+    val plan = Cdc.chunkTableKeyed(df, "doc_id", "bytes", "grp",
+      minSize = 16, avgBits = 6, maxSize = 256)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"keyed chunk table should be map-only:\n$plan")
+  }
 }
