@@ -632,6 +632,76 @@ object ExtensionQueries {
       .stripMargin.replace("\n", "")),
     headline = true)
 
+  /** Hybrid retrieval fused with reciprocal-rank fusion
+    * ([[graft.ext.Fusion.reciprocalRankFusion]]): the dense list (exact
+    * cosine top-20 over embeddings) and the lexical list (distinct-token
+    * overlap top-20 over documents — integer scores, exact everywhere)
+    * fuse per probe with rrf_micros = Σ ⌊10⁶/(60+rank)⌋, an integer sum,
+    * so the whole fused frame hash-checks cross-engine (both input
+    * rankings are int-rank outputs of already-proven oracle idioms).
+    * The id spaces align by construction (vec_id = doc_id). */
+  val hybridRrf = Q(
+    "q_x_hybrid_rrf",
+    "Hybrid dense+lexical retrieval fused by reciprocal-rank fusion",
+    (s, dir) => {
+      val topEach = 20
+      val dense = Similarity.bruteForceTopK(
+          Sources.table(s, dir, "embeddings"), (0L until 10L).toSeq,
+          topEach)
+        .select(col("vec_id").as("query_id"),
+          col("neighbor_id").as("item"), col("rank"))
+      val docs = Sources.table(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(filter(split(col("text"), " ", -1),
+            t => t =!= lit(""))).as("toks"))
+      val probes = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("toks").as("ptoks"))
+      val overlap = docs.join(broadcast(probes),
+          col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("item"),
+          size(array_intersect(col("toks"), col("ptoks")))
+            .cast("long").as("o"))
+        .filter(col("o") > 0L)
+      val lexical = overlap
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKAgg.topk_by_score(
+          col("o").cast("double"), col("item"), topEach).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "s")))
+        .select(col("query_id"), col("s.neighbor_id").as("item"),
+          (col("r0") + 1).cast("long").as("rank"))
+      graft.ext.Fusion.reciprocalRankFusion(
+          dense.unionByName(lexical), "query_id", "item", "rank",
+          kRrf = 60, topN = 10)
+        .select(col("query_id"), col("fused_rank"),
+          col("item").as("neighbor_id"), col("rrf_micros"),
+          col("n_lists"))
+    },
+    Some("""WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+           | dcos AS (SELECT p.vec_id AS q, e.vec_id AS item,
+           |   row_number() OVER (PARTITION BY p.vec_id
+           |     ORDER BY list_cosine_similarity(p.embedding, e.embedding) DESC, e.vec_id) AS r
+           |   FROM p, embeddings e WHERE e.vec_id <> p.vec_id),
+           | d1 AS (SELECT q, item, r FROM dcos WHERE r <= 20),
+           | t AS (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks FROM documents),
+           | pt AS (SELECT doc_id AS q, toks FROM t WHERE doc_id < 10),
+           | ov AS (SELECT pt.q, t.doc_id AS item,
+           |   len(list_intersect(pt.toks, t.toks)) AS o
+           |   FROM pt, t WHERE t.doc_id <> pt.q),
+           | lr AS (SELECT q, item,
+           |   row_number() OVER (PARTITION BY q ORDER BY o DESC, item) AS r
+           |   FROM ov WHERE o > 0),
+           | l1 AS (SELECT q, item, r FROM lr WHERE r <= 20),
+           | u AS (SELECT * FROM d1 UNION ALL SELECT * FROM l1),
+           | sc AS (SELECT q, item,
+           |   CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_micros,
+           |   count(*) AS n_lists FROM u GROUP BY q, item),
+           | f AS (SELECT q, item, rrf_micros, n_lists,
+           |   row_number() OVER (PARTITION BY q ORDER BY rrf_micros DESC, item) AS fused_rank FROM sc)
+           | SELECT q AS query_id, CAST(fused_rank AS BIGINT) AS fused_rank,
+           |   item AS neighbor_id, rrf_micros, n_lists
+           | FROM f WHERE fused_rank <= 10"""
+      .stripMargin.replace("\n", "")))
+
   /** LSH-bucketed ANN — the scale path; approximate, so rows-only check
     * (recall vs brute force is asserted in SimilaritySpec). */
   val annLsh = Q(
@@ -1922,7 +1992,7 @@ object ExtensionQueries {
     editDistance, decontaminate, decontaminateBloom, decontaminateSemantic,
     resampleFfill, embNearDup,
     embNearDupExact, sourceSignature, sourceOverlapExact, annBruteForce,
-    annLsh, annIvf, annPq, asofJoin,
+    annLsh, annIvf, annPq, hybridRrf, asofJoin,
     asofNative, rangeJoin, trainSplit, leakageSplit,
     textTokens, lengthBuckets, textQuality, textLangId, textFingerprint, textWinnow,
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,

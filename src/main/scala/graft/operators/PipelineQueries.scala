@@ -142,6 +142,30 @@ object PipelineQueries {
            |     AS straddles
            | FROM c""".stripMargin.replace("\n", "")))
 
+  /** Global-order packing segment table ([[Packing.packSegments]]): the
+    * loader-grade companion to q_x_seq_pack — exact (doc, bin, span)
+    * rows of one corpus-wide id-ordered token stream split every 512
+    * tokens, computed with the distributed prefix sum (bucketed offsets,
+    * zero windows) while the oracle uses the global window DuckDB can
+    * afford at gate SF. Same token count as q_x_seq_pack. */
+  val packSegments = Q(
+    "q_x_pack_segments",
+    "Packing segment table: global id-ordered stream split into 512-token bins",
+    (s, dir) => Packing.packSegments(
+      t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok")),
+      "doc_id", "n_tok", contextLen = 512).toDF(),
+    Some("""WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+           | nz AS (SELECT * FROM d WHERE n > 0),
+           | c AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM nz),
+           | s AS (SELECT doc_id, n, cb,
+           |   unnest(generate_series(cb // 512, (cb + n - 1) // 512)) AS bin FROM c)
+           | SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+           |   CAST(greatest(cb, bin * 512) - cb AS BIGINT) AS seg_start,
+           |   CAST(least(cb + n, (bin + 1) * 512) - greatest(cb, bin * 512) AS BIGINT) AS seg_len
+           | FROM s""".stripMargin.replace("\n", "")))
+
   /** Mixture upsampling: high-value sources (src0/src1) weighted 2.5
     * epochs, everything else 0.75 — each doc deterministically replicated
     * floor(w) or ⌈w⌉ times by its md5 fraction. */
@@ -354,6 +378,7 @@ object PipelineQueries {
       .stripMargin.replace("\n", "")))
 
   val all: Seq[Q] = Seq(corpusShuffle, domainBalance, domainQuotaExactQ,
-    domainTemperature, tokenBudget, filterFunnelQ, seqPack, mixtureEpochs,
+    domainTemperature, tokenBudget, filterFunnelQ, seqPack, packSegments,
+    mixtureEpochs,
     incrementalAgg, snapshotDiffQ, weightedSampleQ, weightedSampleDomainQ)
 }

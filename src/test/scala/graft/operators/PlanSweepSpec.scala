@@ -21,6 +21,9 @@ class PlanSweepSpec extends AnyFunSuite {
     * broadcast; the corpus streams exactly once. */
   private val bnljByDesign = Set(
     "q_x_ann_cosine_topk",    // 10 probe vectors broadcast vs corpus
+    "q_x_hybrid_rrf",         // 10 probes broadcast twice (dense cosine +
+                              // lexical token-overlap lists; both the
+                              // bruteForceTopK shape, =!= cond)
     "q_x_ngram_jaccard",      // 10 probe shingle-sets broadcast (=!= cond)
     "q_x_emb_near_dup_exact", // 200-vector probe set, a<b all-pairs
     "q_x_dedup_verify",       // 1-in-5 probe candidates, a<b
