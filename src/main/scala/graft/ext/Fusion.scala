@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009, "Reciprocal
   * rank fusion outperforms Condorcet and individual rank learning
@@ -41,7 +42,21 @@ object Fusion {
                            kRrf: Int = 60, topN: Int = 10): DataFrame = {
     require(kRrf >= 1, s"kRrf $kRrf must be >= 1")
     require(topN >= 1, s"topN $topN must be >= 1")
+    // TopKAgg carries item ids as Long internally; fail at the API
+    // boundary (not with a ClassCastException deep inside the aggregate)
+    // for non-integral item columns, and widen narrow integrals here so
+    // every downstream reference sees one type.
+    val itemType = rankings.schema(itemCol).dataType
+    val integral = itemType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"itemCol '$itemCol' must be an integral id column (TopKAgg " +
+        s"carries ids as long); got $itemType — map string/struct ids " +
+        "to a dense long surrogate upstream")
     val scored = rankings
+      .withColumn(itemCol, col(itemCol).cast("long"))
       .groupBy(col(queryCol), col(itemCol))
       .agg(
         sum(floor(lit(1000000L) / (lit(kRrf.toLong) + col(rankCol))))

@@ -68,7 +68,7 @@ object Privacy {
 
   /** ε-differentially-private count release — the PRODUCTION path: the
     * Laplace-mechanism uniform derives from a keyed PRF,
-    * `sha256(secret ∥ NUL ∥ group-key)`, so an observer WITHOUT the
+    * `HMAC-SHA256(secret, group-key)`, so an observer WITHOUT the
     * release secret cannot recompute the noise and invert the release
     * (with the secret the release stays reproducible — same
     * (secret, key) → same uniform → same milli floor, which is what lets
@@ -78,18 +78,32 @@ object Privacy {
     * re-publishes the same noise and composes the ε budgets; publishing
     * it reduces this to [[deterministicLaplaceRelease]].
     *
-    * (A NUL separator makes (secret, key) → bytes injective for
-    * NUL-free secrets; sha256-of-concatenation is PRF-shaped here
-    * because the input layout is fixed — swap in real HMAC-SHA256 if
-    * release secrets ever become attacker-influenced.) */
+    * The digest is computed in a CLOSURE-based function, deliberately
+    * not a Catalyst expression over `lit(secret)`: a plan Literal is
+    * printed by explain(), the Spark UI SQL tab, and event logs, which
+    * would leak the secret to every plan observer. The closure ships
+    * inside the serialized task binary instead — the one place a scalar
+    * UDF beats a built-in — and the cost is nil because the digest runs
+    * on the POST-aggregate |groups|-sized frame, never the corpus. HMAC
+    * (vs the previous sha256-of-concatenation) also closes that
+    * construction's documented length-extension caveat. */
   def dpCountRelease(df: DataFrame, groupCol: String, epsilon: Double,
                      secret: String): DataFrame = {
     require(secret.nonEmpty,
       "dpCountRelease requires a non-empty release secret; for the " +
         "test-only public-hash variant use deterministicLaplaceRelease")
+    val hmacHex = udf { (key: String) =>
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(
+        secret.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        "HmacSHA256"))
+      mac.doFinal(
+          Option(key).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
     laplaceMilliRelease(df, groupCol, epsilon,
-      sha2(concat(lit(secret), lit("\u0000"),
-        col(groupCol).cast("string")), 256))
+      hmacHex(col(groupCol).cast("string")))
   }
 
   /** TEST-ONLY Laplace-shaped release — NOT differentially private: the

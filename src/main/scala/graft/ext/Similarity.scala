@@ -207,8 +207,14 @@ object Similarity {
     * The bound is ENFORCED, not hoped for: the probe frame also feeds a
     * `broadcast()` and a driver-side cell collect, so a caller handing in
     * an unbounded frame must hear "no" before either blows up —
-    * `maxProbes` caps the number of probe VECTORS (checked with a bounded
-    * `limit(max+1).count`, never a full count of an unbounded input).
+    * `maxProbes` caps the number of probe VECTORS, checked against an
+    * eagerly-checkpointed `limit(max+1)` slice so the upstream probe
+    * pipeline is evaluated exactly once per call (never a full count of
+    * an unbounded input, never a second pass for the real query).
+    * NOTE (behavior change vs the unbounded original): `maxProbes`
+    * defaults to 4096 — callers that previously handed in larger probe
+    * batches now fail the require and must either raise the bound
+    * deliberately or batch-score with the distributed paths.
     * Batch-score a corpus against the index with the bucketed join paths
     * ([[ivfTopK]] / [[Dedup.dedupAgainstBandIndex]]'s shape) instead. */
   def ivfTopKFromIndex(path: String, probes: DataFrame, k: Int,
@@ -218,17 +224,29 @@ object Similarity {
                        maxProbes: Int = 4096): DataFrame = {
     require(maxProbes > 0, s"maxProbes $maxProbes must be positive")
     val spark = probes.sparkSession
-    val probeCount = probes.limit(maxProbes + 1).count()
+    // Evaluate the probe pipeline exactly ONCE: eagerly checkpoint the
+    // limit(max+1) slice (bounded rows by construction, so the snapshot
+    // is small even when the bound is about to fail), count the SNAPSHOT
+    // (free — no recompute), then enforce the bound. The former order
+    // (guard-count against the live plan, checkpoint afterwards) ran an
+    // expensive upstream probe pipeline twice per call; IvfIndexSpec pins
+    // single evaluation with an accumulator-instrumented source.
+    val bounded = probes
+      .select(col(idCol).as("vec_id"), col(vecCol).as("pvec"))
+      .limit(maxProbes + 1)
+      .localCheckpoint(true)
+    val probeCount = bounded.count()
     require(probeCount <= maxProbes,
       s"probe frame exceeds maxProbes=$maxProbes — ivfTopKFromIndex " +
         "broadcasts the probes and collects their cells to the driver, " +
         "so it serves BOUNDED query batches; for corpus-vs-corpus " +
         "scoring use the distributed cell-join paths (ivfTopK), or " +
         "raise maxProbes deliberately")
-    val p = probes
-      .select(col(idCol).as("vec_id"), col(vecCol).as("pvec"),
-        explode(nearest_cells(col(vecCol), centroids, nProbe)).as("cell"))
-      .localCheckpoint(true) // bounded probe frame: cells collect + rejoin
+    // Lazy over the checkpoint snapshot: recomputing the tiny explode for
+    // the cell collect + the join costs nothing once the source is pinned.
+    val p = bounded
+      .select(col("vec_id"), col("pvec"),
+        explode(nearest_cells(col("pvec"), centroids, nProbe)).as("cell"))
     val cells = p.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val idx = spark.read.parquet(path)
@@ -464,20 +482,35 @@ object Similarity {
     */
   def semDedupPrune(emb: DataFrame, idCol: String, vecCol: String,
                     cellCol: String, tau: Double = 0.9,
-                    maxCell: Int = 2048): DataFrame = {
+                    maxCell: Int = 2048,
+                    maxBroadcastCells: Int = 4 << 20): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       col(cellCol).cast("long").as("cell"))
     // Oversized-cell drop via aggregate + anti-join (the kAnonymize
     // idiom), NOT count(*) over (partition by cell): the window form
     // ships the whole corpus through a shuffle+SORT just to learn cell
-    // sizes, while the aggregate collapses map-side to |cells| rows and
-    // the violating-cell list is small by construction (it is the
-    // exceptional cells), so Spark broadcasts the anti-join probe.
+    // sizes, while the aggregate collapses map-side to |cells| rows.
     val oversized = base.groupBy(col("cell"))
       .agg(count(lit(1)).as("csz"))
       .filter(col("csz") > maxCell)
       .select(col("cell"))
-    val v = base.join(broadcast(oversized), Seq("cell"), "left_anti")
+    // The violating-cell list is small by construction in the intended
+    // regime (it is the EXCEPTIONAL cells), but "by construction" is not
+    // "enforced": a degenerate cellCol with very many cells just over
+    // maxCell would turn a forced broadcast() into an unbounded driver
+    // collect. So the hint is GUARDED the way the ivfTopKFromIndex probe
+    // bound is — a bounded limit(N+1).count (which costs one map-side-
+    // collapsed aggregate pass, the same work the join's build side does
+    // anyway): under `maxBroadcastCells` (default 4M single-long rows ≈
+    // tens of MB broadcast), broadcast; over it, fall back to the
+    // un-hinted join and let stats pick a shuffle strategy for what is
+    // now a legitimately large build side.
+    require(maxBroadcastCells >= 0,
+      s"maxBroadcastCells $maxBroadcastCells must be >= 0")
+    val overCount = oversized.limit(maxBroadcastCells + 1).count()
+    val probe =
+      if (overCount <= maxBroadcastCells) broadcast(oversized) else oversized
+    val v = base.join(probe, Seq("cell"), "left_anti")
     val a = v.select(col("cell"), col("id").as("a"), col("v").as("va"))
     val b = v.select(col("cell"), col("id").as("b"), col("v").as("vb"))
     val pruned = a.join(b, Seq("cell"))

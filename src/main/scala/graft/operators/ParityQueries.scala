@@ -769,33 +769,43 @@ object ParityQueries {
 
   /** The approx-percentile EXACT-TIE regime — the oracle-checkable
     * companion to `q_a7b_percentile_approx`: quantiles of `l_linenumber`,
-    * a 7-value column whose tie-runs each span ~8-25% of every group. The
-    * GK sketch guarantees rank error ≤ n/1000; a requested rank whose
-    * tie-run extends further than that on both sides FORCES the estimate
-    * to the run's value, which is also what any discrete-quantile
-    * convention (DuckDB `quantile_disc`, any rank rounding) returns — so
-    * the sketch output is deterministic and hash-checkable cross-engine
-    * even though the sketch itself compresses (group n ≫ accuracy). The
-    * un-tied price quantiles of a7b stay rows-only with the envelope
-    * anchor (`q_a7b_percentile_anchor`). */
+    * a 7-value column whose tie-runs each span ~14.3% of every group
+    * (line numbers are near-uniform over 1..7 at every SF). The GK sketch
+    * guarantees rank error ≤ n/1000; a requested rank whose tie-run
+    * extends further than that on BOTH sides FORCES the estimate to the
+    * run's value, which is also what any discrete-quantile convention
+    * (DuckDB `quantile_disc`, any rank rounding) returns — so the sketch
+    * output is deterministic and hash-checkable cross-engine even though
+    * the sketch itself compresses (group n ≫ accuracy).
+    *
+    * Quantile choice is the load-bearing part: 0.36 / 0.50 / 0.64 sit
+    * INTERIOR to the value-3 / value-4 / value-5 runs with ≥6.8% rank
+    * margin to the nearest run boundary (boundaries fall at multiples of
+    * ≈1/7: .143 .286 .429 .572 .714 .857) — a 68× safety factor over the
+    * 0.1% sketch bound, invariant across SF because the distribution is.
+    * The classic 0.25/0.75 points sit only ~3.6% from the .286/.714
+    * boundaries, close enough that a partitioning or Spark-version change
+    * could flip the hash; they are deliberately NOT used. The un-tied
+    * price quantiles of a7b stay rows-only with the envelope anchor
+    * (`q_a7b_percentile_anchor`). */
   val percentilesApproxTies = Q(
     "q_a7c_percentile_approx_ties",
     "Approx percentiles on a heavily-tied column = exact quantile_disc",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile_approx(l_linenumber, array(0.25, 0.5, 0.75), 1000)")
+        expr("percentile_approx(l_linenumber, array(0.36, 0.5, 0.64), 1000)")
           .as("ps"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-        col("ps").getItem(0).cast("long").as("p25"),
+        col("ps").getItem(0).cast("long").as("p36"),
         col("ps").getItem(1).cast("long").as("p50"),
-        col("ps").getItem(2).cast("long").as("p75"),
+        col("ps").getItem(2).cast("long").as("p64"),
         col("n")),
     Some("""SELECT l_returnflag,
-           | CAST(quantile_disc(l_linenumber, 0.25) AS BIGINT) AS p25,
+           | CAST(quantile_disc(l_linenumber, 0.36) AS BIGINT) AS p36,
            | CAST(quantile_disc(l_linenumber, 0.50) AS BIGINT) AS p50,
-           | CAST(quantile_disc(l_linenumber, 0.75) AS BIGINT) AS p75,
+           | CAST(quantile_disc(l_linenumber, 0.64) AS BIGINT) AS p64,
            | count(*) AS n FROM lineitem GROUP BY l_returnflag"""
       .stripMargin.replace("\n", "")))
 

@@ -97,6 +97,21 @@ class CurationWaveSpec extends AnyFunSuite {
     assert(out.toMap == Map(100L -> 1L, 101L -> 1L))
   }
 
+  test("semDedupPrune: over the broadcast guard the un-hinted fallback " +
+       "returns identical rows") {
+    // A degenerate cellCol (very many cells just over maxCell) must not
+    // force an unbounded driver broadcast: maxBroadcastCells = 0 drives
+    // the guard into the fallback join, whose results must be identical.
+    val emb = ((1 to 10).map(i => (i.toLong, vec(1f, 0f), 0)) ++
+      Seq((100L, vec(1f, 0f), 1), (101L, vec(0f, 1f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    def rows(maxBc: Int) = Similarity.semDedupPrune(
+        emb, "vec_id", "embedding", "label", tau = 0.9, maxCell = 5,
+        maxBroadcastCells = maxBc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(0) == rows(4 << 20))
+  }
+
   test("semDedupPrune: cell-size cap uses an aggregate, not a window sort") {
     // The maxCell filter must come from groupBy(cell).count + anti-join
     // (map-side-collapsed) — count(*) over (partition by cell) would ship

@@ -55,6 +55,24 @@ class FusionSpec extends AnyFunSuite {
     assert(got.count() == 5L)
   }
 
+  test("int item ids are widened to long at the boundary (no deep " +
+       "ClassCastException)") {
+    val r = Seq((0, 10, 1), (0, 11, 2), (0, 10, 2))
+      .toDF("query_id", "item", "rank") // all IntegerType
+    val got = Fusion.reciprocalRankFusion(r, "query_id", "item", "rank")
+      .collect().map(x => (x.getLong(1), x.getLong(2))).sortBy(_._1)
+    assert(got.head._2 == 10L) // consensus item first, as with longs
+  }
+
+  test("non-integral item column fails at the API boundary") {
+    val r = Seq((0L, "a", 1L), (0L, "b", 2L))
+      .toDF("query_id", "item", "rank")
+    val e = intercept[IllegalArgumentException](
+      Fusion.reciprocalRankFusion(r, "query_id", "item", "rank"))
+    assert(e.getMessage.contains("item"))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("scores are layout-invariant (exact integer sum)") {
     val base = (1L to 200L).flatMap(i =>
       Seq((i % 7, i, (i % 19) + 1), (i % 7, i, (i % 13) + 1)))

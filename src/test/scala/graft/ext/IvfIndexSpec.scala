@@ -67,6 +67,36 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(atBound.collect().nonEmpty)
   }
 
+  test("probe pipeline is evaluated exactly once per call (guard rides " +
+       "the checkpoint, not a second pass)") {
+    // An expensive upstream probe pipeline must not pay twice: the bound
+    // check counts the eagerly-checkpointed limit slice, and the query
+    // reuses that snapshot. Instrument with an accumulator inside a
+    // single-partition source so one full evaluation is exactly nRows.
+    import org.apache.spark.sql.functions._
+    val sc = spark.sparkContext
+    val evals = sc.longAccumulator("probe-evals")
+    val src = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(1)
+      .collect() // fixed seed rows, then rebuild as an instrumented RDD
+    val rdd = sc.parallelize(src.toSeq, 1).map { r =>
+      evals.add(1L)
+      (r.getLong(0), r.getSeq[Float](1).toArray)
+    }
+    val probeFrame = {
+      val spark0 = spark
+      import spark0.implicits._
+      rdd.toDF("vec_id", "embedding")
+    }
+    val out = Similarity.ivfTopKFromIndex(indexDir, probeFrame, 3,
+      centroids, maxProbes = 16)
+    out.collect()
+    assert(evals.value == src.length.toLong,
+      s"probe source evaluated ${evals.value} row-passes for " +
+        s"${src.length} rows — the guard re-ran the probe pipeline")
+  }
+
   test("append maintains the index: new batch's vectors become servable") {
     val dir = Files.createTempDirectory("graft-ivf-append").toString
     val old = emb.filter(

@@ -51,9 +51,12 @@ class PrivacySpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  private def sha256Hex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def hmacSha256Hex(secret: String, msg: String): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      secret.getBytes("UTF-8"), "HmacSHA256"))
+    mac.doFinal(msg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   test("deterministicLaplaceRelease: noise matches the driver-side " +
        "Laplace inverse CDF of the PUBLIC md5 (test-only, not private)") {
@@ -93,7 +96,7 @@ class PrivacySpec extends AnyFunSuite {
     // Same mechanism as the public variant, keyed digest: an auditor
     // holding the secret re-derives every released figure exactly.
     def expected(key: String, n: Long): Long =
-      laplaceMilli(sha256Hex(secret + "\u0000" + key), n, 1.0)
+      laplaceMilli(hmacSha256Hex(secret, key), n, 1.0)
     assert(got == Map("g0" -> expected("g0", 10L),
       "g1" -> expected("g1", 10L), "g2" -> expected("g2", 10L)))
     // An observer recomputing the PUBLIC md5 noise (the attack the
@@ -116,5 +119,28 @@ class PrivacySpec extends AnyFunSuite {
     val data = Seq((1L, "g")).toDF("id", "g")
     intercept[IllegalArgumentException](
       Privacy.dpCountRelease(data, "g", epsilon = 1.0, secret = ""))
+  }
+
+  test("dpCountRelease: the secret never appears in the query plan " +
+       "(explain / UI / event-log leak guard)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val data = (1 to 10).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "g")
+    val secret = "plan-leak-canary-7f3a9c"
+    val released = Privacy.dpCountRelease(data, "g", epsilon = 1.0, secret)
+    // every plan rendering an observer sees: parsed/analyzed/optimized
+    // logical + the physical plan (what explain(), the SQL tab, and the
+    // event log print)
+    val renderings = Seq(
+      released.queryExecution.logical.toString,
+      released.queryExecution.analyzed.toString,
+      released.queryExecution.optimizedPlan.toString,
+      released.queryExecution.executedPlan.toString,
+      released.queryExecution.toString)
+    renderings.foreach { plan =>
+      assert(!plan.contains(secret),
+        "release secret leaked into a plan rendering")
+    }
+    assert(released.count() == 2L) // and the release still runs
   }
 }
