@@ -26,12 +26,34 @@ object Packing {
     * is integer counts + one double division of small magnitudes —
     * bit-identical in any engine.
     *
+    * `hexDigits` sets the shard count (16^digits); the default 0 means
+    * AUTO — the smallest digit count whose shard fan-out covers the
+    * session's `spark.sql.shuffle.partitions` (the [[packSegments]]
+    * idiom), so the per-shard window partition width tracks the cluster's
+    * parallelism instead of a fixed corpus/16: a 1000-executor session
+    * over 100 TB gets ≥ its parallelism in shards BY DEFAULT rather than
+    * sixteen 6 TB window sorts. Because the shard assignment is part of
+    * the OUTPUT, the auto default makes results parallelism-dependent
+    * across sessions with different shuffle fan-outs (16^d is a step
+    * function, so e.g. both 32 and 53 partitions give d = 2) — pass an
+    * explicit `hexDigits` when cross-session layout stability matters
+    * more than default scale-safety (as [[Curation.layout]] does).
+    *
     * Output: id, shard, n_tok, seq (0-based within shard), straddles (0/1).
     */
   def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
-                    budget: Int, hexDigits: Int = 1,
+                    budget: Int, hexDigits: Int = 0,
                     extraPartitionCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget $budget must be positive")
+    require(hexDigits >= 0 && hexDigits <= 8,
+      s"hexDigits $hexDigits must be in [0, 8] (0 = auto)")
+    val digits =
+      if (hexDigits > 0) hexDigits
+      else {
+        val par = math.max(1,
+          df.sparkSession.sessionState.conf.numShufflePartitions)
+        math.max(1, math.ceil(math.log(par) / math.log(16)).toInt)
+      }
     val key = md5(col(idCol).cast("string"))
     val extra = extraPartitionCols.map(col)
     val w = Window.partitionBy(extra :+ col("shard"): _*)
@@ -40,7 +62,7 @@ object Packing {
     df.select(col(idCol) +: extra ++: Seq(
         tokenCount.cast("long").as("n_tok"),
         key.as("__pack_key"),
-        Sampling.md5Shard(col(idCol), hexDigits).cast("long").as("shard")): _*)
+        Sampling.md5Shard(col(idCol), digits).cast("long").as("shard")): _*)
       .withColumn("__cum", sum(col("n_tok")).over(w))
       .select(col(idCol) +: extra ++: Seq(
         col("shard"), col("n_tok"),

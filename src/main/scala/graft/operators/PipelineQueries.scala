@@ -122,14 +122,21 @@ object PipelineQueries {
 
   /** Concat-and-chunk sequence packing: 512-token training sequences per
     * md5 shard; a doc knows which sequence it starts in and whether it
-    * straddles into the next. */
+    * straddles into the next. packSequences' library default is AUTO
+    * sharding (smallest 16^d covering the session's shuffle parallelism —
+    * PackingSpec pins auto ≡ explicit at the live session), but a GATE
+    * row must be instrument-invariant, and the correctness/bench/xcheck
+    * sessions run different fan-outs (4 / 32 / 53) — so this row PINS the
+    * 2 hex digits (256 shards) a 32-partition production session derives,
+    * and the oracle derives the same two md5 hex digits. */
   val seqPack = Q(
     "q_x_seq_pack",
     "Sequence packing: 512-token concat-and-chunk layout per shard",
     (s, dir) => Packing.packSequences(t(s, dir, "documents"), "doc_id",
-      size(split(col("text"), " ", -1)), budget = 512),
+      size(split(col("text"), " ", -1)), budget = 512, hexDigits = 2),
     Some(s"""WITH d AS (SELECT doc_id, $md5Doc AS k,
-           |   CAST(${hexDigitSql(md5Doc, 1)} AS BIGINT) AS shard,
+           |   CAST(16 * ${hexDigitSql(md5Doc, 1)}
+           |      + ${hexDigitSql(md5Doc, 2)} AS BIGINT) AS shard,
            |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
            |   FROM documents),
            | c AS (SELECT doc_id, shard, n_tok,

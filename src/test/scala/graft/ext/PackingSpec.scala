@@ -77,4 +77,27 @@ class PackingSpec extends AnyFunSuite {
     val allZero = Seq((1L, 0L)).toDF("doc_id", "n_tok")
     assert(Packing.packSegments(allZero, "doc_id", "n_tok", L).count() == 0L)
   }
+
+  test("packSequences auto shard default covers the session parallelism") {
+    // auto = smallest d with 16^d >= shuffle partitions (so the canonical
+    // 32-partition gate session gets d = 2, 256 shards — window partitions
+    // track parallelism instead of the former fixed corpus/16).
+    val par = spark.sessionState.conf.numShufflePartitions
+    val expectDigits = math.max(1,
+      math.ceil(math.log(par) / math.log(16)).toInt)
+    assert(math.pow(16, expectDigits) >= par)
+    val many = (1L to 400L).map(i => (i, 5L)).toDF("doc_id", "n_tok")
+    def rows(hex: Int) = Packing.packSequences(many, "doc_id",
+        col("n_tok"), budget = 10, hexDigits = hex)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    val auto = rows(0)
+    assert(auto == rows(expectDigits),
+      s"auto at $par partitions must equal hexDigits=$expectDigits")
+    val shards = auto.map(_._2)
+    val bound = math.pow(16, expectDigits).toLong
+    assert(shards.forall(s => s >= 0 && s < bound))
+    // and two digits genuinely differ from one (the default used to be 1)
+    assert(rows(2) != rows(1), "2-digit sharding must differ from 1-digit")
+  }
 }
