@@ -559,4 +559,54 @@ object TextAnalysis {
       coalesce(sum(when(dim === i, sign)), lit(0L)).as(s"d$i"))
     toks.groupBy(col(idCol)).agg(dims.head, dims.tail: _*)
   }
+
+  /** fastText-style linear quality scorer (Joulin et al. 2016,
+    * arXiv:1607.01759 — the architecture behind the standard
+    * "educational value" / quality filters): a document's score is the
+    * sum of per-feature weights over its word UNIGRAM + BIGRAM features,
+    * each feature hashed into a fixed bucket table (the hashing trick,
+    * as [[hashEmbedding]]). Classification is `margin >= 0`.
+    *
+    * The WEIGHTS here are a deterministic integer fixture — bucket b
+    * (two md5 hex digits of the gram, 256 buckets) weighs
+    * `((b + 1) · 2654435761) mod 1999 − 999` milli-units (Knuth's
+    * multiplicative constant as a fixed mixing function). That is
+    * deliberately NOT a trained model: training happens offline, and
+    * what the ENGINE owes is the serving plumbing — gram explosion,
+    * portable bucket hash, exact integer margin aggregation — which is
+    * identical whichever 256 integers fill the table. Swap the
+    * arithmetic weight for a broadcast-joined trained table and nothing
+    * else changes shape. All-integer, so the margin is associative,
+    * layout-independent, and oracle-exact cross-engine.
+    *
+    * Scale shape: one explode (≈2 features/token) + one map-side-combined
+    * hash aggregate on the doc id — linear, no windows, no driver state;
+    * the weight "table" lives inside codegen arithmetic (a trained table
+    * would ride a 256-row broadcast).
+    *
+    * Output: (id, n_feat, margin_milli, label 1|0); docs with zero
+    * features (empty text) drop — no evidence, no score, the
+    * [[Dsir.importanceWeights]] convention. */
+  def fastTextQualityScore(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      filter(split(col(textCol), " ", -1), t => t =!= lit("")).as("toks"))
+    val unigrams = toks.select(col(idCol), explode(col("toks")).as("g"))
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("g"))
+    val grams = unigrams.unionByName(bigrams)
+    val bucket =
+      conv(substring(md5(col("g")), 1, 1), 16, 10).cast("long") * 16L +
+        conv(substring(md5(col("g")), 2, 1), 16, 10).cast("long")
+    val weight = (bucket + 1L) * 2654435761L % 1999L - 999L
+    grams.select(col(idCol), weight.as("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"),
+        sum(col("__w")).cast("long").as("margin_milli"))
+      .select(col(idCol), col("n_feat"), col("margin_milli"),
+        when(col("margin_milli") >= 0L, 1L).otherwise(0L).as("label"))
+  }
 }

@@ -1017,6 +1017,81 @@ object ExtensionQueries {
            | ELSE 'zh' END AS lang_pred FROM sc"""
       .stripMargin.replace("\n", "")))
 
+  /** Language-ID AGREEMENT audit — the validation frame the verdict's
+    * langid ask names: score the [[TextAnalysis.langIdColumn]] prediction
+    * against the ingest-provided `lang` column, per actual language, so a
+    * pipeline that DERIVES lang can quantify where the heuristic and the
+    * upstream tag disagree (the filter-funnel idiom: an audit frame next
+    * to the operator, not a silent trust). Integer counts + one exact
+    * integer-division milli ratio — hash-stable cross-engine. */
+  val textLangIdAgreement = Q(
+    "q_x_langid_agreement",
+    "Language-ID agreement vs the provided lang column, per language",
+    (s, dir) => Sources.table(s, dir, "documents")
+      .select(col("lang"),
+        TextAnalysis.langIdColumn(col("text")).as("pred"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("lang"), col("n_docs"), col("n_agree"),
+        expr("n_agree * 1000 DIV n_docs").cast("long").as("agree_milli")),
+    Some("""WITH sc AS (SELECT doc_id, lang,
+           | len(list_filter(string_split(lower(text), ' '), t -> t IN
+           |   ('the','of','and','to','in','is','that','it','for'))) * 1.0
+           |   / greatest(len(string_split(lower(text), ' ')), 1) - 0 * 1e-9 AS s_en,
+           | len(list_filter(string_split(lower(text), ' '), t -> t IN
+           |   ('le','la','les','de','des','et','en','que','une'))) * 1.0
+           |   / greatest(len(string_split(lower(text), ' ')), 1) - 1 * 1e-9 AS s_fr,
+           | len(list_filter(string_split(lower(text), ' '), t -> t IN
+           |   ('el','la','los','de','que','y','en','un','una'))) * 1.0
+           |   / greatest(len(string_split(lower(text), ' ')), 1) - 2 * 1e-9 AS s_es,
+           | len(list_filter(string_split(lower(text), ' '), t -> t IN
+           |   ('der','die','das','und','in','den','von','zu','mit'))) * 1.0
+           |   / greatest(len(string_split(lower(text), ' ')), 1) - 3 * 1e-9 AS s_de,
+           | (len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) * 1.0
+           |   / greatest(length(text), 1)) * 10.0 - 4 * 1e-9 AS s_zh
+           | FROM documents),
+           | p AS (SELECT lang, CASE
+           | WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+           | WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+           | WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+           | WHEN s_de >= s_zh THEN 'de'
+           | ELSE 'zh' END AS pred FROM sc)
+           | SELECT lang, count(*) AS n_docs,
+           |   CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           |   CAST((sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) * 1000)
+           |     // count(*) AS BIGINT) AS agree_milli
+           | FROM p GROUP BY lang"""
+      .stripMargin.replace("\n", "")))
+
+  /** fastText-style hashed linear quality scorer
+    * ([[TextAnalysis.fastTextQualityScore]]): unigram+bigram features →
+    * 256-bucket portable hash → exact integer margin. The weight table is
+    * a deterministic fixture (see the Scaladoc); the gate certifies the
+    * SERVING plumbing — gram explosion, bucket hash, margin aggregation —
+    * feature-for-feature against DuckDB. */
+  val qualityScore = Q(
+    "q_x_quality_score",
+    "fastText-style hashed-ngram linear scorer: exact integer margins",
+    (s, dir) => TextAnalysis.fastTextQualityScore(
+      Sources.table(s, dir, "documents"), "doc_id", "text"),
+    Some("""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+           | g AS (SELECT doc_id, unnest(toks) AS g FROM d
+           |   UNION ALL
+           |   SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+           |     for i in range(1, len(toks))]) AS g FROM d WHERE len(toks) >= 2),
+           | w AS (SELECT doc_id,
+           |   ((16 * (strpos('0123456789abcdef', substring(md5(g), 1, 1)) - 1)
+           |     + (strpos('0123456789abcdef', substring(md5(g), 2, 1)) - 1)
+           |     + 1) * 2654435761) % 1999 - 999 AS w FROM g)
+           | SELECT doc_id, count(*) AS n_feat,
+           |   CAST(sum(w) AS BIGINT) AS margin_milli,
+           |   CAST(CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+           | FROM w GROUP BY doc_id"""
+      .stripMargin.replace("\n", "")))
+
   /** Content fingerprint: md5 of normalized text (oracle-portable). */
   val textFingerprint = Q(
     "q_x_fingerprint",
@@ -1994,7 +2069,8 @@ object ExtensionQueries {
     embNearDupExact, sourceSignature, sourceOverlapExact, annBruteForce,
     annLsh, annIvf, annPq, hybridRrf, asofJoin,
     asofNative, rangeJoin, trainSplit, leakageSplit,
-    textTokens, lengthBuckets, textQuality, textLangId, textFingerprint, textWinnow,
+    textTokens, lengthBuckets, textQuality, textLangId, textLangIdAgreement,
+    qualityScore, textFingerprint, textWinnow,
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     cmSketchExact,

@@ -109,6 +109,51 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out == "en") // deterministic tiebreak: first-listed profile wins
   }
 
+  test("langId adversarial: empty, single-stopword, mixed, overlapping " +
+       "profiles, CJK — all deterministic") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, ""),                        // no evidence at all -> first profile
+      (2L, "le"),                      // one French stopword beats silence
+      (3L, "der die das und von"),     // clean German
+      // mixed en/de, 'in' counts for BOTH profiles: en 4/9 vs de 6/9
+      (4L, "the der die of und in das to den"),
+      (5L, "中文文本"),// pure CJK, no space tokens
+      (6L, "el la los de que"),        // es 5/5 beats fr 3/5 (la/de/que shared)
+      (7L, "de la"))                   // EXACT fr/es tie -> position epsilon
+      .toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"), TextAnalysis.langIdColumn(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "de",
+      5L -> "zh", 6L -> "es", 7L -> "fr"))
+  }
+
+  test("fastTextQualityScore: margin is the exact hand-computed feature " +
+       "sum; empty docs drop; label = sign") {
+    val spark0 = spark
+    import spark0.implicits._
+    def w(gram: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def d(i: Int) = java.lang.Long.parseLong(hex.substring(i, i + 1), 16)
+      (16L * d(0) + d(1) + 1L) * 2654435761L % 1999L - 999L
+    }
+    val docs = Seq((1L, "a b a"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.fastTextQualityScore(docs, "doc_id", "text")
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: unigrams a, b, a + bigrams "a b", "b a" = 5 features
+    val m1 = w("a") * 2 + w("b") + w("a b") + w("b a")
+    assert(got(1L) == ((5L, m1, if (m1 >= 0) 1L else 0L)))
+    // doc 2: one unigram, no bigrams
+    assert(got(2L) == ((1L, w("solo"), if (w("solo") >= 0) 1L else 0L)))
+    // doc 3: zero features -> absent (no evidence, no score)
+    assert(!got.contains(3L))
+  }
+
   test("perplexityBuckets: per-lang thirds, rare-token docs land in tail") {
     val spark0 = spark
     import spark0.implicits._
