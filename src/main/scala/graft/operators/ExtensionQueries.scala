@@ -702,6 +702,64 @@ object ExtensionQueries {
            | FROM f WHERE fused_rank <= 10"""
       .stripMargin.replace("\n", "")))
 
+  /** MMR diverse re-ranking ([[graft.ext.Mmr.mmrRerank]]): the greedy
+    * λ·rel − (1−λ)·maxSimToSelected selection over the exact top-12
+    * relevance pool, 4 picks per probe, λ=0.7 — all arithmetic exact
+    * longs over deci-milli-quantized components, so the DuckDB side can
+    * UNROLL the same 4 greedy steps as CTEs (the `q_x_pca_top` pattern)
+    * and the full (rank, id, score) frame hash-checks cross-engine. */
+  val mmrRerank = Q(
+    "q_x_mmr_rerank",
+    "MMR diverse re-ranking: greedy λ·rel − (1−λ)·maxSim top-4 per probe",
+    (s, dir) => graft.ext.Mmr.mmrRerank(
+      Sources.table(s, dir, "embeddings"), (0L until 10L).toSeq,
+      topEach = 12, k = 4, lambdaMilli = 700),
+    Some("""WITH qvt AS (SELECT vec_id,
+           |   [CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS q
+           |   FROM embeddings),
+           | rel AS (SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+           |   CAST(list_sum([p.q[i]*c.q[i] for i in range(1, len(p.q)+1)]) AS BIGINT) AS rel
+           |   FROM qvt p, qvt c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+           | cand AS (SELECT query_id, cand_id, rel FROM (SELECT *,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rr
+           |   FROM rel) WHERE rr <= 12),
+           | sims AS (SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+           |   CAST(list_sum([x.q[i]*y.q[i] for i in range(1, len(x.q)+1)]) AS BIGINT) AS s
+           |   FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+           |   JOIN qvt x ON x.vec_id = a.cand_id JOIN qvt y ON y.vec_id = b.cand_id),
+           | s1 AS (SELECT query_id, -m[2] AS id, m[1] AS sc FROM (SELECT query_id,
+           |   max([700*rel, -cand_id]) AS m FROM cand GROUP BY query_id)),
+           | r2 AS (SELECT c.query_id, c.cand_id, 700*c.rel - 300*s.s AS sc
+           |   FROM cand c JOIN s1 ON c.query_id = s1.query_id AND c.cand_id <> s1.id
+           |   JOIN sims s ON s.query_id = c.query_id AND s.ca = c.cand_id AND s.cb = s1.id),
+           | s2 AS (SELECT query_id, -m[2] AS id, m[1] AS sc FROM (SELECT query_id,
+           |   max([sc, -cand_id]) AS m FROM r2 GROUP BY query_id)),
+           | r3 AS (SELECT c.query_id, c.cand_id, 700*c.rel - 300*max(s.s) AS sc
+           |   FROM cand c JOIN s1 ON c.query_id = s1.query_id
+           |   JOIN s2 ON c.query_id = s2.query_id
+           |   JOIN sims s ON s.query_id = c.query_id AND s.ca = c.cand_id
+           |     AND s.cb IN (s1.id, s2.id)
+           |   WHERE c.cand_id <> s1.id AND c.cand_id <> s2.id
+           |   GROUP BY c.query_id, c.cand_id, c.rel),
+           | s3 AS (SELECT query_id, -m[2] AS id, m[1] AS sc FROM (SELECT query_id,
+           |   max([sc, -cand_id]) AS m FROM r3 GROUP BY query_id)),
+           | r4 AS (SELECT c.query_id, c.cand_id, 700*c.rel - 300*max(s.s) AS sc
+           |   FROM cand c JOIN s1 ON c.query_id = s1.query_id
+           |   JOIN s2 ON c.query_id = s2.query_id
+           |   JOIN s3 ON c.query_id = s3.query_id
+           |   JOIN sims s ON s.query_id = c.query_id AND s.ca = c.cand_id
+           |     AND s.cb IN (s1.id, s2.id, s3.id)
+           |   WHERE c.cand_id <> s1.id AND c.cand_id <> s2.id AND c.cand_id <> s3.id
+           |   GROUP BY c.query_id, c.cand_id, c.rel),
+           | s4 AS (SELECT query_id, -m[2] AS id, m[1] AS sc FROM (SELECT query_id,
+           |   max([sc, -cand_id]) AS m FROM r4 GROUP BY query_id))
+           | SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank, id AS cand_id,
+           |   CAST(sc AS BIGINT) AS mmr_score FROM s1
+           | UNION ALL SELECT query_id, CAST(2 AS BIGINT), id, CAST(sc AS BIGINT) FROM s2
+           | UNION ALL SELECT query_id, CAST(3 AS BIGINT), id, CAST(sc AS BIGINT) FROM s3
+           | UNION ALL SELECT query_id, CAST(4 AS BIGINT), id, CAST(sc AS BIGINT) FROM s4"""
+      .stripMargin.replace("\n", "")))
+
   /** LSH-bucketed ANN — the scale path; approximate, so rows-only check
     * (recall vs brute force is asserted in SimilaritySpec). */
   val annLsh = Q(
@@ -2067,7 +2125,7 @@ object ExtensionQueries {
     editDistance, decontaminate, decontaminateBloom, decontaminateSemantic,
     resampleFfill, embNearDup,
     embNearDupExact, sourceSignature, sourceOverlapExact, annBruteForce,
-    annLsh, annIvf, annPq, hybridRrf, asofJoin,
+    annLsh, annIvf, annPq, hybridRrf, mmrRerank, asofJoin,
     asofNative, rangeJoin, trainSplit, leakageSplit,
     textTokens, lengthBuckets, textQuality, textLangId, textLangIdAgreement,
     qualityScore, textFingerprint, textWinnow,
