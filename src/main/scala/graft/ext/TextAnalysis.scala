@@ -457,6 +457,68 @@ object TextAnalysis {
         round(col("n_common") / col("na"), 3).as("containment_a"))
   }
 
+  /** Interpolated Kneser-Ney bigram probabilities as EXACT fractions
+    * (Kneser & Ney 1995; Chen & Goodman 1998 — the standard n-gram LM
+    * smoothing, and the scoring model behind perplexity-based quality
+    * filtering one step up from raw conditional counts): with absolute
+    * discount D = 3/4,
+    *
+    *   P_KN(w2|w1) = (max(c(w1,w2) − D, 0)
+    *                  + D · N1+(w1·) · N1+(·w2)/N1+(··)) / c(w1·)
+    *
+    * where N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    * histories of w2 (the "how many contexts has this word completed"
+    * count that makes KN beat back-off-to-unigram), N1+(··) = distinct
+    * bigrams. Every term is rational, so the probability ships as the
+    * exact integer pair
+    *
+    *   pkn_num = max(4·c − 3, 0)·B + 3·N1+(w1·)·N1+(·w2)
+    *   pkn_den = 4·c(w1·)·B                   (B = N1+(··))
+    *
+    * — no float division anywhere, hence bit-identical cross-engine and
+    * layout-independent (the ExactMoney argument applied to an LM).
+    * Bounds: num ≤ 4·c·B + 3·V² and den ≤ 4·T·B fit longs through
+    * trillion-token corpora (c, T token counts; B, V ≤ distinct bigrams).
+    *
+    * Scale shape: ONE corpus-sized exchange (the bigram aggregate — the
+    * [[bigramLm]] exchange); the context/continuation statistics
+    * re-aggregate FROM the aggregated table (vocab-bounded), join back on
+    * the word keys, and the distinct-bigram scalar broadcasts. No windows,
+    * no second corpus pass. */
+  def kneserNeyBigram(df: DataFrame, textCol: String, minCount: Long = 2L)
+      : DataFrame = {
+    require(minCount >= 1L, s"minCount $minCount must be >= 1")
+    val toks = df
+      .select(filter(split(col(textCol), " ", -1), x => x =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bc = toks
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      // materialize the vocab-bounded aggregate ONCE: it is referenced
+      // four times below (kept rows, c1, c2, tot) and Catalyst would
+      // otherwise re-run the corpus-sized bigram exchange per reference
+      // (census-measured: 4× the bigram_lm exchange bytes before this)
+      .localCheckpoint(true)
+    val c1 = bc.groupBy(col("w1"))
+      .agg(sum(col("n")).as("c1"), count(lit(1)).as("n1fwd"))
+    val c2 = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1rev"))
+    val tot = bc.select(count(lit(1)).as("b"))
+    // filter BEFORE the statistics joins: minCount reads only bc.n, and
+    // the c1/c2/tot statistics must come from the UNfiltered table — so
+    // the two word-key exchanges carry only the kept bigrams
+    bc.filter(col("n") >= minCount)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n"),
+        (greatest(lit(4L) * col("n") - 3L, lit(0L)) * col("b") +
+          lit(3L) * col("n1fwd") * col("n1rev")).as("pkn_num"),
+        (lit(4L) * col("c1") * col("b")).as("pkn_den"))
+  }
+
   /** Bigram language-model table: the top-k continuations of every word
     * with exact conditional counts — the n-gram-LM estimation step
     * (next-token suggestion, boilerplate detection, perplexity features).

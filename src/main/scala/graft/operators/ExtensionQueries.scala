@@ -1489,6 +1489,33 @@ object ExtensionQueries {
            | FROM r WHERE rank <= 3"""
       .stripMargin.replace("\n", "")))
 
+  /** Interpolated Kneser-Ney bigram probabilities
+    * ([[TextAnalysis.kneserNeyBigram]]): the smoothing step above the raw
+    * bigram table, shipped as EXACT integer fractions (D = 3/4 cleared to
+    * `pkn_num/pkn_den`) — no float division, so the whole LM table
+    * hash-checks cross-engine. Gate keeps bigrams with count ≥ 2. */
+  val kneserNeyQ = Q(
+    "q_x_kneser_ney",
+    "Kneser-Ney bigram LM: exact-fraction smoothed probabilities",
+    (s, dir) => TextAnalysis.kneserNeyBigram(
+      Sources.table(s, dir, "documents"), "text", minCount = 2L),
+    Some("""WITH t AS (SELECT list_filter(string_split(text, ' '),
+           |     x -> x <> '') AS toks FROM documents),
+           | b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           |   FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+           |   WHERE len(toks) >= 2),
+           | bc AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2),
+           | c1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1,
+           |   count(*) AS n1fwd FROM bc GROUP BY w1),
+           | c2 AS (SELECT w2, count(*) AS n1rev FROM bc GROUP BY w2),
+           | tot AS (SELECT count(*) AS bb FROM bc)
+           | SELECT bc.w1, bc.w2, CAST(bc.n AS BIGINT) AS n,
+           |   CAST(greatest(4*bc.n - 3, 0)*tot.bb + 3*c1.n1fwd*c2.n1rev AS BIGINT) AS pkn_num,
+           |   CAST(4*c1.c1*tot.bb AS BIGINT) AS pkn_den
+           | FROM bc JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+           | WHERE bc.n >= 2"""
+      .stripMargin.replace("\n", "")))
+
   /** Per-source KL drift ([[graft.ext.TextAnalysis.sourceDivergence]]):
     * the mixture-monitoring divergence of each source's unigram
     * distribution from the corpus blend, exact closed form over integer
@@ -2132,7 +2159,7 @@ object ExtensionQueries {
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     cmSketchExact,
-    corpusReport, sourceDivergenceQ, bigramLmQ, jsonProps,
+    corpusReport, sourceDivergenceQ, bigramLmQ, kneserNeyQ, jsonProps,
     multimodal, imagePhash, tfidfTop1, bm25Top1,
     tfidfCappedTop1, bm25CappedTop1, dupSpans, segDedup, labelStatsQ,
     embOutliers, pcaTop, kmeansSizes,

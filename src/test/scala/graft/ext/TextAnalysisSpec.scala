@@ -356,4 +356,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect()
     assert(lone.map(_.getDouble(2)).toSeq == Seq(0.0))
   }
+
+  test("kneserNeyBigram: exact fractions match the hand-computed KN") {
+    val spark0 = spark
+    import spark0.implicits._
+    // corpus: "a b a b c" + "a b" → bigram counts (a,b):3 (b,a):1 (b,c):1
+    // B = 3 distinct bigrams; c(a·)=3, N1+(a·)=1; c(b·)=2, N1+(b·)=2;
+    // N1+(·a)=1, N1+(·b)=1, N1+(·c)=1. With D = 3/4:
+    //   P(b|a) = (3−3/4)/3 + (3/4)(1/3)(1/3) = 30/36
+    //   P(a|b) = P(c|b) = (1−3/4)/2 + (3/4)(2/2)(1/3) = 9/24
+    val df = Seq("a b a b c", "a b").toDF("text")
+    val got = TextAnalysis.kneserNeyBigram(df, "text", minCount = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((3L, 30L, 36L)),
+      ("b", "a") -> ((1L, 9L, 24L)),
+      ("b", "c") -> ((1L, 9L, 24L))), got.toString)
+    // probabilities are proper: 0 < num ≤ den everywhere
+    got.values.foreach { case (_, num, den) =>
+      assert(num > 0L && num <= den)
+    }
+    // minCount prunes the singleton bigrams but their mass still shaped
+    // the statistics of the rows that remain
+    val pruned = TextAnalysis.kneserNeyBigram(df, "text", minCount = 2L)
+      .collect()
+    assert(pruned.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b")))
+  }
 }

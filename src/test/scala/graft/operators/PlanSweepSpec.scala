@@ -59,8 +59,12 @@ class PlanSweepSpec extends AnyFunSuite {
                                    // support denominator) broadcast join
     "q_x_mutual_info",             // single-row N-total broadcast join (the
                                    // joint-distribution denominator)
-    "q_x_benford")                 // single-row digit-total broadcast join
+    "q_x_benford",                 // single-row digit-total broadcast join
                                    // (the share/expectation denominator)
+    "q_x_kneser_ney")              // single-row distinct-bigram total B
+                                   // broadcast join (the continuation-
+                                   // probability denominator; same shape
+                                   // as q_x_mutual_info/q_x_benford)
 
   Catalog.all.filterNot(_.name.startsWith("q_s_")).foreach { q =>
     test(s"${q.name}: no CartesianProduct; BNLJ only by design") {
