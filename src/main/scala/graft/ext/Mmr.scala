@@ -154,6 +154,11 @@ object Mmr {
 
     packed
       .select(col("query_id"), explode(selected).as("r"))
+      // degenerate guard: a probe with fewer than k candidates (corpus
+      // smaller than the pool) exhausts `remaining` — the argmax over the
+      // empty set is null; emit the probe's shorter honest list instead
+      // of null-id rows
+      .filter(col("r.cand_id").isNotNull)
       .select(col("query_id"), col("r.mmr_rank").as("mmr_rank"),
         col("r.cand_id").as("cand_id"), col("r.mmr_score").as("mmr_score"))
   }

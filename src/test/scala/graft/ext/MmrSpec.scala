@@ -65,6 +65,20 @@ class MmrSpec extends AnyFunSuite {
     }
   }
 
+  test("fewer candidates than k yields the shorter honest list") {
+    // corpus has only 2 non-probe vectors; k=3 must yield 2 ranked rows,
+    // not a third null-id row
+    val tiny = emb.filter("vec_id <= 2")
+    val got = Mmr.mmrRerank(tiny, Seq(0L), topEach = 3, k = 3,
+        lambdaMilli = 700)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.length == 2, got.mkString(","))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got.forall(_._2 > 0L))
+  }
+
   test("bounds enforced at the API boundary") {
     intercept[IllegalArgumentException] {
       Mmr.mmrRerank(emb, Seq(0L), topEach = 65)
