@@ -29,11 +29,12 @@ import org.apache.spark.sql.functions._
   * unrolled-iteration oracle pattern).
   *
   * Scale shape: probes are bounded (≤64, broadcast); ONE map-only corpus
-  * scan against the broadcast probes computes relevance; the bounded
-  * TopKAgg heap reduces it to |probes|·topEach candidate rows (at most
-  * topEach per probe per map task enters the exchange — no window, no
-  * corpus sort); candidate vectors re-attach via a broadcast semi-join of
-  * the tiny candidate list against the corpus; pair similarities and the
+  * scan against the broadcast probes computes relevance, and the bounded
+  * [[graft.functions.TopKPayloadAgg]] heap carries each survivor's
+  * QUANTIZED VECTOR through the reduction — so the candidate pool arrives
+  * with its vectors attached and no second corpus pass re-derives them
+  * (at most topEach (id, rel, vec) entries per probe per map task enter
+  * the exchange — no window, no corpus sort). Pair similarities and the
   * greedy unroll run on |probes|·topEach² bounded frames. Nothing
   * corpus-sized shuffles; at 100 TB the cost is the single relevance
   * scan — identical to [[Similarity.bruteForceTopK]] — and at that scale
@@ -41,6 +42,21 @@ import org.apache.spark.sql.functions._
   * with this function consuming its output unchanged.
   */
 object Mmr {
+
+  /** Test-only seam for plan guardrails: when set, every frame that
+    * [[mmrRerank]] is ABOUT to eagerly localCheckpoint is passed here
+    * first — the checkpoint truncates lineage, so a sweep over the final
+    * `executedPlan` never sees the corpus-scan subtree (where a
+    * CartesianProduct regression would hide). PlanSweepSpec registers a
+    * collector here and sweeps the pre-checkpoint plans too. */
+  private[graft] val preCheckpointProbe =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame => Unit](null)
+
+  private def ckpt(df: DataFrame): DataFrame = {
+    val probe = preCheckpointProbe.get()
+    if (probe != null) probe(df)
+    df.localCheckpoint(true)
+  }
 
   /** exact integer dot product of two equal-length long arrays */
   private def dotL(a: Column, b: Column): Column =
@@ -78,48 +94,50 @@ object Mmr {
     val probes = qv.filter(col("vid").isin(probeIds: _*))
       .select(col("vid").as("query_id"), col("qvec").as("pvec"))
 
-    // one corpus scan; bounded-heap top-`topEach` per probe (rel is an
-    // integer < 2⁵³ so the double-scored heap orders exactly)
-    val rel = qv.join(broadcast(probes), col("vid") =!= col("query_id"))
+    // THE one corpus scan: relevance against the broadcast probes, reduced
+    // by the bounded payload heap which keeps each survivor's quantized
+    // vector alongside its (id, rel) — so no second corpus pass is needed
+    // to re-attach vectors for the pairwise-similarity step below (rel is
+    // an integer < 2⁵³ so the double-scored heap orders exactly).
+    // Eagerly checkpoint the tiny bounded result (≤64·64 rows): it is
+    // referenced from both sides of the pair self-join AND the packed
+    // aggregate — without materialization Catalyst re-evaluates it per
+    // reference and the corpus scan behind it runs 3×, which at 100 TB
+    // triples the dominant cost (the tfidf postings / simhash membership
+    // idiom).
+    val cands = ckpt(qv.join(broadcast(probes), col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("cand_id"),
-        dotL(col("qvec"), col("pvec")).as("rel"))
-    // Eagerly checkpoint the tiny bounded frames (≤64·64 rows): the
-    // candidate subtree is referenced from both sides of the pair
-    // self-join AND the packed aggregate — without materialization
-    // Catalyst re-evaluates it per reference and the CORPUS SCAN behind
-    // it runs 3×, which at 100 TB triples the dominant cost (the tfidf
-    // postings / simhash membership idiom).
-    val cands = rel
+        dotL(col("qvec"), col("pvec")).as("rel"), col("qvec"))
       .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAgg
-        .topk_by_score(col("rel").cast("double"), col("cand_id"), topEach)
+      .agg(graft.functions.TopKPayloadAgg
+        .topk_by_score_payload(col("rel").cast("double"), col("cand_id"),
+          col("qvec"), topEach)
         .as("top"))
       .select(col("query_id"), explode(col("top")).as("s"))
       .select(col("query_id"), col("s.neighbor_id").as("cand_id"),
-        col("s.cos").cast("long").as("rel"))
-      .localCheckpoint(true)
-
-    // re-attach quantized vectors (candidate list is tiny — broadcast it;
-    // one more map-only corpus pass, then everything below is bounded)
-    val cv = qv.join(broadcast(cands), col("vid") === col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("rel"), col("qvec"))
-      .localCheckpoint(true)
+        col("s.cos").cast("long").as("rel"), col("s.payload").as("qvec")))
 
     // pairwise candidate similarities: |probes|·topEach² bounded rows
-    val pairs = cv.select(col("query_id"), col("cand_id").as("ca"),
+    val pairs = cands.select(col("query_id"), col("cand_id").as("ca"),
         col("qvec").as("va"))
-      .join(cv.select(col("query_id"), col("cand_id").as("cb"),
+      .join(cands.select(col("query_id"), col("cand_id").as("cb"),
         col("qvec").as("vb")), Seq("query_id"))
       .filter(col("ca") =!= col("cb"))
       .select(col("query_id"), col("ca"), col("cb"),
         dotL(col("va"), col("vb")).as("s"))
 
-    // one row per probe holding the candidate pool + its sim matrix
-    val packed = cv.groupBy(col("query_id"))
+    // one row per probe holding the candidate pool + its sim matrix.
+    // LEFT join + empty-array default: a probe whose pool has exactly ONE
+    // candidate produces no pair rows at all (the ca =!= cb self-join is
+    // empty) — an inner join would drop the probe entirely instead of
+    // emitting its honest single-row list.
+    val packed = cands.groupBy(col("query_id"))
       .agg(collect_list(struct(col("cand_id"), col("rel"))).as("cands"))
       .join(pairs.groupBy(col("query_id"))
         .agg(collect_list(struct(col("ca"), col("cb"), col("s"))).as("sims")),
-        Seq("query_id"))
+        Seq("query_id"), "left")
+      .withColumn("sims", coalesce(col("sims"),
+        expr("CAST(array() AS array<struct<ca: bigint, cb: bigint, s: bigint>>)")))
 
     // greedy unroll: k steps of argmax(λ·rel − (1−λ)·maxSimToSelected),
     // argmax via array_max over struct(score, −id) (lexicographic struct

@@ -79,6 +79,19 @@ class MmrSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0L))
   }
 
+  test("a 1-candidate pool emits its single honest row, not zero") {
+    // corpus has ONE non-probe vector: the pairwise ca =!= cb self-join is
+    // empty, so the sims aggregate has no row for the probe — the packed
+    // join must not drop the probe (left join + empty-array default)
+    val tiny = emb.filter("vec_id <= 1")
+    val got = Mmr.mmrRerank(tiny, Seq(0L), topEach = 3, k = 3,
+        lambdaMilli = 700)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // rank 1 = pure relevance: 700 · 80e6
+    assert(got.toSeq == Seq((0L, 1L, 1L, 56000000000L)), got.mkString(","))
+  }
+
   test("bounds enforced at the API boundary") {
     intercept[IllegalArgumentException] {
       Mmr.mmrRerank(emb, Seq(0L), topEach = 65)

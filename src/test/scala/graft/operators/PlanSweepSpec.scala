@@ -61,19 +61,36 @@ class PlanSweepSpec extends AnyFunSuite {
                                    // joint-distribution denominator)
     "q_x_benford",                 // single-row digit-total broadcast join
                                    // (the share/expectation denominator)
-    "q_x_kneser_ney")              // single-row distinct-bigram total B
+    "q_x_kneser_ney",              // single-row distinct-bigram total B
                                    // broadcast join (the continuation-
                                    // probability denominator; same shape
                                    // as q_x_mutual_info/q_x_benford)
+    "q_x_mmr_rerank")              // ≤64 probe vectors broadcast vs corpus
+                                   // (the bruteForceTopK =!= shape); the
+                                   // eager localCheckpoint hides it from
+                                   // the executedPlan sweep, so the
+                                   // pre-checkpoint sweep below covers it
 
   Catalog.all.filterNot(_.name.startsWith("q_s_")).foreach { q =>
     test(s"${q.name}: no CartesianProduct; BNLJ only by design") {
-      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
-        s"${q.name} degenerated to a cartesian product:\n$plan")
-      if (!bnljByDesign(q.name)) {
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"${q.name} has an unexpected nested-loop join:\n$plan")
+      // Eager localCheckpoints truncate lineage, so the executedPlan sweep
+      // below is blind to any subtree behind one (q_x_mmr_rerank's corpus
+      // scan). Capture each pre-checkpoint frame's plan via the Mmr seam
+      // and sweep those too — a CartesianProduct regression in the hidden
+      // subtree fails here instead of surfacing at scale.
+      val preCkpt = scala.collection.mutable.ArrayBuffer.empty[String]
+      graft.ext.Mmr.preCheckpointProbe.set(
+        df => preCkpt += df.queryExecution.executedPlan.toString)
+      val plan =
+        try q.run(spark, sfDir).queryExecution.executedPlan.toString
+        finally graft.ext.Mmr.preCheckpointProbe.set(null)
+      (plan +: preCkpt.toSeq).foreach { p =>
+        assert(!p.contains("CartesianProduct"),
+          s"${q.name} degenerated to a cartesian product:\n$p")
+        if (!bnljByDesign(q.name)) {
+          assert(!p.contains("BroadcastNestedLoopJoin"),
+            s"${q.name} has an unexpected nested-loop join:\n$p")
+        }
       }
     }
   }
