@@ -477,8 +477,14 @@ object TextAnalysis {
     *
     * — no float division anywhere, hence bit-identical cross-engine and
     * layout-independent (the ExactMoney argument applied to an LM).
-    * Bounds: num ≤ 4·c·B + 3·V² and den ≤ 4·T·B fit longs through
-    * trillion-token corpora (c, T token counts; B, V ≤ distinct bigrams).
+    * Bounds: den = 4·c(w1·)·B is the binding term — with B ~ 10⁹ distinct
+    * bigrams it caps the most frequent word's context count c(w1·) at
+    * ~2.3×10⁹, i.e. a SINGLE-DIGIT-BILLIONS-of-tokens corpus, not the
+    * trillions a naive reading suggests (Spark's non-ANSI longs would
+    * wrap silently where DuckDB raises, breaking cross-engine exactness
+    * asymmetrically). A runtime guard over the checkpointed vocab-bounded
+    * aggregate fails loudly at the boundary; past it, clear the fractions
+    * in DECIMAL(38,0) (the labelOutliers idiom) at ~2× exchange width.
     *
     * Scale shape: ONE corpus-sized exchange (the bigram aggregate — the
     * [[bigramLm]] exchange); the context/continuation statistics
@@ -488,6 +494,26 @@ object TextAnalysis {
   def kneserNeyBigram(df: DataFrame, textCol: String, minCount: Long = 2L)
       : DataFrame = {
     require(minCount >= 1L, s"minCount $minCount must be >= 1")
+    val (bc, c1, c2, tot) = knTables(df, textCol)
+    // filter BEFORE the statistics joins: minCount reads only bc.n, and
+    // the c1/c2/tot statistics must come from the UNfiltered table — so
+    // the two word-key exchanges carry only the kept bigrams
+    bc.filter(col("n") >= minCount)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n"),
+        (greatest(lit(4L) * col("n") - 3L, lit(0L)) * col("b") +
+          lit(3L) * col("n1fwd") * col("n1rev")).as("pkn_num"),
+        (lit(4L) * col("c1") * col("b")).as("pkn_den"))
+  }
+
+  /** Shared Kneser-Ney statistics tables: the checkpointed bigram count
+    * aggregate plus its context (c1/n1fwd), continuation (n1rev), and
+    * distinct-bigram-total frames — one corpus-sized exchange, everything
+    * else vocab-bounded. Includes the long-overflow guard from the
+    * [[kneserNeyBigram]] bounds note. */
+  private def knTables(df: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val toks = df
       .select(filter(split(col(textCol), " ", -1), x => x =!= "").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -507,16 +533,82 @@ object TextAnalysis {
       .agg(sum(col("n")).as("c1"), count(lit(1)).as("n1fwd"))
     val c2 = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1rev"))
     val tot = bc.select(count(lit(1)).as("b"))
-    // filter BEFORE the statistics joins: minCount reads only bc.n, and
-    // the c1/c2/tot statistics must come from the UNfiltered table — so
-    // the two word-key exchanges carry only the kept bigrams
-    bc.filter(col("n") >= minCount)
+    // Overflow guard (see the bounds note above): three vocab-bounded
+    // driver probes over the already-materialized checkpoint — no corpus
+    // re-scan — verify the worst-case pkn_num/pkn_den fit a long, because
+    // Spark's non-ANSI arithmetic would otherwise WRAP silently while
+    // DuckDB raises, producing a wrong-but-green-looking LM table.
+    val bCount = bc.count()
+    if (bCount > 0) {
+      val g1 = bc.groupBy(col("w1"))
+        .agg(sum(col("n")).as("c1"), count(lit(1)).as("f"))
+        .agg(max(col("c1")), max(col("f"))).head()
+      val maxRev = bc.groupBy(col("w2")).agg(count(lit(1)).as("r"))
+        .agg(max(col("r"))).head().getLong(0)
+      val (maxC1, maxFwd) = (g1.getLong(0), g1.getLong(1))
+      val numMax = BigInt(4) * maxC1 * bCount + BigInt(3) * maxFwd * maxRev
+      require(numMax <= Long.MaxValue,
+        s"kneserNeyBigram long overflow: worst-case fraction term $numMax " +
+          s"(max c(w1.)=$maxC1, B=$bCount) exceeds 2^63-1 — this corpus " +
+          "needs the DECIMAL(38,0) variant of the fraction clearing")
+    }
+    (bc, c1, c2, tot)
+  }
+
+  /** Per-document log-probability under the corpus's own interpolated
+    * Kneser-Ney bigram LM ([[kneserNeyBigram]]) — the CCNet-style
+    * (Wenzek et al. 2020) perplexity quality filter the smoothed LM
+    * exists for, one modeling step above [[bigramLm]]-count scoring and
+    * `q_x_unigram_logprob`'s unigram MLE: each bigram occurrence in a
+    * document scores ln P_KN(w2|w1), floored to integer milli-nats
+    * BEFORE aggregation (the unigram_logprob idiom), so the per-doc
+    * figure is an exact long sum — order-independent cross-engine.
+    *
+    * OOV backoff is PINNED: `minCount` prunes the SERVED bigram table
+    * (the deployed-LM pruning knob), and a document bigram absent from it
+    * scores the formula's c = 0 arm — pure continuation probability
+    * D·N1+(w1·)·N1+(·w2)/(B·c(w1·)) — exactly what interpolated KN
+    * assigns unseen bigrams. Both word-level statistics always exist
+    * because the LM is self-trained on the same corpus.
+    *
+    * Scale shape: the KN statistics cost their one corpus-sized exchange
+    * ([[knTables]]); scoring re-tokenizes the corpus (two passes are
+    * inherent to self-training — the unigram_logprob argument) and joins
+    * the per-doc bigram stream against the vocab-bounded served/context/
+    * continuation tables — AQE broadcasts them when they fit, and a
+    * 10M-entry real vocab degrades to a shuffle join instead of a driver
+    * OOM (no hint, deliberately). No windows, no driver state.
+    *
+    * @return (doc_id, milli_nats, n_bigrams) — docs with ≥2 tokens only
+    */
+  def knDocLogprob(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1L, s"minCount $minCount must be >= 1")
+    val (bc, c1, c2, tot) = knTables(df, textCol)
+    val served = bc.filter(col("n") >= minCount)
+      .select(col("w1"), col("w2"), col("n").as("nbg"))
+    val docBg = df
+      .select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " ", -1), x => x =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val num = greatest(lit(4L) * coalesce(col("nbg"), lit(0L)) - 3L, lit(0L)) *
+      col("b") + lit(3L) * col("n1fwd") * col("n1rev")
+    val den = lit(4L) * col("c1") * col("b")
+    docBg
+      .join(served, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1")).join(c2, Seq("w2"))
       .crossJoin(broadcast(tot))
-      .select(col("w1"), col("w2"), col("n"),
-        (greatest(lit(4L) * col("n") - 3L, lit(0L)) * col("b") +
-          lit(3L) * col("n1fwd") * col("n1rev")).as("pkn_num"),
-        (lit(4L) * col("c1") * col("b")).as("pkn_den"))
+      .select(col("doc_id"),
+        floor(log(num.cast("double") / den.cast("double")) * 1000)
+          .cast("long").as("milli"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("milli")).as("milli_nats"),
+        count(lit(1)).as("n_bigrams"))
   }
 
   /** Bigram language-model table: the top-k continuations of every word

@@ -1516,6 +1516,42 @@ object ExtensionQueries {
            | WHERE bc.n >= 2"""
       .stripMargin.replace("\n", "")))
 
+  /** KN document scoring ([[TextAnalysis.knDocLogprob]]): per-doc
+    * milli-nat log-probability under the corpus's own Kneser-Ney bigram
+    * LM — the CCNet-style perplexity quality filter consuming the
+    * `q_x_kneser_ney` table. The oracle rebuilds the identical exact
+    * fractions (served table pruned at minCount=2, statistics from the
+    * unfiltered aggregate, c=0 backoff arm via the LEFT join's coalesce)
+    * and applies the same floor(ln·1000) quantization per occurrence. */
+  val knDocLogprobQ = Q(
+    "q_x_kn_doc_logprob",
+    "KN-LM doc scoring: per-doc milli-nat logprob under the smoothed LM",
+    (s, dir) => TextAnalysis.knDocLogprob(
+      Sources.table(s, dir, "documents"), "doc_id", "text", minCount = 2L),
+    Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+           |     x -> x <> '') AS toks FROM documents),
+           | b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           |   FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+           |   WHERE len(toks) >= 2),
+           | bc AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2),
+           | c1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1,
+           |   count(*) AS n1fwd FROM bc GROUP BY w1),
+           | c2 AS (SELECT w2, count(*) AS n1rev FROM bc GROUP BY w2),
+           | tot AS (SELECT count(*) AS bb FROM bc),
+           | srv AS (SELECT w1, w2, n FROM bc WHERE n >= 2)
+           | SELECT b.doc_id,
+           |   CAST(sum(CAST(floor(ln(
+           |     CAST(greatest(4*coalesce(srv.n, 0) - 3, 0)*tot.bb
+           |       + 3*c1.n1fwd*c2.n1rev AS DOUBLE)
+           |     / CAST(4*c1.c1*tot.bb AS DOUBLE)) * 1000) AS BIGINT))
+           |     AS BIGINT) AS milli_nats,
+           |   count(*) AS n_bigrams
+           | FROM b LEFT JOIN srv ON b.w1 = srv.w1 AND b.w2 = srv.w2
+           |   JOIN c1 ON b.w1 = c1.w1 JOIN c2 ON b.w2 = c2.w2
+           |   CROSS JOIN tot
+           | GROUP BY b.doc_id"""
+      .stripMargin.replace("\n", "")))
+
   /** Per-source KL drift ([[graft.ext.TextAnalysis.sourceDivergence]]):
     * the mixture-monitoring divergence of each source's unigram
     * distribution from the corpus blend, exact closed form over integer
@@ -2159,7 +2195,8 @@ object ExtensionQueries {
     textNormalize, unigramLogprob, bpePairs, fuzzyJoin,
     chunkDocs, repetition, piiRedact, vocabTopK, vocabCmSketch,
     cmSketchExact,
-    corpusReport, sourceDivergenceQ, bigramLmQ, kneserNeyQ, jsonProps,
+    corpusReport, sourceDivergenceQ, bigramLmQ, kneserNeyQ, knDocLogprobQ,
+    jsonProps,
     multimodal, imagePhash, tfidfTop1, bm25Top1,
     tfidfCappedTop1, bm25CappedTop1, dupSpans, segDedup, labelStatsQ,
     embOutliers, pcaTop, kmeansSizes,

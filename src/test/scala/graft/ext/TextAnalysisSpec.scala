@@ -385,4 +385,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(pruned.map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq(("a", "b")))
   }
+
+  test("knDocLogprob: hand-computed milli-nat sums, OOV backoff pinned") {
+    val spark0 = spark
+    import spark0.implicits._
+    // same corpus as the KN test; minCount=2 prunes (b,a) and (b,c) from
+    // the SERVED table so their occurrences hit the c=0 backoff arm:
+    //   P(b|a) = 30/36      → floor(1000·ln) = −183
+    //   backoff(b,·) = 6/24 → floor(1000·ln) = −1387
+    // doc1 "a b a b c": (a,b)(b,a)(a,b)(b,c) → −183−1387−183−1387 = −3140
+    // doc2 "a b": −183; a one-token doc emits nothing
+    val df = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knDocLogprob(df, "doc_id", "text", minCount = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((-3140L, 4L)), 2L -> ((-183L, 1L))),
+      got.toString)
+  }
 }

@@ -65,6 +65,9 @@ class PlanSweepSpec extends AnyFunSuite {
                                    // broadcast join (the continuation-
                                    // probability denominator; same shape
                                    // as q_x_mutual_info/q_x_benford)
+    "q_x_kn_doc_logprob",          // the same single-row distinct-bigram
+                                   // total B broadcast join as
+                                   // q_x_kneser_ney, on the scoring side
     "q_x_mmr_rerank")              // ≤64 probe vectors broadcast vs corpus
                                    // (the bruteForceTopK =!= shape); the
                                    // eager localCheckpoint hides it from
