@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Cdc, Dedup, FuzzyJoin, Multimodal, Privacy, Similarity, SimilarityJoin, TextAnalysis, TfIdf, TimeSeries}
+import graft.ext.{Bpe, Cdc, Dedup, FuzzyJoin, Multimodal, Privacy, Similarity, SimilarityJoin, SubstringDedup, TextAnalysis, TfIdf, TimeSeries}
 import graft.functions.TextExprs
 import graft.sources.Sources
 
@@ -30,6 +30,37 @@ object ExtensionQueries {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("text")),
     Some("SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"))
+
+  /** Cross-document exact-substring spans
+    * ([[SubstringDedup.crossDocSpans]], Lee et al. 2022 ExactSubstr): the
+    * maximal ≥8-token spans each doc shares VERBATIM with another doc.
+    * The oracle rebuilds the identical anchor-grouping pipeline
+    * (k-token windows → ≥2-distinct-doc anchors → covered-run merge);
+    * all-integer output, 1-based inclusive token positions. */
+  val substringDedup = Q(
+    "q_x_substring_dedup",
+    "Cross-doc exact-substring dedup: maximal >=8-token verbatim spans",
+    (s, dir) => SubstringDedup.crossDocSpans(
+      Sources.table(s, dir, "documents"), "doc_id", "text", k = 8),
+    Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+           |     x -> x <> '') AS toks FROM documents),
+           | a AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           |     array_to_string(toks[i:i+7], ' ') AS anchor
+           |   FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+           |   WHERE len(toks) >= 8),
+           | sh AS (SELECT anchor FROM a GROUP BY anchor
+           |   HAVING count(DISTINCT doc_id) >= 2),
+           | c AS (SELECT doc_id, pos FROM a JOIN sh USING (anchor)),
+           | r AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+           |     OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+           |     THEN 0 ELSE 1 END AS brk FROM c),
+           | s AS (SELECT doc_id, pos, sum(brk)
+           |     OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM r)
+           | SELECT doc_id, min(pos) AS span_start,
+           |   max(pos) + 7 AS span_end,
+           |   max(pos) + 7 - min(pos) + 1 AS span_tokens
+           | FROM s GROUP BY doc_id, sid"""
+      .stripMargin.replace("\n", "")))
 
   /** MinHash+LSH near-dup clustering — full assignment, one row per doc.
     *
@@ -2180,6 +2211,7 @@ object ExtensionQueries {
     None)
 
   val all: Seq[Q] = Seq(
+    substringDedup,
     profileQ,
     dedupExact, dedupMinhash, dedupKeepBest, dedupSimhash,
     dedupSimhashAnchor, dedupVerify,
