@@ -62,6 +62,74 @@ object ExtensionQueries {
            | FROM s GROUP BY doc_id, sid"""
       .stripMargin.replace("\n", "")))
 
+  /** URL canonicalization + canonical-URL dedup ([[graft.ext.Urls]]) —
+    * the first stage of a web-corpus ingest. The documents table carries
+    * no URL column, so the gate CONSTRUCTS adversarial URLs
+    * deterministically from (doc_id, source) — five variants covering
+    * userinfo, upper-case scheme/host, default vs non-default ports,
+    * %-escape case, query order, trailing slash, and fragments — and
+    * both engines build the identical strings, canonicalize, and dedup.
+    * Variants 0/1 and 2/3 collapse to the same canonical URL, so the
+    * n_urls counts certify real merges, not pass-through. */
+  val urlCanonical = Q(
+    "q_x_url_canonical",
+    "URL canonicalization: normalize adversarial variants, dedup by canon",
+    (s, dir) => {
+      val v = col("doc_id") % 5
+      val b = (col("doc_id") % 7).cast("string")
+      val url = when(v === 0, concat(lit("HTTP://user:pw@WWW."),
+          col("source"), lit(".COM:80/p/"), b, lit("/")))
+        .when(v === 1, concat(lit("http://www."), col("source"),
+          lit(".com/p/"), b))
+        .when(v === 2, concat(lit("https://Api."), col("source"),
+          lit(".com:443/a%2fb/?z=2&a=1")))
+        .when(v === 3, concat(lit("https://api."), col("source"),
+          lit(".com/a%2Fb?a=1&z=2")))
+        .otherwise(concat(lit("http://cdn."), col("source"),
+          lit(".com:8080/x/y#frag")))
+      Sources.table(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          graft.ext.Urls.canonicalUrl(col("url")).as("canon_url"),
+          graft.ext.Urls.hostOf(col("url")).as("host"))
+        .groupBy(col("canon_url"), col("host"))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keep_doc"))
+    },
+    Some("""WITH u0 AS (SELECT doc_id, CASE doc_id % 5
+           |   WHEN 0 THEN 'HTTP://user:pw@WWW.' || source || '.COM:80/p/' || (doc_id % 7) || '/'
+           |   WHEN 1 THEN 'http://www.' || source || '.com/p/' || (doc_id % 7)
+           |   WHEN 2 THEN 'https://Api.' || source || '.com:443/a%2fb/?z=2&a=1'
+           |   WHEN 3 THEN 'https://api.' || source || '.com/a%2Fb?a=1&z=2'
+           |   ELSE 'http://cdn.' || source || '.com:8080/x/y#frag' END AS url
+           |   FROM documents),
+           | p0 AS (SELECT doc_id, url, string_split(url, '%') AS pr FROM u0),
+           | p AS (SELECT doc_id, CASE WHEN len(pr) = 1 THEN url ELSE pr[1]
+           |   || array_to_string(['%' || upper(x[1:2]) || x[3:]
+           |     for x in pr[2:]], '') END AS u FROM p0),
+           | c AS (SELECT doc_id, u,
+           |   lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           |   regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p),
+           | d AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS auth FROM c),
+           | e AS (SELECT *, substr(rest, length(auth) + 1) AS tail,
+           |   regexp_replace(auth, '^[^@]*@', '') AS hostport FROM d),
+           | f AS (SELECT *, regexp_extract(tail, '^([^?#]*)', 1) AS path,
+           |   regexp_extract(tail, '^[^?#]*\?([^#]*)', 1) AS query,
+           |   regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+           |   lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host FROM e),
+           | g AS (SELECT doc_id, host, scheme || '://' || host ||
+           |   CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+           |     OR (scheme = 'https' AND port = '443'))
+           |     THEN ':' || port ELSE '' END ||
+           |   CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+           |     ELSE regexp_replace(path, '/+$', '') END ||
+           |   CASE WHEN query = '' THEN '' ELSE '?' ||
+           |     array_to_string(list_sort(string_split(query, '&')), '&') END
+           |   AS canon_url FROM f)
+           | SELECT canon_url, host, count(*) AS n_urls,
+           |   min(doc_id) AS keep_doc
+           | FROM g GROUP BY canon_url, host"""
+      .stripMargin.replace("\n", "")))
+
   /** MinHash+LSH near-dup clustering — full assignment, one row per doc.
     *
     * Fully oracle-checked: the LSH path's RESULT is exactly the connected
@@ -2211,7 +2279,7 @@ object ExtensionQueries {
     None)
 
   val all: Seq[Q] = Seq(
-    substringDedup,
+    substringDedup, urlCanonical,
     profileQ,
     dedupExact, dedupMinhash, dedupKeepBest, dedupSimhash,
     dedupSimhashAnchor, dedupVerify,
