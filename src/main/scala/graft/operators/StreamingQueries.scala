@@ -46,6 +46,23 @@ object StreamingQueries {
     }
   }
 
+  /** [[withStagedEvents]] for the documents table (the streaming ingest
+    * gates read docs, not events): stage the single-file driver fixture
+    * behind a symlink dir, stream a generated parquet DIRECTORY as-is. */
+  private def withStagedDocs(dir: String)(f: String => DataFrame): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    if (java.nio.file.Files.isDirectory(p)) f(p.toString)
+    else {
+      val stage = java.nio.file.Files.createTempDirectory("graft-stream-q")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("documents.parquet"), p.toAbsolutePath)
+      try f(stage.toString) finally {
+        java.nio.file.Files.deleteIfExists(stage.resolve("documents.parquet"))
+        java.nio.file.Files.deleteIfExists(stage)
+      }
+    }
+  }
+
   /** Stateful streaming ops allocate one state store PER shuffle partition
     * per operator side — at the bench's bounded fixture, 32-way state means
     * 100+ checkpoint files per micro-batch of pure fixed overhead. Scope
@@ -655,8 +672,61 @@ object StreamingQueries {
            | SELECT window_start, CAST(rank AS BIGINT) AS rank, event_id
            | FROM r WHERE rank <= 5""".stripMargin.replace("\n", "")))
 
+  /** Streaming quality admission
+    * ([[graft.streaming.DocsStream.qualityAdmission]]): the curation
+    * funnel's quality+language gate as a stateless streaming ingest
+    * stage — every doc streamed through the real readStream→memory-sink
+    * path carries its langid, integer-bp quality score, and admission
+    * verdict (the budgetAdmission filter-plus-audit idiom, map-only).
+    * The oracle re-derives both scores batch-side, so the row hash
+    * certifies stream/batch equivalence of the full gate. */
+  val streamQuality = Q(
+    "q_s_stream_quality",
+    "Streaming quality+langid admission gate = batch scoring",
+    (s, dir) => withStagedDocs(dir) { staged =>
+      val src = graft.streaming.DocsStream.readDocuments(s, staged)
+      val out = graft.streaming.DocsStream.qualityAdmission(src, minBp = 5000L)
+      runToMemory(s, out, "append", "graft_stream_quality")
+    },
+    Some("""WITH sc AS (SELECT doc_id,
+           | len(list_filter(string_split(lower(text), ' '), t -> t IN
+           |   ('the','of','and','to','in','is','that','it','for'))) * 1.0
+           |   / greatest(len(string_split(lower(text), ' ')), 1) - 0 * 1e-9 AS s_en,
+           | len(list_filter(string_split(lower(text), ' '), t -> t IN
+           |   ('le','la','les','de','des','et','en','que','une'))) * 1.0
+           |   / greatest(len(string_split(lower(text), ' ')), 1) - 1 * 1e-9 AS s_fr,
+           | len(list_filter(string_split(lower(text), ' '), t -> t IN
+           |   ('el','la','los','de','que','y','en','un','una'))) * 1.0
+           |   / greatest(len(string_split(lower(text), ' ')), 1) - 2 * 1e-9 AS s_es,
+           | len(list_filter(string_split(lower(text), ' '), t -> t IN
+           |   ('der','die','das','und','in','den','von','zu','mit'))) * 1.0
+           |   / greatest(len(string_split(lower(text), ' ')), 1) - 3 * 1e-9 AS s_de,
+           | (len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) * 1.0
+           |   / greatest(length(text), 1)) * 10.0 - 4 * 1e-9 AS s_zh
+           | FROM documents),
+           | p AS (SELECT doc_id, CASE
+           | WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+           | WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+           | WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+           | WHEN s_de >= s_zh THEN 'de'
+           | ELSE 'zh' END AS lang_pred FROM sc),
+           | q AS (SELECT doc_id,
+           |   CAST(floor(4000.0 * least(len(string_split(text, ' ')), 64) / 64.0) AS BIGINT)
+           |   + CAST(floor(3000.0 * least(5 * len(list_filter(string_split(text, ' '), t -> t IN
+           |     ('the','a','an','of','to','and','in','is','it','for','on','with','as','at','by','be'))),
+           |     len(string_split(text, ' '))) / greatest(len(string_split(text, ' ')), 1)) AS BIGINT)
+           |   + (CASE WHEN (length(replace(text, ' ', '')) * 1.0
+           |     / greatest(len(string_split(text, ' ')), 1)) BETWEEN 3.0 AND 10.0
+           |     THEN 3000 ELSE 0 END) AS quality_score_bp
+           |   FROM documents)
+           | SELECT p.doc_id, p.lang_pred, q.quality_score_bp,
+           |   q.quality_score_bp >= 5000 AS admitted
+           | FROM p JOIN q USING (doc_id)"""
+      .stripMargin.replace("\n", "")))
+
   val all: Seq[Q] = Seq(streamDedup, streamWindow, streamJoin,
     streamJoinCapped, streamEnrich, streamSession, streamAsof, streamHeavy,
     streamScd2, streamEwma, streamFunnel, streamDistinct, streamHopping,
-    streamJoinOuter, streamLate, streamBudget, streamDrift, streamSample)
+    streamJoinOuter, streamLate, streamBudget, streamDrift, streamSample,
+    streamQuality)
 }
