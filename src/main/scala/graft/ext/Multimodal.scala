@@ -59,7 +59,12 @@ object Multimodal {
   def attachMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"))
+    // Fan the codec work out to every core (Sources.fanOut, r13): the gate
+    // corpus is ONE parquet file = one row group = one scan task, so
+    // without this the encode/decode chain of every multimodal operator
+    // runs single-threaded however many cores the session has.
+    graft.sources.Sources
+      .fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>

@@ -41,16 +41,37 @@ object Stats {
     * n·Sxy ≤ 1e14·rows² — inside DECIMAL(38,0) (and DuckDB HUGEINT)
     * through rows ≈ 1e12, i.e. comfortably past a 100 TB lineitem. */
   def corrMatrixCenti(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val c = cols.map(n => centi(col(n)).as(n))
+    // r13 per-row cost fix (guide §1.2 step 2, expression choice): the
+    // old shape multiplied DECIMAL(38,0)×DECIMAL(38,0) per row — Spark's
+    // Decimal.* always routes through java.math.BigDecimal (no compact-
+    // long fast path), so k(k+3)/2 interpreted BigDecimal multiplies +
+    // allocations per input row dominated the scan. Keep per-row values
+    // as LONGs, form each product in 64-bit integer arithmetic, and cast
+    // only the PRODUCT to decimal for the (compact-fast-path) sum. Safe
+    // iff |centi| < √(2⁶³) ≈ 3.037e9, i.e. column magnitudes ≤ ~30.4M
+    // units — guarded per row with a loud raise_error (Spark non-ANSI
+    // long multiply would otherwise WRAP silently where the old decimal
+    // path stayed exact; the KN-overflow-guard convention).
+    val centiLongBound = 3037000499L // floor(sqrt(2^63 - 1))
+    val c = cols.map { n =>
+      val v = round(col(n) * 100, 0).cast("long")
+      when(abs(v) < centiLongBound, v)
+        .otherwise(raise_error(concat(
+          lit(s"corrMatrixCenti: |centi($n)| >= 3.037e9 overflows the " +
+            "long product path, value "), v.cast("string"))))
+        .as(n)
+    }
     val d = df.select(c: _*)
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
+    val dec38 = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
     val moments =
       Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
-        cols.map(n => sum(col(n)).as(s"s_$n")) ++
-        cols.map(n => sum(col(n) * col(n)).as(s"ss_$n")) ++
-        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+        cols.map(n => sum(dec38(col(n))).as(s"s_$n")) ++
+        cols.map(n => sum(dec38(col(n) * col(n))).as(s"ss_$n")) ++
+        pairs.map { case (a, b) =>
+          sum(dec38(col(a) * col(b))).as(s"sp_${a}_$b") }
     // one 1-row moments frame feeding k(k-1)/2 union legs: materialize it
     // once (the MarketBasket/TfIdf localCheckpoint idiom) or every leg
     // re-runs the full scan+aggregate subtree

@@ -33,10 +33,13 @@ import org.apache.spark.sql.functions._
   * Lee et al.'s single-node suffix array wins constants on one machine;
   * on a cluster the anchor form is embarrassingly parallel, strictly
   * linear in corpus size (k× anchor blowup in the two exchanges), and
-  * needs no global suffix ordering or seam repair. At 100 TB the
-  * exchange key can switch from the raw k-token string (collision-free,
-  * oracle-exact — used here) to a 128-bit content hash to bound key
-  * width; the span semantics are unchanged up to hash collisions.
+  * needs no global suffix ordering or seam repair. The exchange key is
+  * xxhash64 over the k-token slice (r13; previously the raw k-token
+  * string): 8 bytes per anchor on both corpus-sized exchanges and no
+  * per-position string construction, at the exactByHash collision trade
+  * — P(any collision) ≈ (#distinct anchors)²/2⁶⁵, negligible through
+  * trillion-anchor corpora, and verified hash-green against the
+  * raw-string DuckDB oracle at both gate SFs.
   *
   * All-integer output — positions are 1-based token indices, span
   * boundaries inclusive — so the frame hash-checks against an engine
@@ -53,20 +56,36 @@ object SubstringDedup {
                     k: Int = 8): DataFrame = {
     require(k >= 2 && k <= 256, s"k $k must be in 2..256 tokens")
 
-    val anchors = df
-      .select(col(idCol).as("doc_id"),
-        filter(split(col(textCol), " ", -1), x => x =!= "").as("toks"))
+    // r13 optimization (the class doc's own 100 TB note, now the default):
+    // key the anchor stream by xxhash64 OVER THE TOKEN SLICE instead of a
+    // built k-token string. Per position this replaces an array_join
+    // string allocation (~k·token bytes, twice — the stream is traversed
+    // by both the aggregate and the join-back) with one 8-byte hash, and
+    // shrinks both corpus-sized exchange keys from ~k·token bytes to 8 B.
+    // Collision cost: two DIFFERENT k-token windows sharing a 64-bit hash
+    // could mark a span as shared; P ≈ (#distinct anchors)²/2⁶⁵ — the
+    // exactByHash trade, ≪ 1 through trillion-anchor corpora, and the
+    // DuckDB oracle (which compares raw strings) stays hash-green at both
+    // gate SFs, i.e. zero collisions on the driver data. fanOut: the
+    // k-slice + hash anchor explode is codec-grade per-row CPU (measured
+    // 1.7 s -> 1.2 s at sf0.1 with the fan-out, unlike the plain
+    // tokenize chains where it regresses — see Sources.fanOut doc).
+    val anchors = graft.sources.Sources.fanOut(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        filter(split(col("__text"), " ", -1), x => x =!= "").as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("toks")) - (k - 1)),
         i => struct(i.cast("long").as("pos"),
-          array_join(slice(col("toks"), i, lit(k)), " ").as("anchor"))))
+          xxhash64(slice(col("toks"), i, lit(k))).as("anchor"))))
         .as("a"))
       .select(col("doc_id"), col("a.pos").as("pos"),
         col("a.anchor").as("anchor"))
 
     // shared anchors: exact distinct-doc count ≥ 2, keyed by the anchor
-    // text (partial aggregation bounds the exchange at one row per
+    // hash (partial aggregation bounds the exchange at one row per
     // (anchor, doc) pair per map task)
     val shared = anchors.groupBy(col("anchor"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))

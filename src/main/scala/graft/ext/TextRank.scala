@@ -42,9 +42,17 @@ object TextRank {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
-    bigrams.select(col("w1").as("u"), col("w2").as("v"), col("n"))
-      .unionByName(bigrams.select(col("w2").as("u"), col("w1").as("v"),
-        col("n")))
+    // Symmetrize MAP-SIDE from the aggregated bigram rows (r13): the old
+    // self-union referenced `bigrams` twice, and Catalyst does no plan
+    // reuse across union branches — the corpus-scale explode + aggregate
+    // subtree executed TWICE (guide §1.2: don't compute things twice).
+    // Emitting both directions per aggregated row is one extra map over
+    // vocab²-bounded rows instead of a second corpus pass.
+    bigrams
+      .select(explode(array(
+        struct(col("w1").as("u"), col("w2").as("v"), col("n")),
+        struct(col("w2").as("u"), col("w1").as("v"), col("n")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.n").as("n"))
       .groupBy(col("u"), col("v")).agg(sum(col("n")).as("n"))
   }
 

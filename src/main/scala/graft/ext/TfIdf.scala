@@ -49,6 +49,10 @@ object TfIdf {
       explode(split(col(textCol), " ")).as("term"))
     .filter(length(col("term")) > 0)
     .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // r13 note: measured a Sources.fanOut here as a 1.4-1.6× REGRESSION
+    // across the tfidf/bm25 rows — whitespace tokenize is too cheap to
+    // pay for the extra text-carrying exchange (fanOut pays off for
+    // codec-grade per-row CPU only; see Sources.fanOut doc).
 
   /** (term, df) document frequencies with the fan-out caps applied — the
     * ONE definition of the cap rule (fraction prune with a floor of 1,

@@ -105,16 +105,72 @@ final class QDigestAgg(val bits: Int = 20, val k: Int = 2048)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
+/** [[QDigestAgg]] over PRE-AGGREGATED (value, count) rows — the r13
+  * single-scan shape: callers histogram the value stream first (one
+  * codegen hash aggregate, map-side partials, value-domain-bounded
+  * output) and feed each distinct value ONCE with its multiplicity,
+  * instead of streaming every raw row through the typed-Aggregator
+  * encoder boundary. The digest obeys the identical ε·n rank guarantee
+  * and ≤ 3k size bound — compression decisions see the same (id, mass)
+  * multiset; only the (guarantee-irrelevant, see [[QDigestAgg]] Scaladoc)
+  * early-compression order differs from row-at-a-time insertion. */
+final class QDigestWeightedAgg(val bits: Int = 20, val k: Int = 2048)
+    extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+  require(bits > 0 && bits < 62, s"bits must be in [1, 61], got $bits")
+  require(k > 0, "compression factor k must be positive")
+
+  private val leafBase = 1L << bits
+  private val scratchCap = 2 * (3 * k + 4096)
+
+  override def zero: Array[Long] = Array(0L)
+
+  override def reduce(b: Array[Long], vw: (Long, Long)): Array[Long] = {
+    val (value, w) = vw
+    require(value >= 0 && value < leafBase,
+      s"value $value outside quantized universe [0, $leafBase)")
+    require(w >= 0, s"weight $w must be non-negative")
+    if (w == 0L) return b
+    val used = b(0).toInt
+    val buf =
+      if (1 + used + 2 > b.length)
+        java.util.Arrays.copyOf(b, math.max(2 * b.length, 1 + used + 2))
+      else b
+    buf(1 + used) = leafBase + value
+    buf(2 + used) = w
+    buf(0) = used + 2
+    if (used + 2 > scratchCap) QDigestAgg.rewrap(buf, bits, k) else buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a(0) == 0L) return b
+    if (b(0) == 0L) return a
+    val la = a(0).toInt; val lb = b(0).toInt
+    val cat = new Array[Long](la + lb)
+    System.arraycopy(a, 1, cat, 0, la)
+    System.arraycopy(b, 1, cat, la, lb)
+    QDigestAgg.withHeader(QDigestAgg.canonicalize(cat, bits, k))
+  }
+
+  override def finish(r: Array[Long]): Array[Long] =
+    QDigestAgg.canonicalize(
+      java.util.Arrays.copyOfRange(r, 1, 1 + r(0).toInt), bits, k)
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 object QDigestAgg {
 
   /** Canonicalize a headered scratch buffer, returning a fresh compact
     * headered buffer (subsequent appends re-grow by doubling). */
-  private def rewrap(buf: Array[Long], bits: Int, k: Int): Array[Long] =
+  private[functions] def rewrap(buf: Array[Long], bits: Int, k: Int): Array[Long] =
     withHeader(canonicalize(
       java.util.Arrays.copyOfRange(buf, 1, 1 + buf(0).toInt), bits, k))
 
   /** Prefix a compact pairs array with the length-header slot. */
-  private def withHeader(pairs: Array[Long]): Array[Long] = {
+  private[functions] def withHeader(pairs: Array[Long]): Array[Long] = {
     val out = new Array[Long](1 + pairs.length)
     out(0) = pairs.length
     System.arraycopy(pairs, 0, out, 1, pairs.length)

@@ -656,23 +656,38 @@ object AnchorQueries {
     "q_x_quantile_sketch_anchor",
     "q-digest quantiles within 3·(bits/k)·n exact rank + size<=3k (expect 0 rows)",
     (s, dir) => {
-      import graft.functions.QDigestAgg
+      import graft.functions.{QDigestAgg, QDigestWeightedAgg}
       val bits = 24; val k = 2048
-      val cents = t(s, dir, "lineitem")
+      // r13 single-scan shape (guide §1.2: remove unnecessary passes).
+      // The old form streamed every raw cent value through the typed
+      // QDigestAgg (one corpus scan through the Aggregator encoder
+      // boundary) and then ran a SECOND full corpus scan for the exact
+      // rank envelopes. Histogramming first — one codegen hash aggregate,
+      // map-side partials — leaves ONE corpus scan total; the digest
+      // builds from value-domain-bounded (c, cnt) rows via
+      // QDigestWeightedAgg and the rank envelopes become aggregates over
+      // the same checkpointed histogram. Identical guarantees checked
+      // (the ε·n rank bound holds for any insertion multiset); exact
+      // ranks are identical integers by construction.
+      val hist = t(s, dir, "lineitem")
         .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
-      val qd = udaf(new QDigestAgg(bits, k),
-        org.apache.spark.sql.Encoders.scalaLong)
-      val agg = cents.agg(qd(col("c")).as("digest"),
-        count(lit(1)).as("n")).head()
+        .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // feeds digest + rank probes
+      val qd = udaf(new QDigestWeightedAgg(bits, k),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val agg = hist.agg(qd(col("c"), col("cnt")).as("digest"),
+        sum(col("cnt")).as("n")).head()
       val digest = agg.getAs[scala.collection.Seq[Long]]("digest").toArray
       val n = agg.getAs[Long]("n")
       val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
       val reported = qs.map(q => QDigestAgg.quantile(digest, bits, q))
-      // exact rank envelope of each reported value, one aggregate pass
+      // exact rank envelope of each reported value, from the histogram
       val rankCols = reported.zipWithIndex.flatMap { case (v, i) => Seq(
-        sum(when(col("c") < v, 1L).otherwise(0L)).as(s"lo$i"),
-        sum(when(col("c") <= v, 1L).otherwise(0L)).as(s"hi$i")) }
-      val ranks = cents.agg(rankCols.head, rankCols.tail: _*).head()
+        sum(when(col("c") < v, col("cnt")).otherwise(0L)).as(s"lo$i"),
+        sum(when(col("c") <= v, col("cnt")).otherwise(0L)).as(s"hi$i")) }
+      val ranks = hist.agg(rankCols.head, rankCols.tail: _*).head()
       val bound = (3.0 * bits / k * n).toLong + 1L
       val sizeViolation =
         if (QDigestAgg.entries(digest) <= 3 * k) Seq.empty

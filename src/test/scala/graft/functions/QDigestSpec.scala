@@ -108,4 +108,36 @@ class QDigestSpec extends AnyFunSuite {
     assert(QDigestAgg.total(d) == 200000L)
     checkQuantiles(d, (0 until 200000).map(i => (i % 1024).toLong))
   }
+
+  test("weighted digest over the histogram meets the same guarantees") {
+    // r13: QDigestWeightedAgg consumes PRE-AGGREGATED (value, count)
+    // rows (the single-scan anchor shape). Same ε·n rank guarantee,
+    // size bound, and exact mass as row-at-a-time insertion over the
+    // expanded stream; zero-weight rows are no-ops.
+    val hist = data.groupBy(identity).map { case (v, vs) =>
+      (v, vs.size.toLong) }.toSeq.sortBy(_._1)
+    val agg = new QDigestWeightedAgg(bits, k)
+    val d = agg.finish(
+      (hist :+ (5L, 0L)).foldLeft(agg.zero)(agg.reduce))
+    assert(QDigestAgg.entries(d) <= 3 * k,
+      s"size ${QDigestAgg.entries(d)} > 3k=${3 * k}")
+    checkQuantiles(d, data)
+  }
+
+  test("weighted digest merge across shuffled partials holds the bound") {
+    val hist = data.groupBy(identity).map { case (v, vs) =>
+      (v, vs.size.toLong) }.toSeq
+    val agg = new QDigestWeightedAgg(bits, k)
+    val parts = hist.zipWithIndex.groupBy(_._2 % 8).values
+      .map(_.map(_._1).foldLeft(agg.zero)(agg.reduce)).toSeq
+    val d = agg.finish(parts.reduce(agg.merge))
+    assert(QDigestAgg.entries(d) <= 3 * k)
+    checkQuantiles(d, data)
+  }
+
+  test("weighted digest rejects negative weights and bad values loudly") {
+    val agg = new QDigestWeightedAgg(bits, k)
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, (3L, -1L)))
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, (1024L, 1L)))
+  }
 }
