@@ -51,8 +51,9 @@ object MarketBasket {
       itemCol: String,
       minPairCount: Long,
       maxBasket: Int = 64): DataFrame = {
-    val b0 = items
-      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+    val b0 = graft.sources.Sources.fanOut(
+        items.select(col(basketCol).as("basket"), col(itemCol).as("item")),
+        col("basket"))
       .distinct()
     val kept = b0
       .groupBy(col("basket")).agg(count(lit(1)).as("sz"))
@@ -72,8 +73,13 @@ object MarketBasket {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     b.count()
     // one tiny frame: the kept-basket universe size (support denominator).
-    // `kept` is already one row per basket — no distinct needed.
-    val n = kept.agg(count(lit(1)).as("n_baskets"))
+    // r13: derived from the CACHED kept-item table — `kept.agg(count)`
+    // re-ran the whole scan→distinct→size-aggregate pipeline from
+    // scratch inside the rules plan (the cache boundary hides `kept`'s
+    // subtree from exchange reuse), i.e. one extra corpus pass for one
+    // scalar. Every kept basket has ≥ 1 item row in `b`, so
+    // count(DISTINCT basket) over `b` is the same integer.
+    val n = b.agg(countDistinct(col("basket")).as("n_baskets"))
     val itemCnt = b.groupBy(col("item")).agg(count(lit(1)).as("c"))
     val pa = b.select(col("basket"), col("item").as("item_a"))
     val pb = b.select(col("basket"), col("item").as("item_b"))
@@ -82,7 +88,11 @@ object MarketBasket {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairCount)
-    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    // r13: lift products in DOUBLE, not DECIMAL(38,0). Counts are exact
+    // doubles below 2^53, and one double multiply of two exact values is
+    // the correctly-rounded true product — bit-identical to the old
+    // exact-decimal-product-then-cast (and to DuckDB's HUGEINT product
+    // cast to DOUBLE), without a BigDecimal multiply per rule row.
     val rules = pairs
       .join(itemCnt.select(col("item").as("item_a"), col("c").as("n_a")), "item_a")
       .join(itemCnt.select(col("item").as("item_b"), col("c").as("n_b")), "item_b")
@@ -92,8 +102,8 @@ object MarketBasket {
         round(col("n_pair").cast("double") / col("n_baskets"), 6).as("support"),
         round(col("n_pair").cast("double") / col("n_a"), 6).as("conf_a_b"),
         round(col("n_pair").cast("double") / col("n_b"), 6).as("conf_b_a"),
-        round((dec(col("n_pair")) * col("n_baskets")).cast("double") /
-          (dec(col("n_a")) * col("n_b")).cast("double"), 6).as("lift"))
+        round((col("n_pair").cast("double") * col("n_baskets").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
     // The rule set is minPairCount-thresholded and therefore far smaller
     // than the basket table; materialize it eagerly (ContextCleaner-
     // reclaimed localCheckpoint) so the corpus-scale `b` cache can drop

@@ -269,8 +269,15 @@ object Multimodal {
       }
   }
 
+  /** `clip_ms` (r13) carries the source clip's duration through to the
+    * segment rows: consumers checking segments against clip bounds (the
+    * VAD anchor) would otherwise need a SECOND full attachMedia/decode
+    * pass over the corpus just to re-read the metadata column — the
+    * mapPartitions boundary is opaque to column pruning, so that second
+    * pass re-encodes every modality (guide §1.2: don't compute what you
+    * already had in hand). */
   final case class VadRow(doc_id: Long, seg_idx: Int, start_ms: Long,
-                          end_ms: Long, n_frames: Int)
+                          end_ms: Long, n_frames: Int, clip_ms: Long)
 
   /** Voice-activity segments for the corpus's audio rows
     * ([[AudioCodec.vadSegments]] batched per partition — the speech
@@ -291,7 +298,8 @@ object Multimodal {
         rows.flatMap { r =>
           AudioCodec.vadSegments(r.media, frameMs, thresholdMilli)
             .zipWithIndex.map { case (seg, i) =>
-              VadRow(r.doc_id, i, seg.startMs, seg.endMs, seg.nFrames)
+              VadRow(r.doc_id, i, seg.startMs, seg.endMs, seg.nFrames,
+                r.duration_ms)
             }
         }
       }

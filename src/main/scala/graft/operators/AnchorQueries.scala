@@ -93,6 +93,13 @@ object AnchorQueries {
     * Violations only, one unified row shape. */
   private[operators] def annAnchor(emb: DataFrame, approx: DataFrame, k: Int,
                                    minTotalHits: Long, gapBound: Double): DataFrame = {
+    // r13 note: tried localCheckpoint(true) on `approx`/`exact` here
+    // (each is referenced 2-3× below) — measured a consistent 1.2-1.4×
+    // REGRESSION across all three ANN anchors. The expensive pipeline
+    // stages all sit below Exchanges, which Catalyst already deduplicates
+    // across the references (ReusedExchange; spark.sql.exchange.reuse),
+    // so the barriers only added serial jobs. Re-execution bites map-only
+    // chains with no exchange (see the VAD anchor fix), not these.
     val exact = Similarity.bruteForceTopK(emb, (0L until 10L).toSeq, k)
     val structure = approx
       .groupBy(col("vec_id"))
@@ -226,20 +233,35 @@ object AnchorQueries {
     "q_x_winnow_anchor",
     "winnowing: text-determinism + nonempty + ordered (expect 0 rows)",
     (s, dir) => {
+      // r13 single-pass shape (guide §1.2): the old three legs each
+      // re-referenced `w`, re-running the corpus winnowing pass 3×
+      // (union branches share no plan). One text-keyed aggregate now
+      // computes all three violation counts from a single fingerprint
+      // pass — the determinism check needs the text grouping anyway, and
+      // the per-row checks fold into conditional sums riding the same
+      // exchange. Output rows identical: (reason, n) with n > 0.
       val w = t(s, dir, "documents")
         .select(col("doc_id") +: col("text") +:
           graft.ext.TextAnalysis.winnowSummary(col("text")): _*)
-      val nondeterministic = w.groupBy(col("text"))
-        .agg(count_distinct(struct(col("n_fingerprints"), col("min_fp"),
-          col("max_fp"))).as("v"))
-        .filter(col("v") > 1)
-        .agg(count(lit(1)).as("n")).select(lit("text_nondeterministic").as("reason"), col("n"))
-      val empty = w
-        .filter(col("n_fingerprints") < 1 && length(col("text")) >= 30)
-        .agg(count(lit(1)).as("n")).select(lit("empty_signature").as("reason"), col("n"))
-      val unordered = w.filter(col("min_fp") > col("max_fp"))
-        .agg(count(lit(1)).as("n")).select(lit("min_gt_max").as("reason"), col("n"))
-      nondeterministic.unionAll(empty).unionAll(unordered)
+      val per = w.groupBy(col("text")).agg(
+        count_distinct(struct(col("n_fingerprints"), col("min_fp"),
+          col("max_fp"))).as("v"),
+        sum(when(col("n_fingerprints") < 1 && length(col("text")) >= 30,
+          1L).otherwise(0L)).as("n_empty"),
+        sum(when(col("min_fp") > col("max_fp"), 1L).otherwise(0L))
+          .as("n_unord"))
+      per.agg(
+          sum(when(col("v") > 1, 1L).otherwise(0L)).as("n_nondet"),
+          sum(col("n_empty")).as("n_empty"),
+          sum(col("n_unord")).as("n_unord"))
+        .select(explode(array(
+          struct(lit("text_nondeterministic").as("reason"),
+            coalesce(col("n_nondet"), lit(0L)).as("n")),
+          struct(lit("empty_signature").as("reason"),
+            coalesce(col("n_empty"), lit(0L)).as("n")),
+          struct(lit("min_gt_max").as("reason"),
+            coalesce(col("n_unord"), lit(0L)).as("n")))).as("r"))
+        .select(col("r.reason").as("reason"), col("r.n").as("n"))
         .filter(col("n") > 0)
     },
     noRows("reason" -> "VARCHAR", "n" -> "BIGINT"))
@@ -382,27 +404,34 @@ object AnchorQueries {
                                           centroids: Array[Array[Float]],
                                           assigned: DataFrame): DataFrame = {
       val centLit: Column = typedLit(centroids.map(_.toSeq).toSeq)
-      val scored = emb
-        .select(col("vec_id"), col("embedding"),
+      // r13 single-pass shape (guide §1.2): the old form posexploded the
+      // corpus against the centroid literal into a `scored` frame that
+      // was referenced TWICE (per-vec argmax + the assignment's own cos),
+      // so the k·|corpus| scoring ran twice, plus a corpus-keyed left
+      // join between the two derivatives. One left join of assignments
+      // onto embeddings, one posexplode, one aggregate now computes both
+      // quantities together: best_cos = max over cells, assigned_cos =
+      // the (at most one) cell matching cluster_id. Left join keeps the
+      // silent-drop control intact: an assignment whose vec is missing
+      // from `emb` or whose cluster_id matches no centroid index yields
+      // a NULL assigned_cos → unmatched_cell, exactly as before.
+      val perVec = assigned
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"),
+          "left")
+        .select(col("vec_id"), col("cluster_id"), col("embedding"),
           posexplode(centLit).as(Seq("cell", "cvec")))
-        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        .select(col("vec_id"), col("cluster_id"),
+          col("cell").cast("long").as("cell"),
           TextExprs.cosine_sim(col("embedding"), col("cvec")).as("cos"))
-      val best = scored.groupBy(col("vec_id"))
-        .agg(max(col("cos")).as("best_cos"))
-      // Left join: an assignment whose cluster_id matches no centroid index
-      // (e.g. a kernel regressing to 1-based or out-of-range ids) must
-      // surface as a violation, not silently drop out of the comparison.
-      val assignedCos = assigned
-        .join(scored, assigned("vec_id") === scored("vec_id") &&
-          assigned("cluster_id") === scored("cell"), "left")
-        .select(assigned("vec_id"), assigned("cluster_id"),
-          col("cos").as("assigned_cos"))
-      val unmatched = assignedCos.filter(col("assigned_cos").isNull)
+        .groupBy(col("vec_id"), col("cluster_id"))
+        .agg(max(col("cos")).as("best_cos"),
+          max(when(col("cell") === col("cluster_id"), col("cos")))
+            .as("assigned_cos"))
+      val unmatched = perVec.filter(col("assigned_cos").isNull)
         .select(lit("unmatched_cell").as("reason"),
           col("vec_id").cast("double").as("got"),
           col("cluster_id").cast("double").as("want"))
-      val subopt = assignedCos.filter(col("assigned_cos").isNotNull)
-        .join(best, "vec_id")
+      val subopt = perVec.filter(col("assigned_cos").isNotNull)
         .filter(col("best_cos") - col("assigned_cos") > 1e-5)
         .select(lit("suboptimal_cell").as("reason"),
           col("vec_id").cast("double").as("got"),
@@ -863,13 +892,17 @@ object AnchorQueries {
     "q_x_audio_vad_anchor",
     "VAD segments on-grid, ordered, in-bounds per clip (expect 0 rows)",
     (s, dir) => {
+      // ONE attachMedia pass (r13): the clip duration rides on the
+      // segment rows (VadRow.clip_ms) — the old shape re-ran the full
+      // media encode a second time just to re-read duration_ms, then
+      // joined it back (two corpus encode passes + a doc-keyed join for
+      // a value the first pass already held).
       val media = Multimodal.attachMedia(t(s, dir, "documents"))
       val segs = Multimodal.audioVad(media).toDF()
-      val dur = media.filter(col("format") === "audio/wav")
-        .select(col("doc_id"), col("duration_ms"))
+        .withColumnRenamed("clip_ms", "duration_ms")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("seg_idx"))
-      segs.join(dur, "doc_id")
+      segs
         .withColumn("prev_end", lag(col("end_ms"), 1).over(w))
         .filter(col("start_ms") < 0 ||
           col("end_ms") <= col("start_ms") ||

@@ -53,5 +53,9 @@ class AudioVadSpec extends AnyFunSuite {
     val got = Multimodal.audioVad(media).collect()
       .map(r => (r.doc_id, r.seg_idx, r.start_ms, r.end_ms)).toSet
     assert(got == Set((1L, 0, 0L, 200L), (1L, 1, 400L, 600L)))
+    // r13: the clip duration rides on every segment row, so bound checks
+    // need no second decode pass over the media frame
+    assert(Multimodal.audioVad(media).collect().map(_.clip_ms).toSet
+      == Set(600L))
   }
 }
