@@ -178,15 +178,22 @@ object TpchQueries {
     "q_tpch_q16_supplier_cnt",
     "TPC-H Q16-style supplier counts per part attribute (derived partsupp)",
     (s, dir) => {
-      val ps = t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      // r13 (guide §2.3, shuffle fewer bytes): the old shape ran a
+      // DISTINCT exchange over every (l_partkey, l_suppkey) pair BEFORE
+      // the selective part join. countDistinct(l_suppkey) already
+      // dedupes suppliers within each group, so the pre-distinct was
+      // pure cost — join the (broadcast) filtered part dim first and let
+      // the single grouped count-distinct aggregate do the dedup; the
+      // only exchange now carries the ~16%-selectivity post-join rows.
       val p = t(s, dir, "part")
         .filter(col("p_brand") =!= "Brand#4" &&
           col("p_type") =!= "PROMO" &&
           col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
         .select(col("p_partkey"), col("p_brand"), col("p_type"),
           col("p_size"))
-      ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"),
           col("p_size").cast("long").as("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
