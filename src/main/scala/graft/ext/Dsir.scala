@@ -57,11 +57,21 @@ object Dsir {
     // except 256 at runtime — misleading API surface; other widths need a
     // mod both engines apply identically (extend bucket() before widening).
     val nBuckets = 256
+    // r13: materialize the bucketed token stream ONCE (the minhash-memb
+    // persist+count idiom). `toks` feeds both the estimate aggregate and
+    // the scoring join, and the whole chain below it is map-only — no
+    // exchange for Catalyst to reuse — so the tokenize + per-token
+    // md5/conv pass (the operator's dominant CPU) executed twice.
+    // persist, not localCheckpoint: the stream is corpus-scale, and the
+    // counted cache keeps join planning size-aware (the MarketBasket
+    // stats argument); dropped before return via the checkpointed result.
     val toks = docs.select(col(idCol), isTarget.as("is_t"), col(textCol))
       .select(col(idCol), col("is_t"),
         explode(filter(split(col(textCol), " ", -1), t => t =!= lit("")))
           .as("tok"))
       .select(col(idCol), col("is_t"), bucket(col("tok")).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count()
     val counts = toks.groupBy(col("b")).agg(
       count(lit(1)).as("n_raw"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"))
@@ -85,9 +95,13 @@ object Dsir {
           ((col("n_raw") + 1L).cast("double") *
             (col("nt_tot") + nBuckets.toLong).cast("double"))) * 1000)
           .cast("long").as("lambda_milli"))
-    toks.join(lam, "b")
+    val scored = toks.join(lam, "b")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"),
         sum(col("lambda_milli")).as("dsir_milli"))
+    // doc-count-sized result; checkpoint eagerly so the corpus-scale
+    // token cache can drop now (the MarketBasket/SimilarityJoin pattern)
+    try scored.localCheckpoint(true)
+    finally toks.unpersist(blocking = false)
   }
 }

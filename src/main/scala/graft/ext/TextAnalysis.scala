@@ -538,11 +538,16 @@ object TextAnalysis {
     // re-scan — verify the worst-case pkn_num/pkn_den fit a long, because
     // Spark's non-ANSI arithmetic would otherwise WRAP silently while
     // DuckDB raises, producing a wrong-but-green-looking LM table.
-    val bCount = bc.count()
+    // r13: two probe jobs, not three — B (= total distinct bigrams) is
+    // the sum of per-w1 group sizes, so it folds into the same
+    // vocab-bounded aggregate that yields max c(w1·) and max N1+(w1·);
+    // only the w2-keyed continuation max needs its own grouping.
+    val g1 = bc.groupBy(col("w1"))
+      .agg(sum(col("n")).as("c1"), count(lit(1)).as("f"))
+      .agg(max(col("c1")), max(col("f")),
+        coalesce(sum(col("f")), lit(0L))).head()
+    val bCount = g1.getLong(2)
     if (bCount > 0) {
-      val g1 = bc.groupBy(col("w1"))
-        .agg(sum(col("n")).as("c1"), count(lit(1)).as("f"))
-        .agg(max(col("c1")), max(col("f"))).head()
       val maxRev = bc.groupBy(col("w2")).agg(count(lit(1)).as("r"))
         .agg(max(col("r"))).head().getLong(0)
       val (maxC1, maxFwd) = (g1.getLong(0), g1.getLong(1))

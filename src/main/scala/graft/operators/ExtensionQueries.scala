@@ -327,7 +327,12 @@ object ExtensionQueries {
       val sigs = docs.select(col("doc_id").as("id"),
           TextExprs.simhash(col("text")).as("sh"))
         .localCheckpoint(true)
-      val a = sigs.select(col("id").as("a"), col("sh").as("sha"))
+      // r13: spread the brute-force hamming block-join across cores —
+      // the checkpointed sigs frame inherits the one-file scan's single
+      // partition, so the |docs|²/2 bit_count evaluations otherwise run
+      // on one task (the q_x_dedup_verify repartition idiom).
+      val a = sigs.repartition(s.sparkContext.defaultParallelism)
+        .select(col("id").as("a"), col("sh").as("sha"))
       val b = sigs.select(col("id").as("b"), col("sh").as("shb"))
       val edges = a.join(broadcast(b), col("a") < col("b"))
         .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= 3)

@@ -74,4 +74,14 @@ class CacheHygieneSpec extends AnyFunSuite {
         minPairCount = 2L)
     }
   }
+
+  test("importanceWeights leaves no resident cache") {
+    // r13: Dsir persists the bucketed token stream (it feeds both the
+    // estimate aggregate and the scoring join, with no exchange below
+    // for Catalyst to reuse — the md5 pass otherwise runs twice)
+    assertNoResidentCache("Dsir.importanceWeights") {
+      Dsir.importanceWeights(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0)
+    }
+  }
 }
