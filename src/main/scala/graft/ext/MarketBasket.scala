@@ -9,22 +9,24 @@ import org.apache.spark.sql.functions._
   * counts divided once at the end, so the output is layout- and
   * engine-independent.
   *
-  * Pair generation is a self-join of the distinct (basket, item) table
-  * keyed by basket — fan-out is bounded by the basket SIZE, not the
-  * corpus, so the whale hazard here is a single enormous basket (one
-  * order with 10⁶ items would emit 5·10¹¹ pairs from one join key).
-  * `maxBasket` is that guardrail, the `maxBucket`/`maxBlock` idiom:
-  * baskets larger than the cap are excluded from the analysis entirely
+  * Pair generation explodes each kept basket's sorted item array
+  * map-side — fan-out is bounded by the basket SIZE, not the corpus,
+  * so the whale hazard here is a single enormous basket (one order
+  * with 10⁶ items would emit 5·10¹¹ pairs, and would first build a
+  * 10⁶-element aggregation buffer). `maxBasket` is that guardrail, the
+  * `maxBucket`/`maxBlock` idiom: baskets larger than the cap are
+  * excluded from the analysis entirely BEFORE any array is collected
   * (denominator included — the mined rules stay internally consistent
   * over the kept population), and the caller can audit exclusions with
   * [[oversized]]. The gate corpus tops out at 13 items per basket, far
   * under the default cap, so gate rows measure the uncapped semantics.
   *
-  * Scale shape (100 TB): one distinct exchange on (basket, item), two
-  * hash aggregates (basket sizes, item supports), the basket-keyed pair
-  * self-join (≤ maxBasket² rows per basket), and the (a, b) pair
-  * aggregate — all linear in the pair volume; no windows, no global
-  * sort, no driver state.
+  * Scale shape (100 TB): one distinct exchange on (basket, item), one
+  * basket-size aggregate, one basket-keyed exchange shared by the size
+  * join and the array collect, then the map-side pair generator
+  * (≤ maxBasket² rows per basket) into the partially-aggregated (a, b)
+  * pair exchange — all linear in the pair volume; no self-join, no
+  * windows, no global sort, no driver state.
   */
 object MarketBasket {
 
@@ -58,33 +60,43 @@ object MarketBasket {
     val kept = b0
       .groupBy(col("basket")).agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= maxBasket)
-    // The kept (basket, item) table feeds FOUR consumers (both pair-join
-    // sides, item supports, the basket-universe count); without a
-    // materialization each re-runs the scan+distinct+size-join subtree —
-    // measured 5.1 s -> 1.4 s at sf0.1. Materialize via persist+count,
-    // NOT localCheckpoint: a checkpoint erases plan statistics, and with
-    // no stats Catalyst judged this table broadcastable at ANY size —
-    // at sf1 it broadcast all ~6M rows into both pair-join sides (29.6 s
-    // measured, and a driver OOM at 100 TB). The counted InMemoryRelation
-    // carries exact sizeInBytes, so join planning stays size-aware:
-    // broadcast while the basket table is small, shuffled hash join once
-    // it isn't.
-    val b = b0.join(kept.select(col("basket")), "basket")
+    // r13 pair generation: per-basket sorted arrays + map-side explosion,
+    // not a basket-keyed self-join. The kept join's SMJ already exchanges
+    // the item table by basket, so the collect_list aggregate rides that
+    // partitioning for free, and the ≤ maxBasket² pair stream is then a
+    // pure generator (posexplode + slice) feeding a partially-aggregated
+    // pair count — the two self-join exchanges and their sorts are gone.
+    // Whale-safe BECAUSE the size filter precedes the collect: an
+    // aggregation buffer only ever holds a kept basket (≤ maxBasket
+    // items); a 10⁶-item whale is dropped by `kept` before any array
+    // builds. Materialize via persist+count, NOT localCheckpoint: a
+    // checkpoint erases plan statistics, and with no stats Catalyst
+    // judged the old item table broadcastable at ANY size — at sf1 it
+    // broadcast all ~6M rows into both pair-join sides (29.6 s measured,
+    // and a driver OOM at 100 TB). The counted InMemoryRelation carries
+    // exact sizeInBytes, so downstream join planning stays size-aware.
+    val arr = b0.join(kept.select(col("basket")), "basket")
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_list(col("item"))).as("its"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    b.count()
-    // one tiny frame: the kept-basket universe size (support denominator).
-    // r13: derived from the CACHED kept-item table — `kept.agg(count)`
-    // re-ran the whole scan→distinct→size-aggregate pipeline from
-    // scratch inside the rules plan (the cache boundary hides `kept`'s
-    // subtree from exchange reuse), i.e. one extra corpus pass for one
-    // scalar. Every kept basket has ≥ 1 item row in `b`, so
-    // count(DISTINCT basket) over `b` is the same integer.
-    val n = b.agg(countDistinct(col("basket")).as("n_baskets"))
-    val itemCnt = b.groupBy(col("item")).agg(count(lit(1)).as("c"))
-    val pa = b.select(col("basket"), col("item").as("item_a"))
-    val pb = b.select(col("basket"), col("item").as("item_b"))
-    val pairs = pa.join(pb,
-        pa("basket") === pb("basket") && col("item_a") < col("item_b"))
+    arr.count()
+    // one tiny frame: the kept-basket universe size (support denominator)
+    // — one row per kept basket in `arr`, counted from the cache rather
+    // than re-running the scan→distinct→size-aggregate pipeline.
+    val n = arr.agg(count(lit(1)).as("n_baskets"))
+    // item supports re-derived map-side from the cached arrays (NULL
+    // items never pair — item_a < item_b is null-rejecting — and the
+    // rules join on item is inner, so dropping NULLs from collect_list
+    // cannot change any emitted row).
+    val itemCnt = arr.select(explode(col("its")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("c"))
+    // sorted + distinct ⇒ strictly increasing, so "elements after
+    // position i" IS the item_a < item_b pair set of the old self-join.
+    val pairs = arr
+      .select(col("its"), posexplode(col("its")).as(Seq("i", "item_a")))
+      .select(col("item_a"),
+        explode(slice(col("its"), col("i") + lit(2), size(col("its"))))
+          .as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairCount)
@@ -106,10 +118,10 @@ object MarketBasket {
           (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
     // The rule set is minPairCount-thresholded and therefore far smaller
     // than the basket table; materialize it eagerly (ContextCleaner-
-    // reclaimed localCheckpoint) so the corpus-scale `b` cache can drop
+    // reclaimed localCheckpoint) so the corpus-scale `arr` cache can drop
     // now — CacheManager would otherwise pin it for the session lifetime
     // of any library caller outside the Bench/Verify cache sweep.
     try rules.localCheckpoint(true)
-    finally b.unpersist(blocking = false)
+    finally arr.unpersist(blocking = false)
   }
 }

@@ -14,11 +14,11 @@ import org.apache.spark.sql.functions._
   * Everything here is exact integer counting: every emitted value is a
   * count, a min/max, or a single ratio-of-longs division rounded once —
   * layout- and engine-independent by construction (the ExactMoney
-  * determinism discipline). No sampling, no sketches: at 100 TB each
-  * metric is one column-pruned scan with map-side partial aggregation
-  * into a 1-row frame, and the per-column scans of one table share the
-  * parquet footprint via column pruning (`ReadSchema` carries only the
-  * audited column). Distinct counts are per-column two-level hash
+  * determinism discipline). No sampling, no sketches: at 100 TB the
+  * moment metrics of every audited column share ONE column-pruned scan
+  * with map-side partial aggregation into a 1-row frame (`ReadSchema`
+  * carries only the audited columns), and each distinct count is its
+  * own pruned two-level aggregate. Distinct counts are per-column two-level hash
   * aggregates (SELECT col GROUP BY col → count), deliberately NOT a
   * multi-`count(distinct)` single pass: mixed distinct aggregates plan
   * through Expand (one input replica per distinct column — the plan
@@ -37,38 +37,45 @@ object Profile {
     * identical across engines on BMP text; the testdata corpus is
     * ASCII).
     *
-    * Cost: exactly TWO column-pruned scans per audited column — one
-    * 1-row moments aggregate (count/n/min/max/sum, all map-side
-    * partial) and one two-level distinct aggregate — each materialized
-    * once (localCheckpoint) before fanning out into the union legs, so
-    * the metric rows are selected from 1-row frames, not recomputed
-    * per leg.
+    * Cost: ONE moments scan for ALL audited columns (count/n/min/max/sum
+    * are all map-side partial and Expand-free, so they share a single
+    * aggregate over the union of the pruned columns — r13, was one scan
+    * per column serialized through per-column checkpoints) plus one
+    * two-level distinct aggregate per column. The moments frame is
+    * materialized once (localCheckpoint) because six union legs per
+    * column reference it; each distinct aggregate feeds exactly one leg,
+    * so those stay LAZY union subtrees — the final query runs them as
+    * independent pruned scans inside one job instead of N sequential
+    * driver-blocking checkpoint jobs.
     */
   def profile(df: DataFrame, numericCols: Seq[String],
               stringCols: Seq[String]): DataFrame = {
-    val rows = (numericCols ++ stringCols).flatMap { c =>
-      val isStr = stringCols.contains(c)
-      val d = df.select(col(c).as("__c"))
-      val v = if (isStr) length(col("__c")) else col("__c")
-      val stats = d.agg(
-        count(col("__c")).as("cnt"), count(lit(1)).as("n"),
-        min(v).as("mn"), max(v).as("mx"),
-        sum(v.cast("decimal(38,6)")).as("s")).localCheckpoint(true)
-      val dist = d.agg(count_distinct(col("__c")).as("dv"))
-        .localCheckpoint(true)
+    val cols = numericCols.map((_, false)) ++ stringCols.map((_, true))
+    def v(c: String, isStr: Boolean): Column =
+      if (isStr) length(col(c)) else col(c)
+    val momentCols = cols.flatMap { case (c, isStr) => Seq(
+      count(col(c)).as(s"cnt_$c"), count(lit(1)).as(s"n_$c"),
+      min(v(c, isStr)).as(s"mn_$c"), max(v(c, isStr)).as(s"mx_$c"),
+      sum(v(c, isStr).cast("decimal(38,6)")).as(s"s_$c"))
+    }
+    val stats = df.agg(momentCols.head, momentCols.tail: _*)
+      .localCheckpoint(true)
+    val rows = cols.flatMap { case (c, isStr) =>
+      val dist = df.select(col(c).as("__c"))
+        .agg(count_distinct(col("__c")).as("dv"))
       def row(metric: String, value: Column, from: DataFrame): DataFrame =
         from.select(lit(c).as("col_name"), lit(metric).as("metric"),
           value.cast("double").as("value"))
       Seq(
-        row("count", col("cnt"), stats),
-        row("nulls", col("n") - col("cnt"), stats),
+        row("count", col(s"cnt_$c"), stats),
+        row("nulls", col(s"n_$c") - col(s"cnt_$c"), stats),
         row("completeness",
-          round(col("cnt").cast("double") / col("n"), 6), stats),
+          round(col(s"cnt_$c").cast("double") / col(s"n_$c"), 6), stats),
         row("distinct", col("dv"), dist),
-        row(if (isStr) "min_len" else "min", col("mn"), stats),
-        row(if (isStr) "max_len" else "max", col("mx"), stats),
+        row(if (isStr) "min_len" else "min", col(s"mn_$c"), stats),
+        row(if (isStr) "max_len" else "max", col(s"mx_$c"), stats),
         row(if (isStr) "avg_len" else "mean",
-          round(col("s").cast("double") / col("cnt"), 6), stats))
+          round(col(s"s_$c").cast("double") / col(s"cnt_$c"), 6), stats))
     }
     rows.reduce(_ unionByName _)
   }

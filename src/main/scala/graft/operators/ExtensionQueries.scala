@@ -2216,8 +2216,9 @@ object ExtensionQueries {
     * Deequ-style per-column scorecard (completeness, distinctness,
     * range, length moments) a training-data ingest publishes before
     * admission — long-format (col_name, metric, value), every value an
-    * exact count or a single exact-ratio division. Two column-pruned
-    * scans per column, each reduced map-side to a 1-row frame. */
+    * exact count or a single exact-ratio division. One shared moments
+    * scan for all columns + one pruned distinct aggregate per column,
+    * each reduced map-side to a 1-row frame. */
   val profileQ = Q(
     "q_x_profile",
     "Deequ-style per-column profile of the documents corpus",
