@@ -119,7 +119,17 @@ object Profile {
     * the FD is checked over the dependent's non-null assignments). */
   def fdCheck(name: String, df: DataFrame, detCol: String, depCol: String)
       : DataFrame = {
-    val grouped = df.groupBy(col(detCol))
+    // r14: project to the two audited columns and fanOut keyed on the
+    // determinant (guide §2.4). On a small-file input (the gate corpus is
+    // one parquet row group) BOTH aggregate phases otherwise inherit the
+    // single scan partition's parallelism on the partial side; the keyed
+    // repartition satisfies the clustering of the (det, dep) phase AND
+    // the det phase (subset rule), so it replaces both agg exchanges with
+    // one narrow-row exchange. On a well-partitioned source fanOut is a
+    // no-op and the original two-phase plan stands.
+    val grouped = graft.sources.Sources
+      .fanOut(df.select(col(detCol), col(depCol)), col(detCol))
+      .groupBy(col(detCol))
       .agg(count(lit(1)).as("__k"),
         count_distinct(col(depCol)).as("__d"))
     grouped.agg(

@@ -698,16 +698,29 @@ object AnchorQueries {
       // the same checkpointed histogram. Identical guarantees checked
       // (the ε·n rank bound holds for any insertion multiset); exact
       // ranks are identical integers by construction.
-      val hist = t(s, dir, "lineitem")
+      // r14: explicit key-repartition BEFORE the groupBy (guide §2.4 —
+      // the repartition IS the aggregate's exchange, so no second one).
+      // Without it the 9 MB histogram shuffle AQE-coalesces to ONE
+      // partition and both the final aggregate and the digest UDAF run
+      // single-task (measured: the UDAF pass alone was 1.4 s on one core
+      // vs 0.58 s spread; scan parallelism can't help — the gate file is
+      // one parquet row group). An explicit numPartitions is exempt from
+      // AQE coalescing, and at scale the same P-way spread is simply the
+      // right width for a value-domain-bounded histogram.
+      val hist0 = t(s, dir, "lineitem")
         .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+        .repartition(s.sparkContext.defaultParallelism, col("c"))
         .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true) // feeds digest + rank probes
+      graft.tools.PlanTrace.trace("histogram, pre-checkpoint (the one corpus scan)", hist0)
+      val hist = hist0.localCheckpoint(true) // feeds digest + rank probes
       val qd = udaf(new QDigestWeightedAgg(bits, k),
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong))
-      val agg = hist.agg(qd(col("c"), col("cnt")).as("digest"),
-        sum(col("cnt")).as("n")).head()
+      val aggDf = hist.agg(qd(col("c"), col("cnt")).as("digest"),
+        sum(col("cnt")).as("n"))
+      graft.tools.PlanTrace.trace("weighted digest UDAF over the checkpointed histogram", aggDf)
+      val agg = aggDf.head()
       val digest = agg.getAs[scala.collection.Seq[Long]]("digest").toArray
       val n = agg.getAs[Long]("n")
       val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)

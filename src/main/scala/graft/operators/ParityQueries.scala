@@ -724,21 +724,18 @@ object ParityQueries {
     "q_a7_percentile",
     "Grouped exact percentiles (p25/p50/p75 extendedprice per returnflag)",
     (s, dir) => t(s, dir, "lineitem")
-      // r13 two-level shape (the q-digest-anchor histogram idiom): the
-      // exact percentile buffers values in a typed ObjectHashAggregate —
-      // every raw row used to cross that interpreted boundary. A codegen
-      // (flag, price) count first means the percentile sees each distinct
-      // value ONCE with its multiplicity (Spark's `percentile` frequency
-      // argument; identical interpolation over the weighted multiset),
-      // and the heavy pass is a plain map-side-partial hash aggregate.
-      .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(count(lit(1)).as("cnt"))
+      // r14: the r13 histogram-first rewrite is REVERTED. l_extendedprice
+      // is quasi-unique (583k distinct cents / 600k rows at sf0.1), so the
+      // (flag, price) pre-count bought no multiplicity reduction and paid
+      // an extra exchange — measured 0.909 s direct vs 1.006 s histogram
+      // (dedicated JVM, min of 4) and 0.80× in the banked r13 suite. The
+      // at-scale unbounded-buffer concern stays solved by the approx
+      // variant (q_a7b_percentile_approx), which IS the 100 TB path.
       .groupBy(col("l_returnflag"))
       // ONE percentile aggregate with an array of fractions: a single
       // per-group value buffer instead of three (3× less agg memory/work)
       .agg(
-        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75), cnt)")
-          .as("ps"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"),
         round(max(col("l_extendedprice")), 2).as("pmax"))
       .select(col("l_returnflag"),
         round(col("ps").getItem(0), 2).as("p25"),

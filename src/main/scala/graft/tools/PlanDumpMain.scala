@@ -31,10 +31,13 @@ object PlanDumpMain {
       })
       // queryExecution.explainString renders without executing; queries
       // whose CONSTRUCTION runs driver probes (anchors) still execute
-      // those, which is inherent to their shape.
-      val df = q.run(spark, sfDir)
+      // those, which is inherent to their shape. PlanTrace.capture
+      // additionally collects the interior frames such operators register
+      // right before materializing them, so checkpoint-degenerate final
+      // plans still carry verifiable evidence of the executed shape.
+      val (df, interior) = PlanTrace.capture(q.run(spark, sfDir))
       val txt = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+        org.apache.spark.sql.execution.FormattedMode) + interior
       java.nio.file.Files.writeString(
         outDir.resolve(s"${name}_$suffix.txt"), txt)
       graft.GraftSession.dropCachedBlocks(spark)
