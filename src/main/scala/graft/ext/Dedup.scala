@@ -90,16 +90,27 @@ object Dedup {
           .as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     memb.count()
-    // bound pathological buckets BEFORE the pair join, then self-join on the
-    // bucket key — pairs stream through the hash join instead of
-    // materializing per-bucket arrays
+    // bound pathological buckets BEFORE any array builds (whale-safe: the
+    // size filter's partial count collapses a whale bucket map-side and
+    // drops it before collect_list ever buffers it), then r14 pair
+    // generation per the MarketBasket idiom: the sizes join already
+    // exchanges memb by (band, bh), so the per-bucket sorted-id aggregate
+    // rides that partitioning exchange-free, and pairs are a pure
+    // map-side generator (posexplode + slice) — the bucket-keyed
+    // SELF-join (a second scan of the memb cache plus its join) is gone.
+    // sorted + per-bucket-unique ids ⇒ strictly increasing, so "elements
+    // after position i" IS the old join's id_a < id_b pair set.
     val sizes = memb.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, maxBucket))
-    val bounded = memb.join(sizes.select("band", "bh"), Seq("band", "bh"))
-    val pairs = bounded.as("x").join(bounded.as("y"), Seq("band", "bh"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val arr = memb.join(sizes.select("band", "bh"), Seq("band", "bh"))
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val pairs = arr
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("b"))
       .distinct()
 
     // verify candidates with exact n-gram Jaccard. Semi-join-prune the
@@ -246,14 +257,24 @@ object Dedup {
         .as(Seq("chunk", "key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     memb.count()
+    // r14: same map-side pair generation as the minhash path (see the
+    // withMinhashEdges note) — the sizes join exchanges memb by
+    // (chunk, key), the per-bucket sorted (id, sh) aggregate rides that
+    // partitioning, and the hamming verify runs on the generated pair
+    // stream before the distinct. struct sort orders by id (unique per
+    // bucket), so slice-after-i reproduces the old x.id < y.id pair set.
     val sizes = memb.groupBy(col("chunk"), col("key"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, maxBucket))
-    val bounded = memb.join(sizes.select("chunk", "key"), Seq("chunk", "key"))
-    // hamming verify rides the pair join, before the distinct
-    val edges = bounded.as("x").join(bounded.as("y"), Seq("chunk", "key"))
-      .filter(col("x.id") < col("y.id") &&
-        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))) <= maxHamming)
+    val arr = memb.join(sizes.select("chunk", "key"), Seq("chunk", "key"))
+      .groupBy(col("chunk"), col("key"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sh")))).as("ms"))
+    val edges = arr
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "x")))
+      .select(col("x"),
+        explode(slice(col("ms"), col("i") + lit(2), size(col("ms"))))
+          .as("y"))
+      .filter(bit_count(col("x.sh").bitwiseXOR(col("y.sh"))) <= maxHamming)
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 

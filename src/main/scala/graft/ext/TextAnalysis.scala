@@ -494,17 +494,19 @@ object TextAnalysis {
   def kneserNeyBigram(df: DataFrame, textCol: String, minCount: Long = 2L)
       : DataFrame = {
     require(minCount >= 1L, s"minCount $minCount must be >= 1")
-    val (bc, c1, c2, tot) = knTables(df, textCol)
+    val (bc, c1, c2, bCount) = knTables(df, textCol)
     // filter BEFORE the statistics joins: minCount reads only bc.n, and
-    // the c1/c2/tot statistics must come from the UNfiltered table — so
-    // the two word-key exchanges carry only the kept bigrams
+    // the c1/c2/B statistics must come from the UNfiltered table — so
+    // the two word-key exchanges carry only the kept bigrams. B arrives
+    // as a literal: the overflow-guard probe already computed it on the
+    // driver, so the old 1-row crossJoin(broadcast(tot)) job is gone
+    // (r14 — one fewer broadcast exchange + job, same values).
     bc.filter(col("n") >= minCount)
       .join(c1, Seq("w1")).join(c2, Seq("w2"))
-      .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("n"),
-        (greatest(lit(4L) * col("n") - 3L, lit(0L)) * col("b") +
+        (greatest(lit(4L) * col("n") - 3L, lit(0L)) * lit(bCount) +
           lit(3L) * col("n1fwd") * col("n1rev")).as("pkn_num"),
-        (lit(4L) * col("c1") * col("b")).as("pkn_den"))
+        (lit(4L) * col("c1") * lit(bCount)).as("pkn_den"))
   }
 
   /** Shared Kneser-Ney statistics tables: the checkpointed bigram count
@@ -513,51 +515,62 @@ object TextAnalysis {
     * else vocab-bounded. Includes the long-overflow guard from the
     * [[kneserNeyBigram]] bounds note. */
   private def knTables(df: DataFrame, textCol: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val toks = df
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val bg = df
       .select(filter(split(col(textCol), " ", -1), x => x =!= "").as("toks"))
       .filter(size(col("toks")) >= 2)
-    val bc = toks
       .select(explode(zip_with(
         slice(col("toks"), lit(1), size(col("toks")) - 1),
         slice(col("toks"), lit(2), size(col("toks")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    knTablesFromBigrams(bg)
+  }
+
+  /** [[knTables]] over a pre-built (w1, w2) bigram-occurrence stream —
+    * the r14 seam that lets [[knDocLogprob]] tokenize the corpus ONCE
+    * (its doc-keyed bigram stream, with doc_id projected away, is the
+    * exact same occurrence multiset this used to re-derive). */
+  private def knTablesFromBigrams(bg: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val bc = bg
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
       // materialize the vocab-bounded aggregate ONCE: it is referenced
-      // four times below (kept rows, c1, c2, tot) and Catalyst would
+      // four times below (kept rows, c1, c2, probes) and Catalyst would
       // otherwise re-run the corpus-sized bigram exchange per reference
       // (census-measured: 4× the bigram_lm exchange bytes before this)
       .localCheckpoint(true)
     val c1 = bc.groupBy(col("w1"))
       .agg(sum(col("n")).as("c1"), count(lit(1)).as("n1fwd"))
     val c2 = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1rev"))
-    val tot = bc.select(count(lit(1)).as("b"))
-    // Overflow guard (see the bounds note above): three vocab-bounded
-    // driver probes over the already-materialized checkpoint — no corpus
+    // Overflow guard (see the bounds note above): vocab-bounded driver
+    // probes over the already-materialized checkpoint — no corpus
     // re-scan — verify the worst-case pkn_num/pkn_den fit a long, because
     // Spark's non-ANSI arithmetic would otherwise WRAP silently while
     // DuckDB raises, producing a wrong-but-green-looking LM table.
-    // r13: two probe jobs, not three — B (= total distinct bigrams) is
-    // the sum of per-w1 group sizes, so it folds into the same
-    // vocab-bounded aggregate that yields max c(w1·) and max N1+(w1·);
-    // only the w2-keyed continuation max needs its own grouping.
-    val g1 = bc.groupBy(col("w1"))
-      .agg(sum(col("n")).as("c1"), count(lit(1)).as("f"))
-      .agg(max(col("c1")), max(col("f")),
-        coalesce(sum(col("f")), lit(0L))).head()
-    val bCount = g1.getLong(2)
+    // r14: ONE probe job, not two — the w1-keyed maxima (max c(w1·),
+    // max N1+(w1·), B) and the w2-keyed continuation max are tagged
+    // 1-row aggregates unioned into a single collect.
+    val probe = bc.groupBy(col("w1"))
+      .agg(sum(col("n")).as("v1"), count(lit(1)).as("v2"))
+      .agg(lit("w1").as("src"), max(col("v1")).as("m1"),
+        max(col("v2")).as("m2"), coalesce(sum(col("v2")), lit(0L)).as("b"))
+      .unionByName(bc.groupBy(col("w2")).agg(count(lit(1)).as("r"))
+        .agg(lit("w2").as("src"), max(col("r")).as("m1"),
+          lit(null).cast("long").as("m2"), lit(null).cast("long").as("b")))
+      .collect()
+    val g1 = probe.find(_.getString(0) == "w1").get
+    val bCount = g1.getLong(3)
     if (bCount > 0) {
-      val maxRev = bc.groupBy(col("w2")).agg(count(lit(1)).as("r"))
-        .agg(max(col("r"))).head().getLong(0)
-      val (maxC1, maxFwd) = (g1.getLong(0), g1.getLong(1))
+      val maxRev = probe.find(_.getString(0) == "w2").get.getLong(1)
+      val (maxC1, maxFwd) = (g1.getLong(1), g1.getLong(2))
       val numMax = BigInt(4) * maxC1 * bCount + BigInt(3) * maxFwd * maxRev
       require(numMax <= Long.MaxValue,
         s"kneserNeyBigram long overflow: worst-case fraction term $numMax " +
           s"(max c(w1.)=$maxC1, B=$bCount) exceeds 2^63-1 — this corpus " +
           "needs the DECIMAL(38,0) variant of the fraction clearing")
     }
-    (bc, c1, c2, tot)
+    (bc, c1, c2, bCount)
   }
 
   /** Per-document log-probability under the corpus's own interpolated
@@ -589,7 +602,16 @@ object TextAnalysis {
   def knDocLogprob(df: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 2L): DataFrame = {
     require(minCount >= 1L, s"minCount $minCount must be >= 1")
-    val (bc, c1, c2, tot) = knTables(df, textCol)
+    // r14 note: a single-tokenize variant (persist the doc-keyed bigram
+    // stream, train the LM statistics from the cache) was built and
+    // measured FLAT at sf0.1 (10-rep dedicated-JVM A/B: 1.039 s two-pass
+    // vs 1.066 s cached) — whitespace tokenize is too cheap for the
+    // persist+count materialization to pay for itself, and at scale
+    // writing the exploded bigram stream to cache costs more I/O than
+    // re-tokenizing (the TfIdf-fanOut lesson). The two tokenize passes
+    // stay; what r14 does keep is the literal-B / single-probe knTables
+    // (one fewer probe job, no 1-row broadcast crossJoin).
+    val (bc, c1, c2, bCount) = knTables(df, textCol)
     val served = bc.filter(col("n") >= minCount)
       .select(col("w1"), col("w2"), col("n").as("nbg"))
     val docBg = df
@@ -602,12 +624,11 @@ object TextAnalysis {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val num = greatest(lit(4L) * coalesce(col("nbg"), lit(0L)) - 3L, lit(0L)) *
-      col("b") + lit(3L) * col("n1fwd") * col("n1rev")
-    val den = lit(4L) * col("c1") * col("b")
+      lit(bCount) + lit(3L) * col("n1fwd") * col("n1rev")
+    val den = lit(4L) * col("c1") * lit(bCount)
     docBg
       .join(served, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1")).join(c2, Seq("w2"))
-      .crossJoin(broadcast(tot))
       .select(col("doc_id"),
         floor(log(num.cast("double") / den.cast("double")) * 1000)
           .cast("long").as("milli"))

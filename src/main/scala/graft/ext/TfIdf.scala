@@ -53,6 +53,13 @@ object TfIdf {
     // across the tfidf/bm25 rows — whitespace tokenize is too cheap to
     // pay for the extra text-carrying exchange (fanOut pays off for
     // codec-grade per-row CPU only; see Sources.fanOut doc).
+    // r14 note: a doc_id-keyed fanOut AFTER the explode (replacing the
+    // aggregate's exchange via the subset rule, letting norm/doclen ride
+    // the partitioning) measured as a regression too — tfidf_top1
+    // 1.066→1.153 s, bm25_top1 0.869→1.117 s, capped anchor
+    // 0.999→1.595 s (same-session 6-rep A/B): shuffling the raw token
+    // STRINGS costs more than the partial-aggregated (doc, term, tf)
+    // exchange it replaces. Both fanOut placements rejected on numbers.
 
   /** (term, df) document frequencies with the fan-out caps applied — the
     * ONE definition of the cap rule (fraction prune with a floor of 1,

@@ -148,6 +148,43 @@ object OpProbeMain {
           }
           val _ = Profile
           graft.GraftSession.dropCachedBlocks(spark)
+        case "tfidf2" =>
+          import org.apache.spark.sql.expressions.Window
+          val p = spark.sparkContext.defaultParallelism
+          time("tfidf top1, doc_id-repartitioned pipeline") {
+            val docs = table(spark, sfDir, "documents")
+            val n = docs.count()
+            val tf = docs
+              .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+              .filter(length(col("term")) > 0)
+              .repartition(p, col("doc_id"))
+              .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+            val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+            val w = tf.join(dfreq, "term")
+              .withColumn("w", col("tf") * log(lit(n.toDouble) / col("df")))
+            val norm = w.groupBy("doc_id")
+              .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+            val unit = w.join(norm, "doc_id")
+              .select(col("doc_id"), col("term"),
+                (col("w") / col("norm")).as("u"))
+              .localCheckpoint(true)
+            val probes = unit.filter(col("doc_id").isin((0L until 10L): _*))
+              .select(col("doc_id").as("probe_id"), col("term"),
+                col("u").as("ua"))
+            val corpus = unit.select(col("doc_id").as("neighbor_id"),
+              col("term"), col("u").as("ub"))
+            val sims = broadcast(probes).join(corpus, "term")
+              .filter(col("probe_id") =!= col("neighbor_id"))
+              .groupBy("probe_id", "neighbor_id")
+              .agg(sum(col("ua") * col("ub")).as("cosine"))
+            val win = Window.partitionBy(col("probe_id"))
+              .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
+            force(sims.withColumn("rn", row_number().over(win))
+              .filter(col("rn") === 1)
+              .select(col("probe_id"), col("neighbor_id"),
+                round(col("cosine"), 2).as("cosine")))
+          }
+          graft.GraftSession.dropCachedBlocks(spark)
         case "qdigest_raw" =>
           // r12 shape for comparison: raw rows through the unweighted UDAF
           import graft.functions.QDigestAgg
@@ -196,14 +233,32 @@ object OpProbeMain {
           val q = graft.operators.Catalog.byName(name)
           val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
           val taskNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+          val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          val jobTask = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+          val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
           val listener = new org.apache.spark.scheduler.SparkListener {
             override def onJobStart(
-                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
               jobs.incrementAndGet()
+              jobStart.put(j.jobId, System.nanoTime())
+              jobTask.put(j.jobId, new java.util.concurrent.atomic.AtomicLong(0L))
+              j.stageIds.foreach(sid => stageJob.put(sid, j.jobId))
+            }
+            override def onJobEnd(
+                j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+              val t0 = jobStart.getOrDefault(j.jobId, 0L)
+              val tt = Option(jobTask.get(j.jobId)).map(_.get).getOrElse(0L)
+              System.err.println(f"[probe]   job ${j.jobId}%3d wall=${(System.nanoTime() - t0) / 1e9}%6.3f task=${tt / 1e9}%6.2f")
+            }
             override def onTaskEnd(
                 t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-              if (t.taskMetrics != null)
-                taskNanos.addAndGet(t.taskMetrics.executorRunTime * 1000000L)
+              if (t.taskMetrics != null) {
+                val n = t.taskMetrics.executorRunTime * 1000000L
+                taskNanos.addAndGet(n)
+                val jid = stageJob.getOrDefault(t.stageId, -1)
+                val a = jobTask.get(jid)
+                if (a != null) a.addAndGet(n)
+              }
           }
           spark.sparkContext.addSparkListener(listener)
           time(s"$name total") { force(q.run(spark, sfDir)) }
