@@ -62,6 +62,34 @@ object Bench {
       scala.collection.mutable.ArrayBuffer[Double]]()
     queries.foreach(q =>
       passes(q.name) = scala.collection.mutable.ArrayBuffer[Double]())
+    // Per-query executor TASK time (sum of executorRunTime over every task
+    // the query's jobs ran), accumulated by a listener and emitted to
+    // bench_raw.json as task_sec. Purpose: make parallelism OBSERVABLE —
+    // at gate SF the sub-second wall times are overhead-dominated, so
+    // 8c/32c wall ratios sit ≈1 and say nothing; task_sec/wall ≫ 1 is the
+    // direct evidence a query's work actually spreads across cores.
+    // Queries run sequentially, so a single volatile "current query"
+    // attributes stages→jobs→tasks; the listener bus is async, which can
+    // smear a few ms across a query boundary — fine for this purpose.
+    val taskNanos = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+    @volatile var currentQuery: String = null
+    val stageQuery = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val taskListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val q = currentQuery
+        if (q != null) j.stageIds.foreach(sid => stageQuery.put(sid, q))
+      }
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) {
+          val q = stageQuery.get(t.stageId)
+          if (q != null) taskNanos
+            .computeIfAbsent(q, _ => new java.util.concurrent.atomic.AtomicLong)
+            .addAndGet(t.taskMetrics.executorRunTime * 1000000L)
+        }
+    }
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // load_avg_start exists to expose CO-TENANT load, but the 1-minute
@@ -76,19 +104,24 @@ object Bench {
         Thread.sleep(s * 1000)
       }
     val loadStart = loadAvg
+    spark.sparkContext.addSparkListener(taskListener)
     for (pass <- 1 to reps) {
       queries.foreach { q =>
+        currentQuery = q.name
         val t0 = System.nanoTime()
         try force(q.run(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        currentQuery = null
         dropCachedBlocks(spark)
         passes(q.name) += dt
       }
       System.err.println(f"[bench] pass $pass/$reps done")
     }
+    Thread.sleep(300) // listener bus drain before reading taskNanos
+    spark.sparkContext.removeSparkListener(taskListener)
     val loadEnd = loadAvg
     val results = passes.toSeq.map { case (k, ps) => (k, ps.min, ps.toSeq) }
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
@@ -135,16 +168,31 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    // The HEADLINE line the driver parses stays short: two of the last
+    // three rounds lost their round-over-round table to "parsed": null,
+    // and the passes/cv maps roughly triple the line length (tail
+    // truncation risk). The per-pass raw seconds and CVs — the noise
+    // observability record — move to a SIDE file, bench_raw.json.
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"label":"$label","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"passes":$rawJson,"cv":$cvJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"label":"$label","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}"""
+    // task_sec sums ALL reps' task time; divide by reps for a per-run
+    // figure. task_sec/(reps × min wall) ≫ 1 ⇒ the query parallelizes.
+    val taskJson = results.map { case (k, _, _) =>
+      val tn = Option(taskNanos.get(k)).map(_.get).getOrElse(0L)
+      "\"" + k + f"\":${tn / 1e9}%.2f"
+    }.mkString("{", ",", "}")
+    val rawSideJson =
+      f"""{"label":"$label","reps":$reps,"passes":$rawJson,"cv":$cvJson,"task_sec":$taskJson}"""
     // Belt-and-braces for the driver's parser (BENCH_r04/r05 both recorded
     // "parsed": null): the JSON goes to a file in the repo root AND is the
     // final stdout line of the run. Filtered (SPARK_GRAFT_ONLY) runs skip
-    // the file so a focused re-measure can't clobber the canonical
+    // the files so a focused re-measure can't clobber the canonical
     // full-suite record.
     if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_out.json", "UTF-8")
       try w.println(json) finally w.close()
+      val wr = new java.io.PrintWriter("bench_raw.json", "UTF-8")
+      try wr.println(rawSideJson) finally wr.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }

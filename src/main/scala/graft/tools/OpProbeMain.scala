@@ -267,6 +267,50 @@ object OpProbeMain {
           System.err.println(f"[probe] $name jobs=${jobs.get} " +
             f"taskTime=${taskNanos.get / 1e9}%.2f s")
           graft.GraftSession.dropCachedBlocks(spark)
+        case "stream" =>
+          // per-micro-batch durationMs breakdown for one streaming catalog
+          // query (guide §1.1: decide WHERE the drain constant goes —
+          // planning, state commit, addBatch, wal — before touching it).
+          // Optional conf overrides: args = stream <name> [k=v,k=v,...]
+          val name = args(2)
+          val overrides = if (args.length > 3)
+            args(3).split(",").toSeq.map { kv =>
+              val Array(k, v) = kv.split("=", 2); (k, v) } else Seq.empty
+          val prev = overrides.map { case (k, _) =>
+            (k, spark.conf.getOption(k)) }
+          overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+          val q = graft.operators.Catalog.byName(name)
+          val progress =
+            new java.util.concurrent.ConcurrentLinkedQueue[String]()
+          val listener =
+            new org.apache.spark.sql.streaming.StreamingQueryListener {
+              override def onQueryStarted(e: org.apache.spark.sql.streaming
+                  .StreamingQueryListener.QueryStartedEvent): Unit = ()
+              override def onQueryProgress(e: org.apache.spark.sql.streaming
+                  .StreamingQueryListener.QueryProgressEvent): Unit = {
+                val p = e.progress
+                val st = p.stateOperators.toSeq.map(s =>
+                  f"op=${s.operatorName} commit=${s.commitTimeMs}ms " +
+                    f"rows=${s.numRowsTotal} mem=${s.memoryUsedBytes}")
+                  .mkString("; ")
+                progress.add(
+                  s"batch=${p.batchId} durationMs=${p.durationMs} $st")
+              }
+              override def onQueryTerminated(e: org.apache.spark.sql
+                  .streaming.StreamingQueryListener
+                  .QueryTerminatedEvent): Unit = ()
+            }
+          spark.streams.addListener(listener)
+          try time(s"$name total") { force(q.run(spark, sfDir)) }
+          finally {
+            spark.streams.removeListener(listener)
+            prev.foreach {
+              case (k, Some(v)) => spark.conf.set(k, v)
+              case (k, None) => spark.conf.unset(k)
+            }
+          }
+          progress.forEach(p => System.err.println(s"[probe]   $p"))
+          graft.GraftSession.dropCachedBlocks(spark)
         case other =>
           System.err.println(s"unknown probe '$other'"); sys.exit(2)
       }
