@@ -66,11 +66,33 @@ object StreamingQueries {
   /** Stateful streaming ops allocate one state store PER shuffle partition
     * per operator side — at the bench's bounded fixture, 32-way state means
     * 100+ checkpoint files per micro-batch of pure fixed overhead. Scope
-    * the session down to 8 while the stream runs (restored in finally).
+    * the session down while the stream runs (restored in finally).
     * Safe here because the driver contract runs queries SEQUENTIALLY
     * (Verify foreach / Bench reps); this is not a per-reader conf mutation
     * under concurrent execution. On a real cluster you'd size
-    * spark.sql.shuffle.partitions to the state volume instead. */
+    * spark.sql.shuffle.partitions to the state volume instead — hence the
+    * `spark.graft.stream.statePartitions` conf in [[runToMemory]]
+    * (production knob; local default 8).
+    *
+    * r14 measured and REJECTED the candidate drain-constant levers, all
+    * via interleaved same-JVM sweeps (OpProbeMain streamsweep — variants
+    * alternate within each rep so this host's multi-minute co-tenant
+    * bursts can't contaminate one whole variant):
+    *  - state partitions 8 vs 4 vs 2 over the full 19-query family,
+    *    per-query min-of-3 in a quiet window (load ≈ 2): sums 31.9 /
+    *    32.1 / 30.4 s — flat within host noise (a burst-window sweep had
+    *    suggested 44.4/33.1/31.3; the quiet re-run did not reproduce it).
+    *  - RocksDB state store provider: q_s_stream_join_outer min 4.44 s
+    *    vs 3.00 s default HDFS-backed — native store open/close overhead
+    *    dwarfs any benefit at ≪1 MB per-partition state. Rejected.
+    *  - state compression snappy (3.42 s) / zstd (worse, burst-window) vs
+    *    lz4 default (3.00 s); stateStore.formatValidation off (3.35 s) —
+    *    no winner. Rejected.
+    * Per the stream probe (per-batch durationMs), the drain constant is
+    * fixed per-query machinery — query start/plan (~0.3-0.8 s), two
+    * micro-batches (the second is the watermark-advance emission batch,
+    * required by append-mode semantics), state commit, stop — not a
+    * tunable I/O cost at this state volume. */
   private def withStatePartitions[A](s: SparkSession, n: String)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -84,7 +106,8 @@ object StreamingQueries {
     * sink rows. */
   private def runToMemory(s: SparkSession, out: DataFrame, mode: String,
                           prefix: String): DataFrame =
-    withStatePartitions(s, "8") {
+    withStatePartitions(s,
+      s.conf.get("spark.graft.stream.statePartitions", "8")) {
       val name = s"${prefix}_${nextId.incrementAndGet()}"
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).start()

@@ -311,6 +311,38 @@ object OpProbeMain {
           }
           progress.forEach(p => System.err.println(s"[probe]   $p"))
           graft.GraftSession.dropCachedBlocks(spark)
+        case "streamsweep" =>
+          // interleaved A/B of state-store confs over one streaming query
+          // (min per variant across reps — the Bench interleaving trick,
+          // because co-tenant bursts on this host last minutes and would
+          // otherwise contaminate whole variants). args: streamsweep
+          // <reps> <name>; prints per-variant seconds each rep.
+          val name = args(2)
+          val qs = if (name == "ALL_STREAMS")
+            graft.operators.Catalog.all.filter(_.name.startsWith("q_s_"))
+          else Seq(graft.operators.Catalog.byName(name))
+          val variants: Seq[(String, Seq[(String, String)])] = Seq(
+            "default" -> Seq.empty,
+            "sp4" -> Seq("spark.graft.stream.statePartitions" -> "4"),
+            "sp2" -> Seq("spark.graft.stream.statePartitions" -> "2"))
+          variants.foreach { case (vname, confs) =>
+            val prev = confs.map { case (k, _) => (k, spark.conf.getOption(k)) }
+            confs.foreach { case (k, v) => spark.conf.set(k, v) }
+            val t0 = System.nanoTime()
+            try qs.foreach { q =>
+              try time(s"${q.name} [$vname]") { force(q.run(spark, sfDir)) }
+              catch { case e: Throwable =>
+                System.err.println(s"[probe] ${q.name} [$vname] FAILED: ${e.getMessage}")
+              }
+              graft.GraftSession.dropCachedBlocks(spark)
+            }
+            finally prev.foreach {
+              case (k, Some(v)) => spark.conf.set(k, v)
+              case (k, None) => spark.conf.unset(k)
+            }
+            System.err.println(
+              f"[probe] SUM [$vname]: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          }
         case other =>
           System.err.println(s"unknown probe '$other'"); sys.exit(2)
       }
