@@ -348,8 +348,30 @@ object Dedup {
     // Single guarded fetch: take(limit+1) executes the edge plan ONCE and
     // bounds driver memory (limit × 16 B). The old shape — eager checkpoint
     // + count() + collect() — cost two extra stop-the-world jobs per run.
+    //
+    // r14: read ALL result partitions in the take's FIRST job. The default
+    // CollectLimit escalation (1 partition, then ×4 per round) is tuned
+    // for limits far below the result size; here the common case by
+    // construction is the opposite — the verified edge set is ≪ the limit.
+    // Measured effect at gate SF: NONE (job trace unchanged at 22 — AQE
+    // had already coalesced the edge output to one partition, so the take
+    // was a single job before this; the remaining ~0.05 s zero-task jobs
+    // in the trace are broadcast-exchange builds, inherent to the joins).
+    // Kept for the at-scale case where the edge output keeps many
+    // partitions and escalation would re-dispatch 3-4 driver jobs. In the
+    // rare over-limit case this reads the full edge output once —
+    // immediately followed by distributedCC scanning those same edges
+    // anyway. Conf is scoped and restored.
     val probeLimit = math.min(smallEdgeLimit, Int.MaxValue - 1L).toInt
-    val fetched = edges.take(probeLimit + 1)
+    val limitKey = "spark.sql.limit.initialNumPartitions"
+    val prevLimit = spark.conf.getOption(limitKey)
+    spark.conf.set(limitKey, "4096")
+    val fetched =
+      try edges.take(probeLimit + 1)
+      finally prevLimit match {
+        case Some(v) => spark.conf.set(limitKey, v)
+        case None => spark.conf.unset(limitKey)
+      }
     if (fetched.length <= probeLimit) {
       // driver union-find with path compression
       val parent = scala.collection.mutable.Map[Long, Long]()

@@ -94,6 +94,59 @@ object Profile {
   def predicateCheck(name: String, df: DataFrame, valid: Column): DataFrame =
     checkRow(name, df, !coalesce(valid, lit(false)))
 
+  /** Several predicate checks over the SAME frame in ONE scan+aggregate
+    * (guide §2.1 — don't pay a table pass per constraint): the single
+    * 1-row aggregate carries count(*) plus one violation sum per check,
+    * then explodes to the same (check_name, n_checked, n_violations)
+    * rows N separate [[predicateCheck]] calls would emit. At 100 TB this
+    * is the difference between one audit pass over the fact table and
+    * one pass per rule. */
+  def predicateChecks(df: DataFrame,
+                      checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "predicateChecks needs at least one check")
+    val aggs = count(lit(1)).as("__n") +: checks.zipWithIndex.map {
+      case ((_, valid), i) =>
+        sum((!coalesce(valid, lit(false))).cast("int")).cast("long")
+          .as(s"__v$i")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("check_name"),
+          col("__n").as("n_checked"),
+          coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
+      }: _*)).as("__c"))
+      .select(col("__c.check_name"), col("__c.n_checked"),
+        col("__c.n_violations"))
+  }
+
+  /** (keyCols..., __k) per-key row counts — the shared artifact a
+    * uniqueness check and a same-key FK parent can BOTH read, so one
+    * table scan + one exchange feeds both audit legs (the two legs'
+    * exchange subtrees are identical, and ReuseExchange computes them
+    * once inside the one union query; separately they'd each scan the
+    * table). */
+  def keyCounts(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__k"))
+
+  /** [[uniqueCheck]] over a precomputed [[keyCounts]] frame. */
+  def uniqueCheckFromCounts(name: String, counts: DataFrame): DataFrame =
+    counts.agg(
+      coalesce(sum(col("__k")), lit(0L)).as("n_checked"),
+      coalesce(sum(when(col("__k") > 1, col("__k")).otherwise(0L)), lit(0L))
+        .as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_checked").cast("long"),
+        col("n_violations").cast("long").as("n_violations"))
+
+  /** [[fkCheck]] against an already-unique parent key frame (e.g. a
+    * [[keyCounts]] projection) — skips the parent-side distinct. */
+  def fkCheckKeys(name: String, child: DataFrame, childKey: String,
+                  parentKeys: DataFrame, parentKey: String): DataFrame = {
+    val p = parentKeys.select(col(parentKey).as("__pk"))
+    val joined = child.select(col(childKey).as("__ck"))
+      .join(p, col("__ck") === col("__pk"), "left")
+    checkRow(name, joined, col("__pk").isNull)
+  }
+
   /** Referential-integrity check: child rows whose key has no parent.
     * The violation count is an anti-join aggregate; the parent side is
     * reduced to its distinct key BEFORE the join so the shuffle carries

@@ -764,21 +764,29 @@ object AnalyticsQueries {
     "Data-quality audit: FK / uniqueness / range checks as violation counts",
     (s, dir) => {
       import graft.ext.Profile
+      // r14 scan sharing (guide §2.1), same audit rows:
+      //  - per table, ONE groupBy(key).count feeds BOTH the uniqueness
+      //    check and the same-key FK parent side (identical exchange
+      //    subtrees → ReuseExchange computes them once inside the one
+      //    union query; before, customer and orders were each scanned
+      //    twice);
+      //  - the two lineitem value checks fold into one scan+aggregate
+      //    (predicateChecks; before, two full-column scans).
+      // 10 table scans → 7; plan diff in plans/r14/q_x_quality_checks_*.
+      val custKeys = Profile.keyCounts(t(s, dir, "customer"),
+        Seq("c_custkey"))
+      val ordKeys = Profile.keyCounts(t(s, dir, "orders"),
+        Seq("o_orderkey"))
       Seq(
-        Profile.fkCheck("orders_custkey_fk",
-          t(s, dir, "orders"), "o_custkey",
-          t(s, dir, "customer"), "c_custkey"),
-        Profile.fkCheck("lineitem_orderkey_fk",
-          t(s, dir, "lineitem"), "l_orderkey",
-          t(s, dir, "orders"), "o_orderkey"),
-        Profile.uniqueCheck("customer_key_unique",
-          t(s, dir, "customer"), Seq("c_custkey")),
-        Profile.uniqueCheck("orders_key_unique",
-          t(s, dir, "orders"), Seq("o_orderkey")),
-        Profile.predicateCheck("lineitem_qty_range", t(s, dir, "lineitem"),
-          col("l_quantity").between(1, 50)),
-        Profile.predicateCheck("lineitem_price_positive",
-          t(s, dir, "lineitem"), col("l_extendedprice") > 0),
+        Profile.fkCheckKeys("orders_custkey_fk",
+          t(s, dir, "orders"), "o_custkey", custKeys, "c_custkey"),
+        Profile.fkCheckKeys("lineitem_orderkey_fk",
+          t(s, dir, "lineitem"), "l_orderkey", ordKeys, "o_orderkey"),
+        Profile.uniqueCheckFromCounts("customer_key_unique", custKeys),
+        Profile.uniqueCheckFromCounts("orders_key_unique", ordKeys),
+        Profile.predicateChecks(t(s, dir, "lineitem"), Seq(
+          "lineitem_qty_range" -> col("l_quantity").between(1, 50),
+          "lineitem_price_positive" -> (col("l_extendedprice") > 0))),
         Profile.predicateCheck("events_type_domain", t(s, dir, "events"),
           col("event_type").isin("view", "click", "purchase", "signup",
             "error")),

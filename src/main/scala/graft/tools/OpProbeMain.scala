@@ -236,19 +236,24 @@ object OpProbeMain {
           val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
           val jobTask = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
           val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+          val jobSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
           val listener = new org.apache.spark.scheduler.SparkListener {
             override def onJobStart(
                 j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
               jobs.incrementAndGet()
               jobStart.put(j.jobId, System.nanoTime())
               jobTask.put(j.jobId, new java.util.concurrent.atomic.AtomicLong(0L))
+              jobSite.put(j.jobId, Option(j.properties)
+                .map(p => p.getProperty("callSite.short", ""))
+                .getOrElse("") + " nstages=" + j.stageIds.length)
               j.stageIds.foreach(sid => stageJob.put(sid, j.jobId))
             }
             override def onJobEnd(
                 j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
               val t0 = jobStart.getOrDefault(j.jobId, 0L)
               val tt = Option(jobTask.get(j.jobId)).map(_.get).getOrElse(0L)
-              System.err.println(f"[probe]   job ${j.jobId}%3d wall=${(System.nanoTime() - t0) / 1e9}%6.3f task=${tt / 1e9}%6.2f")
+              val site = jobSite.getOrDefault(j.jobId, "")
+              System.err.println(f"[probe]   job ${j.jobId}%3d wall=${(System.nanoTime() - t0) / 1e9}%6.3f task=${tt / 1e9}%6.2f  $site")
             }
             override def onTaskEnd(
                 t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =

@@ -97,6 +97,33 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getAs[Double]("skew_ratio") == 1.8) // 3 * 3 / 5
   }
 
+  test("shared-scan forms equal their originals on planted violations") {
+    // r14 scan-sharing rewrite of q_x_quality_checks: the folded forms
+    // must emit byte-identical audit rows to the originals.
+    val child = Seq(Option(1L), Option(2L), Option(99L), None).toDF("fk")
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk") // dup key 1
+    val counts = Profile.keyCounts(parent, Seq("pk"))
+    // fkCheckKeys over keyCounts == fkCheck over the raw parent
+    val a = Profile.fkCheckKeys("fk", child, "fk", counts, "pk").head()
+    val b = Profile.fkCheck("fk", child, "fk", parent, "pk").head()
+    assert(a == b)
+    // uniqueCheckFromCounts == uniqueCheck
+    val c = Profile.uniqueCheckFromCounts("u", counts).head()
+    val d = Profile.uniqueCheck("u", parent, Seq("pk")).head()
+    assert(c == d)
+    // predicateChecks == N × predicateCheck (NULL predicate = violation)
+    val df = Seq(Option(5.0), Option(-1.0), None).toDF("v")
+    val folded = Profile.predicateChecks(df, Seq(
+        "pos" -> (col("v") > 0), "small" -> (col("v") < 4)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val sep = Seq(
+      Profile.predicateCheck("pos", df, col("v") > 0),
+      Profile.predicateCheck("small", df, col("v") < 4))
+      .map(_.head()).map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(folded == sep)
+  }
+
   test("gate audit over sf0.001 is clean: zero violations on every check") {
     val q = graft.operators.Catalog.byName("q_x_quality_checks")
     val rows = q.run(spark, "/root/testdata/sf0.001").collect()
