@@ -434,16 +434,27 @@ object TextAnalysis {
       .distinct()
     val sizes = grams.groupBy(col("src"))
       .agg(count(lit(1)).as("n_grams"))
-    val byGram = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("gram"))
+    // r14 (guide §2.4): the per-gram spread gate used to be a
+    // count-over-Window(gram) BEFORE the collect_set aggregate — an
+    // exchange-by-gram plus a full SORT of the corpus-scale gram stream,
+    // immediately followed by a groupBy on the same key. The aggregate
+    // alone carries both: collect_set's buffer per gram is bounded by the
+    // SOURCE universe (not the corpus — grams is (src, gram)-distinct),
+    // so gating on size(srcs) after the map-side-partial set aggregate is
+    // whale-safe, and the window's sort is gone (plan: Sort+Window+
+    // HashAggregate → HashAggregate; one Exchange either way). Pair
+    // generation switches to the sorted-array posexplode+slice idiom
+    // (MarketBasket): strictly-increasing sorted distinct sources ⇒
+    // slice-after-i IS the source_a < source_b pair set, generated
+    // map-side without the n²-then-filter double explode.
     val pairs = grams
-      .withColumn("d", count(lit(1)).over(byGram))
-      .where(col("d").between(2, maxSources))
       .groupBy(col("gram"))
-      .agg(collect_set(col("src")).as("srcs"))
-      .select(explode(col("srcs")).as("source_a"), col("srcs"))
-      .select(col("source_a"), explode(col("srcs")).as("source_b"))
-      .where(col("source_a") < col("source_b"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .where(size(col("srcs")).between(2, maxSources))
+      .select(col("srcs"), posexplode(col("srcs")).as(Seq("i", "source_a")))
+      .select(col("source_a"),
+        explode(slice(col("srcs"), col("i") + lit(2), size(col("srcs"))))
+          .as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
