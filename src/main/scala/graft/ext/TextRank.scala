@@ -73,14 +73,24 @@ object TextRank {
     val n = deg.count() // vocab size — the only driver-side value
     var ranks = deg.select(col("u").as("word"),
       lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       ranks = withNorm
         .join(ranks, withNorm("u") === ranks("word"))
         .groupBy(col("v"))
         .agg(sum(col("rank") * col("wn")).as("__c"))
         .select(col("v").as("word"),
           (lit((1.0 - damping) / n) + lit(damping) * col("__c")).as("rank"))
-        .localCheckpoint(true) // vocab-sized; keeps lineage flat
+      // r14: no per-iteration checkpoint. Each iteration's frame is
+      // consumed exactly ONCE (by the next iteration's join), so the
+      // eager checkpoints were pure serial barriers — `iterations`
+      // back-to-back driver jobs where one pipelined plan does the same
+      // work (guide §1.2: remove passes; measured 1.354 → 1.261 s — the
+      // corpus-scale edge build dominates this query, the barriers were
+      // ~0.1 s of serial latency). The
+      // iterates nest above the ONE checkpointed withNorm frame, so plan
+      // depth grows linearly in `iterations`; checkpoint every 8th round
+      // as the lineage/planning guard for deep-iteration callers.
+      if (i % 8 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
