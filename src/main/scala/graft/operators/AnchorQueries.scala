@@ -293,9 +293,19 @@ object AnchorQueries {
           explode(TextExprs.sorted_shingles(col("text"), 3)).as("g"))
         .distinct()
       val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val inter = grams.select(col("source").as("source_a"), col("g"))
-        .join(grams.select(col("source").as("source_b"), col("g")), Seq("g"))
-        .filter(col("source_a") < col("source_b"))
+      // r14: exact intersection via the sourceOverlap idiom — one
+      // gram-keyed set aggregate + map-side sorted-slice pair generation
+      // (buffer bounded by the SOURCE universe; grams is distinct) —
+      // instead of the gram-keyed SELF-join, which exchanged the
+      // corpus-scale gram stream twice and joined it against itself.
+      val inter = grams
+        .groupBy(col("g"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .where(size(col("srcs")) >= 2)
+        .select(col("srcs"), posexplode(col("srcs")).as(Seq("i", "source_a")))
+        .select(col("source_a"),
+          explode(slice(col("srcs"), col("i") + lit(2), size(col("srcs"))))
+            .as("source_b"))
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("i"))
       val truth = inter
