@@ -345,6 +345,14 @@ object AnchorQueries {
       val newP = docs.filter(col("doc_id") % 25 === 0 &&
         col("doc_id") < 5000)
       val index = Dedup.bandIndex(corpus, "doc_id", "text")
+      // r14 note: tried localCheckpoint(true) on `reported` and `truth`
+      // (each is consumed twice by the missed/spurious anti-joins, so
+      // their pipelines re-execute) — measured a consistent REGRESSION,
+      // 1.690 → 2.10 s min-of-8: the eager barriers serialize the two
+      // heavy builds, while the un-barriered form re-executes them as
+      // INDEPENDENT AQE stages that overlap across cores, with the
+      // exchange-capped subtrees deduplicated anyway (the r13 annAnchor
+      // finding, reconfirmed). Rejected.
       val reported = Dedup.incrementalMatch(newP, corpus, index, "doc_id",
           "text", threshold = 0.7)
         .select(col("new_id"), col("corpus_id"))
